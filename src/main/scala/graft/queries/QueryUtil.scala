@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the query catalog.
+  *
+  * Determinism rules (SURVEY §5): event-time columns leave queries
+  * as epoch-ms longs (`unix_millis`); money aggregates go through
+  * exact DECIMAL sums and only then to DOUBLE; every rank has a
+  * total-order tie-breaker.
+  */
+object QueryUtil {
+  type QFn = (SparkSession, String) => DataFrame
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark
+    * refuses by default; read it as nanosecond longs
+    * (spark.sql.legacy.parquet.nanosAsLong) and normalize to a
+    * µs-precision TimestampType column via integer division — no
+    * doubles in the path, so the floor is exact.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Event time as epoch milliseconds — stable across Spark's µs
+    * truncation of parquet ns timestamps vs DuckDB's native ns.
+    */
+  def epochMs(ts: Column): Column = unix_millis(ts)
+
+  /** Exact money sum: DOUBLE → DECIMAL(18,2) → sum (exact) → DOUBLE.
+    * Bit-identical on any engine with exact decimal aggregation, no
+    * float summation-order sensitivity.
+    */
+  def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Same, with 4-decimal quantization for derived money products. */
+  def moneySum4(c: Column): Column =
+    sum(c.cast("decimal(22,4)")).cast("double")
+}

@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+
+/** Group B — the relational core (SURVEY §2.B): the general-purpose
+  * query engine the reference's downstream analytics (Athena /
+  * Redshift Spectrum over its parquet output) would run, expressed
+  * natively.
+  */
+object RelationalQueries {
+
+  /** B1 — grouped aggregation, TPC-H Q1 shape: partial-agg friendly,
+    * single shuffle on the grouping keys.
+    */
+  def b1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  val b1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** B2 — dim-chain broadcast join: fact ⋈ customer ⋈ nation ⋈
+    * region, every dim broadcast (zero shuffle on the dims).
+    */
+  def b2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+
+  val b2Sql: String =
+    """SELECT r_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** B3 — fact ⋈ fact shuffle join on the order key; AQE handles
+    * runtime partition sizing / skew.
+    */
+  def b3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+
+  val b3Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** B4 — semi + anti join: customers with vs without orders, one
+    * result with a membership label.
+    */
+  def b4(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .withColumn("has_orders", lit(true))
+    val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .withColumn("has_orders", lit(false))
+    withO.unionByName(without)
+  }
+
+  val b4Sql: String =
+    """SELECT c_mktsegment, count(*) AS n, TRUE AS has_orders
+      |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT c_mktsegment, count(*) AS n, FALSE AS has_orders
+      |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** B5 — window functions: row_number, rank, lag, running sum per
+    * customer ordered by (orderdate, orderkey) — total order, so
+    * the running frame is deterministic.
+    */
+  def b5(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(w).as("rn"),
+      rank().over(Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("price_rank"),
+      coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)).as("prev_price"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_total"))
+  }
+
+  val b5Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER w1 AS rn,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+      |  coalesce(lag(o_totalprice, 1) OVER w1, 0.0) AS prev_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders
+      |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  /** B6 — top-k per group: 3 priciest parts per brand, rank with an
+    * explicit key tie-breaker.
+    */
+  def b6(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(s, dir, "part")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("p_brand", "rk", "p_partkey", "p_retailprice")
+  }
+
+  val b6Sql: String =
+    """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    row_number() OVER (PARTITION BY p_brand
+      |      ORDER BY p_retailprice DESC, p_partkey) AS rk
+      |  FROM part) WHERE rk <= 3""".stripMargin
+
+  /** B7 — global ordered top-n: plans as TakeOrderedAndProject (no
+    * full sort at scale).
+    */
+  def b7(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  val b7Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** B8 — hierarchical rollup with explicit ALL labels (stable
+    * across engines' NULL-for-subtotal conventions).
+    */
+  def b8(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total"))
+
+  val b8Sql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin
+
+  /** B9 — scalar function suite (string/math/conditional), all
+    * whole-stage-codegen built-ins.
+    */
+  def b9(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      lower(substring(col("p_name"), 1, 8)).as("name8"),
+      length(col("p_name")).cast("int").as("name_len"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      (col("p_size") % 7).cast("int").as("size_mod"),
+      abs(col("p_size") - 25).cast("int").as("size_dist"),
+      when(col("p_retailprice") > 1500, "premium")
+        .when(col("p_retailprice") > 1000, "standard")
+        .otherwise("budget").as("tier"))
+
+  val b9Sql: String =
+    """SELECT p_partkey, upper(p_brand) AS brand_u,
+      |  lower(substr(p_name, 1, 8)) AS name8,
+      |  CAST(length(p_name) AS INT) AS name_len,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  CAST(p_size % 7 AS INT) AS size_mod,
+      |  CAST(abs(p_size - 25) AS INT) AS size_dist,
+      |  CASE WHEN p_retailprice > 1500 THEN 'premium'
+      |       WHEN p_retailprice > 1000 THEN 'standard'
+      |       ELSE 'budget' END AS tier
+      |FROM part""".stripMargin
+
+  /** B10 — exact interpolated percentiles per group: Spark
+    * `percentile` ≡ DuckDB `quantile_cont`.
+    */
+  def b10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
+
+  val b10Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** B11 — JSON field extraction from the events `props` payload. */
+  def b11(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  val b11Sql: String =
+    """SELECT k % 10 AS k_mod, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+      |GROUP BY 1""".stripMargin
+
+  /** B12 — multi-column shuffle distinct. */
+  def b12(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select("user_id", "event_type").distinct()
+
+  val b12Sql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
+  val queries: Map[String, QFn] = Map(
+    "b1_agg" -> (b1 _),
+    "b2_join_broadcast" -> (b2 _),
+    "b3_join_shuffle" -> (b3 _),
+    "b4_join_semi_anti" -> (b4 _),
+    "b5_window_funcs" -> (b5 _),
+    "b6_topk_group" -> (b6 _),
+    "b7_topn_global" -> (b7 _),
+    "b8_rollup" -> (b8 _),
+    "b9_scalar_funcs" -> (b9 _),
+    "b10_percentiles" -> (b10 _),
+    "b11_json_extract" -> (b11 _),
+    "b12_distinct" -> (b12 _))
+
+  val oracles: Map[String, String] = Map(
+    "b1_agg" -> b1Sql,
+    "b2_join_broadcast" -> b2Sql,
+    "b3_join_shuffle" -> b3Sql,
+    "b4_join_semi_anti" -> b4Sql,
+    "b5_window_funcs" -> b5Sql,
+    "b6_topk_group" -> b6Sql,
+    "b7_topn_global" -> b7Sql,
+    "b8_rollup" -> b8Sql,
+    "b9_scalar_funcs" -> b9Sql,
+    "b10_percentiles" -> b10Sql,
+    "b11_json_extract" -> b11Sql,
+    "b12_distinct" -> b12Sql)
+}

@@ -1,0 +1,25 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table access over a scale-factor directory.
+  *
+  * The reference loads parquet with schema enforcement and local/S3
+  * fallback (/root/reference/main_pipeline.py:108-134). Here the
+  * equivalent is a thin reader; schema enforcement is the separate
+  * [[graft.pipeline.SchemaEnforcer]] so it composes with any source.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Try a list of candidate paths in order, like the reference's
+    * DataLoader.try_load (main_pipeline.py:108-120), returning the
+    * first that reads.
+    */
+  def tryLoad(spark: SparkSession, paths: Seq[String]): Option[DataFrame] =
+    paths.iterator.flatMap { p =>
+      try Some(spark.read.parquet(p))
+      catch { case _: Exception => None }
+    }.nextOption()
+}
