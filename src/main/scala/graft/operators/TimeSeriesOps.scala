@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over sensor streams (SURVEY §2.C).
+  *
+  * All operators are single-shuffle where the semantics allow:
+  * window/rolling/session ops shuffle once on the sensor key;
+  * aggregation buckets are epoch-aligned so they parallelize without
+  * coordination. Event time is always carried as epoch µs/ms longs
+  * internally — exact integer arithmetic, no float time math.
+  */
+object TimeSeriesOps {
+
+  /** Tumbling/hopping windows via Spark's native `window()`;
+    * epoch-aligned so the bucket of a row is a pure function of its
+    * timestamp (map-side partial aggregation works).
+    */
+  def windowed(df: DataFrame, ts: Column, width: String, slide: Option[String],
+      keys: Column*): org.apache.spark.sql.RelationalGroupedDataset = {
+    val win = slide.fold(window(ts, width))(sl => window(ts, width, sl))
+    df.groupBy((win +: keys): _*)
+  }
+
+  /** Session windows: events within `gapMinutes` of the previous
+    * event of the same key merge into one session. One shuffle on
+    * the key; the island assignment is a running sum over the
+    * ordered partition.
+    */
+  def sessionize(df: DataFrame, key: Column, tsUs: Column, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(key).orderBy(tsUs)
+    val flagged = df.withColumn("__new_session",
+      when(tsUs - lag(tsUs, 1).over(w) >= gapUs || lag(tsUs, 1).over(w).isNull, 1)
+        .otherwise(0))
+    flagged.withColumn("__session_id",
+      sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Rolling statistics over the last `nRows` readings per key. */
+  def rollingFrame(key: Column, order: Seq[Column], nRows: Int)
+      : org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(-(nRows - 1), Window.currentRow)
+
+  /** Forward-fill: latest non-null value up to the current row. */
+  def forwardFill(df: DataFrame, value: Column, key: Column, order: Seq[Column],
+      as: String): DataFrame =
+    df.withColumn(as,
+      last(value, ignoreNulls = true).over(
+        Window.partitionBy(key).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** As-of join: for each left row, the latest right row of the same
+    * key with right.time <= left.time.
+    *
+    * Composed as union + ordered forward-fill (one shuffle + one
+    * sort, O(n log n)) rather than an inequality join (O(n·m) nested
+    * loop) — the shape that survives 100 TB. At equal times the
+    * right row sorts first, so it is visible to the left row
+    * (inclusive as-of), with `rightId` as the deterministic
+    * tie-breaker among equal-time right rows.
+    *
+    * @param left   rows to annotate; must contain `key`, `timeUs`, `leftId`
+    * @param right  lookup stream; must contain `key`, `timeUs`, `rightId`
+    *               plus `carry` columns to bring along
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, timeUs: String,
+      leftId: String, rightId: String, carry: Seq[String]): DataFrame = {
+    val l = left.select(col(key), col(timeUs), col(leftId), lit(1).as("__is_q"))
+    val r = right.select((col(key) +: col(timeUs) +: lit(0).as("__is_q") +:
+      col(rightId) +: carry.map(col)): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(timeUs), col("__is_q"), col(rightId))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned
+      .withColumn("__m_id", last(col(rightId), ignoreNulls = true).over(w))
+      .withColumn("__m_time", last(when(col("__is_q") === 0, col(timeUs)),
+        ignoreNulls = true).over(w))
+    val carried = carry.foldLeft(filled) { (d, c) =>
+      d.withColumn(s"__m_$c", last(when(col("__is_q") === 0, col(c)),
+        ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__is_q") === 1)
+      .select((col(key) +: col(timeUs) +: col(leftId) +:
+        col("__m_id").as(s"matched_$rightId") +:
+        col("__m_time").as("matched_time_us") +:
+        carry.map(c => col(s"__m_$c").as(s"matched_$c"))): _*)
+  }
+
+  /** Per-key z-score anomaly flags, with exact-decimal mean and
+    * sum-of-squares so the derived stats are reproducible
+    * bit-for-bit on any engine (no float summation-order drift).
+    * Stats join back broadcast: two scans, zero extra shuffles of
+    * the fact.
+    */
+  def zscore(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val stats = df.groupBy(key.as("__k")).agg(
+      count(lit(1)).as("__n"),
+      sum(value.cast("decimal(18,2)")).cast("double").as("__sum"),
+      sum((value * value).cast("decimal(22,4)")).cast("double").as("__sumsq"))
+      .select(col("__k"), (col("__sum") / col("__n")).as("__mean"),
+        sqrt((col("__sumsq") - col("__sum") * col("__sum") / col("__n")) /
+          (col("__n") - 1)).as("__sd"))
+    df.join(broadcast(stats), key === col("__k"))
+      .withColumn("z", (value - col("__mean")) / col("__sd"))
+  }
+}

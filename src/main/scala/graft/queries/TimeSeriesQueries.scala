@@ -1,8 +1,236 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeriesOps
 import QueryUtil._
 
+/** Group C (batch half) — time-series analytics over the sensor
+  * stream (SURVEY §2.C): the windowed/rolling/as-of operators a
+  * sensor platform runs downstream of the reference's ETL.
+  */
 object TimeSeriesQueries {
-  val queries: Map[String, QFn] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** C1 — tumbling 1-hour windows per sensor type: epoch-aligned,
+    * map-side partial agg, single shuffle.
+    */
+  def c1(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.windowed(events(s, dir), col("ts"), "1 hour", None, col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(epochMs(col("window.start")).as("w_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  val c1Sql: String =
+    """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS w_start_ms, event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** C2 — sliding (hopping) windows, 1 hour wide every 30 minutes:
+    * each event lands in exactly two epoch-aligned windows.
+    */
+  def c2(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.windowed(events(s, dir), col("ts"), "1 hour",
+        Some("30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(epochMs(col("window.start")).as("w_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  val c2Sql: String =
+    """SELECT (epoch_ms(ts) // 1800000) * 1800000 - o.off * 1800000 AS w_start_ms,
+      |       event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+      |GROUP BY 1, 2""".stripMargin
+
+  /** C3 — session windows with a 30-minute gap per user: sessions
+    * merge while consecutive events are < 30 min apart; session end
+    * is last event + gap (Spark session_window semantics).
+    */
+  def c3(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"),
+        epochMs(col("sw.start")).as("start_ms"),
+        epochMs(col("sw.end")).as("end_ms"))
+
+  val c3Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+      |sessions AS (
+      |  SELECT user_id, t_us,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, count(*) AS n,
+      |  CAST(min(t_us) // 1000 AS BIGINT) AS start_ms,
+      |  CAST((max(t_us) + 1800000000) // 1000 AS BIGINT) AS end_ms
+      |FROM sessions GROUP BY user_id, sid""".stripMargin
+
+  /** C4 — rolling mean/min/max/stddev over the last 10 readings per
+    * sensor; stddev suppressed below 2 samples (engines disagree on
+    * NaN-vs-NULL there).
+    */
+  def c4(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("t_us"), col("value"))
+    val w = TimeSeriesOps.rollingFrame(col("user_id"),
+      Seq(col("t_us"), col("event_id")), nRows = 10)
+    // Exact decimal rolling sums → derived avg/sd are bit-identical
+    // doubles on any engine (no float summation order, no rounding).
+    val n = count(lit(1)).over(w)
+    val sm = sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+    val sq = sum((col("value") * col("value")).cast("decimal(22,4)"))
+      .over(w).cast("double")
+    e.select(
+      col("event_id"), col("user_id"),
+      (sm / n).as("roll_avg"),
+      min(col("value")).over(w).as("roll_min"),
+      max(col("value")).over(w).as("roll_max"),
+      when(n > 1, sqrt((sq - sm * sm / n) / (n - lit(1)))).as("roll_sd"))
+  }
+
+  val c4Sql: String =
+    """SELECT event_id, user_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    / count(*) OVER w AS roll_avg,
+      |  min(value) OVER w AS roll_min,
+      |  max(value) OVER w AS roll_max,
+      |  CASE WHEN count(*) OVER w > 1 THEN
+      |    sqrt((CAST(sum(CAST(value * value AS DECIMAL(22,4))) OVER w AS DOUBLE)
+      |          - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |            * CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |            / count(*) OVER w)
+      |         / (count(*) OVER w - 1)) END AS roll_sd
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** C5 — downsample to per-(sensor, day) buckets: first/last
+    * reading by event time plus min/max/sum/count (OHLC shape).
+    */
+  def c5(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        min_by(col("value"), unix_micros(col("ts"))).as("open"),
+        max_by(col("value"), unix_micros(col("ts"))).as("close"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"),
+        moneySum(col("value")).as("sum_value"),
+        count(lit(1)).as("n"))
+
+  val c5Sql: String =
+    """SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+      |  arg_min(value, epoch_us(ts)) AS open,
+      |  arg_max(value, epoch_us(ts)) AS close,
+      |  min(value) AS low, max(value) AS high,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** C6 — forward-fill over gaps: readings of type 'error' carry no
+    * valid value; fill each from the user's latest valid reading.
+    */
+  def c6(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("t_us"),
+      when(col("event_type") =!= "error", col("value")).as("v"))
+    TimeSeriesOps.forwardFill(e, col("v"), col("user_id"),
+        Seq(col("t_us"), col("event_id")), as = "v_filled")
+      .select("event_id", "user_id", "v", "v_filled")
+  }
+
+  val c6Sql: String =
+    """SELECT event_id, user_id, v,
+      |  last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY t_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+      |        CASE WHEN event_type <> 'error' THEN value END AS v
+      |      FROM events)""".stripMargin
+
+  /** C7 — as-of join (attribution): for each purchase, the user's
+    * latest click at-or-before the purchase. Composed union +
+    * forward-fill (one shuffle, no inequality nested-loop join) —
+    * see [[TimeSeriesOps.asOfJoin]].
+    */
+  def c7(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id").as("purchase_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    TimeSeriesOps.asOfJoin(purchases, clicks, key = "user_id",
+        timeUs = "t_us", leftId = "purchase_id", rightId = "click_id",
+        carry = Seq("click_value"))
+      .select(col("purchase_id"), col("user_id"),
+        col("matched_click_id").as("click_id"),
+        col("matched_time_us").as("click_t_us"),
+        col("matched_click_value").as("click_value"))
+  }
+
+  val c7Sql: String =
+    """SELECT purchase_id, user_id, click_id, click_t_us, click_value FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id,
+      |         c.event_id AS click_id, epoch_us(c.ts) AS click_t_us,
+      |         c.value AS click_value,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |           ORDER BY epoch_us(c.ts) DESC NULLS LAST,
+      |                    c.event_id DESC NULLS LAST) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id AND epoch_us(c.ts) <= epoch_us(p.ts))
+      |WHERE rn = 1""".stripMargin
+
+  /** C8 — z-score anomaly flags vs per-sensor stats, exact-decimal
+    * mean/variance so the threshold decision is engine-stable.
+    */
+  def c8(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.zscore(events(s, dir), col("user_id"), col("value"))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("user_id"), round(col("z"), 3).as("z"))
+
+  val c8Sql: String =
+    """WITH stats AS (
+      |  SELECT user_id AS k,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+      |    sqrt((CAST(sum(CAST(value * value AS DECIMAL(22,4))) AS DOUBLE)
+      |          - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |            * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+      |         / (count(*) - 1)) AS sd
+      |  FROM events GROUP BY user_id)
+      |SELECT event_id, user_id, round((value - mean) / sd, 3) AS z
+      |FROM events JOIN stats ON user_id = k
+      |WHERE abs((value - mean) / sd) > 2.5""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "c1_tumbling_window" -> (c1 _),
+    "c2_sliding_window" -> (c2 _),
+    "c3_session_window" -> (c3 _),
+    "c4_rolling_stats" -> (c4 _),
+    "c5_downsample" -> (c5 _),
+    "c6_gap_fill" -> (c6 _),
+    "c7_asof_join" -> (c7 _),
+    "c8_anomaly_zscore" -> (c8 _))
+
+  val oracles: Map[String, String] = Map(
+    "c1_tumbling_window" -> c1Sql,
+    "c2_sliding_window" -> c2Sql,
+    "c3_session_window" -> c3Sql,
+    "c4_rolling_stats" -> c4Sql,
+    "c5_downsample" -> c5Sql,
+    "c6_gap_fill" -> c6Sql,
+    "c7_asof_join" -> c7Sql,
+    "c8_anomaly_zscore" -> c8Sql)
 }
