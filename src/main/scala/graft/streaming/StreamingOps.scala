@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming face of the engine (SURVEY §2.C9-C12).
+  *
+  * The reference is an Airflow-scheduled daily batch
+  * (/root/reference/Sensor_pipeline_dag.py); its continuous twin is
+  * a Structured Streaming job over the same source with watermarked
+  * state. Locally a file stream over the test parquet drives the
+  * queries synchronously (processAllAvailable) into a memory sink;
+  * in production the identical plan runs on Kafka/file sources with
+  * a real trigger and checkpointing.
+  */
+object StreamingOps {
+
+  /** Explicit source schema — file stream sources require one. `ts`
+    * arrives as nanosecond INT64 (see QueryUtil.events) and is
+    * normalized to a µs TimestampType column for event-time ops.
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming frame to completion against the currently
+    * available data and return the result as a batch table
+    * (memory sink + processAllAvailable). Local-test harness only;
+    * production uses a durable sink + checkpoint.
+    */
+  def runToTable(df: DataFrame, spark: SparkSession, name: String,
+      outputMode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+}
