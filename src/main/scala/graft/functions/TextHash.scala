@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshims.SparkShims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic text hashing shared with the DuckDB oracles
+  * (SURVEY §5): base-31 polynomial over UTF-16 char codes,
+  * modulo P = 1e9+7. All values stay < 2^30, so every intermediate
+  * product fits a signed 64-bit long — the same arithmetic is
+  * expressible in portable SQL (list_reduce / list_transform),
+  * which is what makes hash-based operators oracle-checkable.
+  *
+  * Implemented as native Catalyst expressions (not UDFs): no
+  * serialization boundary, null handling in the expression layer,
+  * and [[PolyHash]] participates in whole-stage codegen.
+  */
+object TextHash {
+  val P: Long = 1000000007L
+
+  def polyHashStr(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+    h
+  }
+
+  /** Rolling k-char shingle hashes: O(n) for all shingles. */
+  def shingleHashesStr(s: String, k: Int): Array[Long] = {
+    val n = s.length
+    if (n < k) return Array.empty
+    var pow = 1L // 31^(k-1) mod P
+    var i = 1
+    while (i < k) { pow = pow * 31 % P; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= n - k) {
+      h = ((h - s.charAt(i - 1) * pow % P + P) % P * 31 + s.charAt(i + k - 1)) % P
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash permutation constants, reproducible in SQL:
+    * a_j = (j+1)·2654435761 mod P,  b_j = (j+1)·40503 mod P.
+    */
+  def minA(j: Int): Long = (j + 1) * 2654435761L % P
+  def minB(j: Int): Long = (j + 1) * 40503L % P
+
+  // Column API --------------------------------------------------------
+
+  private def expr(c: Column): Expression = SparkShims.expression(c)
+
+  def poly_hash(c: Column): Column =
+    SparkShims.column(PolyHash(expr(c)))
+
+  def shingle_hashes(c: Column, k: Int): Column =
+    SparkShims.column(ShingleHashes(expr(c), k))
+
+  def minhash_sig(hashes: Column, numPerms: Int): Column =
+    SparkShims.column(MinHashSig(expr(hashes), numPerms))
+
+  def simhash(hashes: Column, bits: Int): Column =
+    SparkShims.column(SimHash(expr(hashes), bits))
+}
+
+/** Base-31 polynomial string hash mod 1e9+7; whole-stage codegen. */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.polyHashStr(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      code"""
+        |String $s = $c.toString();
+        |long $h = 0L;
+        |for (int $i = 0; $i < $s.length(); $i++) {
+        |  $h = ($h * 31 + $s.charAt($i)) % ${TextHash.P}L;
+        |}
+        |${ev.value} = $h;
+      """.stripMargin.toString
+    })
+
+  override protected def withNewChildInternal(c: Expression): PolyHash = copy(c)
+}
+
+/** All k-char shingle hashes of a string as array<long>, computed
+  * with a rolling hash (O(n), not O(n·k)).
+  */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextHash.shingleHashesStr(v.asInstanceOf[UTF8String].toString, k))
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** MinHash signature over a set of element hashes:
+  * sig_j = min over h of (a_j·h + b_j) mod P. Empty input → P
+  * sentinel per slot (never produced by a real hash).
+  */
+case class MinHashSig(child: Expression, numPerms: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val sig = Array.fill(numPerms)(TextHash.P)
+    var j = 0
+    while (j < numPerms) {
+      val a = TextHash.minA(j); val b = TextHash.minB(j)
+      var i = 0
+      while (i < arr.numElements()) {
+        val x = (a * arr.getLong(i) + b) % TextHash.P
+        if (x < sig(j)) sig(j) = x
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** SimHash over element hashes: bit b of the result is set when the
+  * majority of elements have bit b set (ties → unset, vote must be
+  * strictly positive).
+  */
+case class SimHash(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var result = 0L
+    var b = 0
+    while (b < bits) {
+      var vote = 0L
+      var i = 0
+      while (i < arr.numElements()) {
+        if (((arr.getLong(i) >> b) & 1L) == 1L) vote += 1 else vote -= 1
+        i += 1
+      }
+      if (vote > 0) result |= (1L << b)
+      b += 1
+    }
+    result
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash =
+    copy(child = c)
+}
