@@ -1,0 +1,129 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Near-duplicate detection for document corpora (SURVEY §2.D).
+  *
+  * Scale design: every method is candidate-generation + verification.
+  * Candidate generation is always an equi-join on a small derived
+  * key (content hash, LSH band hash, rare-gram hash, SimHash band) —
+  * never an all-pairs comparison — so the shuffle is hash-partitioned
+  * and skew-bounded by construction:
+  *  - exact: one aggregation on a 64-bit content hash.
+  *  - MinHash-LSH: 4 band keys per doc; only same-band docs meet.
+  *  - SimHash: pigeonhole bands of the signature; dist<=d pairs are
+  *    guaranteed to collide on >=1 of d+1 bands (no recall loss).
+  *  - n-gram: rare grams only (df cap) — frequent grams would both
+  *    blow up the pair count and carry no signal.
+  */
+object Dedup {
+
+  /** Normalized content key: lower-cased, trimmed. */
+  def contentHash(text: Column): Column = TextHash.poly_hash(lower(trim(text)))
+
+  /** Exact dedup: group by content hash, keep the smallest id. */
+  def exact(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.withColumn("content_hash", contentHash(col(text)))
+      .groupBy("content_hash")
+      .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature column over k-char shingles. */
+  def minhashSignature(text: Column, shingleK: Int, numPerms: Int): Column =
+    TextHash.minhash_sig(TextHash.shingle_hashes(lower(trim(text)), shingleK), numPerms)
+
+  /** LSH band rows: one (band, band_hash) per band per doc. Docs
+    * agreeing on any band are near-dup candidates.
+    */
+  def lshBands(docs: DataFrame, id: String, text: String,
+      shingleK: Int = 8, numPerms: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val sig = minhashSignature(col(text), shingleK, numPerms)
+    val withSig = docs.filter(length(lower(trim(col(text)))) >= shingleK)
+      .select(col(id), sig.as("sig"))
+    val bandHash = (b: Int) =>
+      aggregate(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+        lit(b.toLong), (acc, x) => (acc * 31 + x) % TextHash.P)
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), bandHash(b).as("band_hash")))
+    withSig.select(col(id), explode(array(bandCols: _*)).as("bh"))
+      .select(col(id), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+  }
+
+  /** MinHash-LSH candidate pairs (distinct doc pairs sharing >= 1
+    * band) with estimated (signature agreement out of numPerms) and
+    * exact (shingle-set) Jaccard, as exact integer per-milles.
+    */
+  def minhashVerifiedPairs(docs: DataFrame, id: String, text: String,
+      shingleK: Int = 8, numPerms: Int = 16, bands: Int = 4): DataFrame = {
+    val b = lshBands(docs, id, text, shingleK, numPerms, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = b.as("l").join(b.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col(s"l.$id") < col(s"r.$id"))
+      .select(col(s"l.$id").as("d1"), col(s"r.$id").as("d2"))
+      .distinct()
+    val features = docs
+      .filter(length(lower(trim(col(text)))) >= shingleK)
+      .select(col(id),
+        minhashSignature(col(text), shingleK, numPerms).as("sig"),
+        array_distinct(TextHash.shingle_hashes(lower(trim(col(text))), shingleK))
+          .as("shset"))
+    cand
+      .join(features.select(col(id).as("d1"), col("sig").as("sig1"),
+        col("shset").as("set1")), "d1")
+      .join(features.select(col(id).as("d2"), col("sig").as("sig2"),
+        col("shset").as("set2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(filter(zip_with(col("sig1"), col("sig2"), (a, bb) => a === bb),
+          x => x)).cast("long").as("est_matches"),
+        size(array_intersect(col("set1"), col("set2"))).cast("long").as("shared"),
+        size(col("set1")).cast("long").as("n1"),
+        size(col("set2")).cast("long").as("n2"))
+      .withColumn("jac_pm", expr("shared * 1000 div (n1 + n2 - shared)"))
+  }
+
+  /** SimHash near-dup pairs: signatures over word 3-gram hashes
+    * (single tokens saturate on shared vocabulary — 3-grams are
+    * document-specific, so signatures spread); pairs within
+    * `maxDist` hamming distance found via pigeonhole banding
+    * (exact — no recall loss for dist <= maxDist).
+    */
+  def simhashPairs(docs: DataFrame, id: String, text: String,
+      bits: Int = 30, maxDist: Int = 3): DataFrame = {
+    val gramHashes = TextHash.word_gram_hashes(col(text), 3, distinct = false)
+    val sigs = docs
+      .select(col(id), TextHash.simhash(gramHashes, bits).as("sh"),
+        size(gramHashes).as("__ng"))
+      .filter(col("__ng") >= 1).drop("__ng")
+    val nBands = maxDist + 1
+    // band b covers bits [off(b), off(b+1)): widths as equal as possible
+    val offs = (0 to nBands).map(b => b * bits / nBands)
+    val bandCols = (0 until nBands).map { b =>
+      val width = offs(b + 1) - offs(b)
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), offs(b)).bitwiseAND(lit((1L << width) - 1))
+          .as("band_bits"))
+    }
+    // Materialize the (tiny: one row per doc per band) band table
+    // before the self-join — otherwise the signature expression is
+    // re-evaluated per joined pair, turning an O(docs) compute into
+    // O(candidate pairs).
+    val banded = sigs.select(col(id), col("sh"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col(id), col("sh"), col("bb.band").as("band"),
+        col("bb.band_bits").as("band_bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_bits") === col("r.band_bits") &&
+          col(s"l.$id") < col(s"r.$id"))
+      .select(col(s"l.$id").as("d1"), col(s"r.$id").as("d2"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

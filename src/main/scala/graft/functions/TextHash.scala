@@ -73,6 +73,71 @@ object TextHash {
 
   def simhash(hashes: Column, bits: Int): Column =
     SparkShims.column(SimHash(expr(hashes), bits))
+
+  def word_gram_hashes(text: Column, n: Int, distinct: Boolean): Column =
+    SparkShims.column(WordGramHashes(expr(text), n, distinct))
+
+  /** Word-token poly hashes of lower(trim(text)) split on \s+ —
+    * the single-pass twin of
+    * transform(split(trim(lower(text)), "\\s+"), poly_hash).
+    */
+  def wordGramHashesStr(text: String, n: Int, distinct: Boolean): Array[Long] = {
+    val toks = text.trim.toLowerCase.split("\\s+")
+    val th = toks.map(polyHashStr)
+    if (th.length < n) return Array.empty
+    val grams = new Array[Long](th.length - n + 1)
+    var i = 0
+    while (i <= th.length - n) {
+      var g = th(i)
+      var j = 1
+      while (j < n) { g = (g * 31 + th(i + j)) % P; j += 1 }
+      grams(i) = g
+      i += 1
+    }
+    if (distinct) grams.distinct else grams
+  }
+}
+
+/** Sequential-fold dot product of two double arrays: identical
+  * arithmetic to aggregate(zip_with(a, b, _*_), 0.0, _+_) — i.e. a
+  * left fold, reproducible on any engine — in one native pass.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = math.min(x.numElements(), y.numElements())
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** Distinct-or-not word n-gram hashes straight from text: one JVM
+  * pass replacing a nested interpreted-lambda chain (tokenize →
+  * per-token PolyHash → n-gram combine). Same arithmetic as the
+  * composed form: gram = fold over token hashes of
+  * (acc·31 + h) mod P.
+  */
+case class WordGramHashes(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextHash.wordGramHashesStr(v.asInstanceOf[UTF8String].toString, n, distinct))
+
+  override protected def withNewChildInternal(c: Expression): WordGramHashes =
+    copy(child = c)
 }
 
 /** Base-31 polynomial string hash mod 1e9+7; whole-stage codegen. */

@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §2.D12).
+  *
+  * Media payloads travel as opaque `binary` columns next to typed
+  * metadata — the layout that scales: parquet stores the bytes
+  * contiguously, predicates prune on metadata without touching
+  * payloads, and partitioning keys come from metadata only.
+  *
+  * The actual decoders (image/audio codecs) are NOT available in
+  * this environment, so [[decodeStub]] is a clearly-marked
+  * deterministic fake with the real decoder's shape: batched
+  * per-partition processing of (bytes → fixed-width feature
+  * vector). Swapping in a real codec changes only the body of
+  * `decodeBytes`.
+  */
+object Media {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], n_bytes: Long)
+  case class DecodedRow(doc_id: Long, n_bytes: Long, features: Array[Double])
+
+  /** Wrap a text corpus as binary payloads + metadata (the test
+    * corpus has no real media; payload = UTF-8 bytes).
+    */
+  def asPayloads(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc_id"),
+      col(text).cast("binary").as("payload"),
+      octet_length(col(text).cast("binary")).cast("long").as("n_bytes"))
+
+  /** STUB — stands in for a real image/audio decoder. Deterministic
+    * fake features: byte histogram moments. Real implementation
+    * would decode `bytes` with a codec and emit e.g. pixel stats or
+    * an embedding; everything around it (batching, schema,
+    * partition shape) is the production path.
+    */
+  def decodeBytes(bytes: Array[Byte]): Array[Double] = {
+    var sum = 0L; var mx = Int.MinValue; var mn = Int.MaxValue
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b; if (b > mx) mx = b; if (b < mn) mn = b
+      i += 1
+    }
+    val n = math.max(1, bytes.length)
+    Array(bytes.length.toDouble, sum.toDouble / n, mn.toDouble, mx.toDouble)
+  }
+
+  /** Batched decode over partitions: the per-partition iterator is
+    * where a real decoder would amortize codec init / GPU transfer.
+    */
+  def decodeStub(media: Dataset[MediaRow])(implicit spark: SparkSession)
+      : Dataset[DecodedRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here
+      rows.map(r => DecodedRow(r.doc_id, r.n_bytes, decodeBytes(r.payload)))
+    }
+  }
+}

@@ -189,17 +189,296 @@ object TrainingDataQueries {
        |       list_max(fps) AS max_fp, list_sum(fps) AS sum_fp
        |FROM fp""".stripMargin
 
+  // ---- similarity / near-dup wave (D6-D13) --------------------------
+
+  /** DuckDB fragment: per-doc word-token poly hashes. */
+  private val duckTokenHashes =
+    s"""list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+       |  tk -> ${duckHash("tk")})""".stripMargin
+
+  /** DuckDB fragment: distinct word-3-gram hashes from token hashes `h`. */
+  private val duckGramHashes =
+    """list_distinct(list_transform(range(1, len(h)-1),
+      |  g_i -> ((h[g_i]*31 + h[g_i+1]) % 1000000007 * 31 + h[g_i+2]) % 1000000007))""".stripMargin
+
+  /** D6 — n-gram Jaccard near-dup pairs: candidates from rare grams
+    * (document frequency <= 20 — frequent grams carry no signal and
+    * would explode the pair join), verified with exact Jaccard over
+    * the full distinct gram sets, as integer per-milles.
+    */
+  def d6(s: SparkSession, dir: String): DataFrame = {
+    val gramH = TextHash.word_gram_hashes(col("text"), 3, distinct = true)
+    // Materialized: reused by candidate generation (twice, via the
+    // self-join) and by exact verification — and gram hashing must
+    // not re-run per joined row.
+    val grams = docs(s, dir)
+      .select(col("doc_id"), gramH.as("gs"))
+      .filter(size(col("gs")) >= 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eg = grams.select(col("doc_id"), explode(col("gs")).as("g"))
+    val rare = eg.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select("g")
+    val egRare = eg.join(rare, "g")
+    val cand = egRare.as("l").join(egRare.as("r"),
+        col("l.g") === col("r.g") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared_rare"))
+      .filter(col("shared_rare") >= 5)
+      .select("d1", "d2")
+    cand
+      .join(grams.select(col("doc_id").as("d1"), col("gs").as("gs1")), "d1")
+      .join(grams.select(col("doc_id").as("d2"), col("gs").as("gs2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("gs1"), col("gs2"))).cast("long").as("shared"),
+        size(col("gs1")).cast("long").as("n1"),
+        size(col("gs2")).cast("long").as("n2"))
+      .withColumn("jac_pm", expr("shared * 1000 div (n1 + n2 - shared)"))
+      .filter(col("jac_pm") >= 100)
+      .select("d1", "d2", "shared", "jac_pm")
+  }
+
+  val d6Sql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, $duckTokenHashes AS h FROM documents
+       |  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
+       |grams AS (SELECT doc_id, $duckGramHashes AS gs FROM th),
+       |eg AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+       |rare AS (SELECT g FROM eg GROUP BY g HAVING count(*) <= 20),
+       |egr AS (SELECT doc_id, g FROM eg JOIN rare USING (g)),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM egr a JOIN egr b USING (g) WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 5)
+       |SELECT d1, d2,
+       |  CAST(len(list_intersect(g1.gs, g2.gs)) AS BIGINT) AS shared,
+       |  CAST(len(list_intersect(g1.gs, g2.gs)) AS BIGINT) * 1000
+       |    // (len(g1.gs) + len(g2.gs) - len(list_intersect(g1.gs, g2.gs)))
+       |    AS jac_pm
+       |FROM cand
+       |JOIN grams g1 ON d1 = g1.doc_id
+       |JOIN grams g2 ON d2 = g2.doc_id
+       |WHERE CAST(len(list_intersect(g1.gs, g2.gs)) AS BIGINT) * 1000
+       |    // (len(g1.gs) + len(g2.gs) - len(list_intersect(g1.gs, g2.gs))) >= 100
+       |""".stripMargin
+
+  /** DuckDB fragment: 16-perm MinHash signature from shingle hashes `h`. */
+  private val duckMinhashSig =
+    """list_transform(range(0, 16), mh_j ->
+      |  list_min(list_transform(h, mh_x ->
+      |    (((mh_j+1)*2654435761 % 1000000007) * mh_x
+      |      + (mh_j+1)*40503 % 1000000007) % 1000000007)))""".stripMargin
+
+  /** D7 — MinHash-LSH band index: 16 permutations over 8-char
+    * shingles, 4 bands of 4 — each doc emits 4 (band, band_hash)
+    * keys; equal keys are the near-dup candidate join.
+    */
+  def d7(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.lshBands(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("band_hash"))
+
+  val d7Sql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, lower(trim(text)) AS s FROM documents
+       |  WHERE length(lower(trim(text))) >= 8),
+       |sh AS (SELECT doc_id, ${duckShingles("s", 8)} AS h FROM n),
+       |sig AS (SELECT doc_id, $duckMinhashSig AS sg FROM sh),
+       |bands AS (SELECT doc_id, unnest([0,1,2,3]) AS band, sg FROM sig)
+       |SELECT doc_id, CAST(band AS BIGINT) AS band,
+       |  list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
+       |    (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
+       |FROM bands""".stripMargin
+
+  /** D8 — SimHash near-dup pairs: 30-bit signatures over word
+    * 3-gram hashes; pairs at hamming distance <= 3 via pigeonhole
+    * banding (4 bands; a pair within distance 3 must agree on at
+    * least one band — exact recall, equi-join cost).
+    */
+  def d8(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
+
+  val d8Sql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, $duckTokenHashes AS h FROM documents
+       |  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
+       |gh AS (SELECT doc_id, list_transform(range(1, len(h)-1),
+       |    g_i -> ((h[g_i]*31 + h[g_i+1]) % 1000000007 * 31 + h[g_i+2]) % 1000000007)
+       |  AS g FROM th),
+       |sig AS (SELECT doc_id, list_sum(list_transform(range(0, 30), sb ->
+       |    CASE WHEN list_sum(list_transform(g, sx ->
+       |        CASE WHEN (sx >> sb) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |    THEN 1::BIGINT << sb ELSE 0::BIGINT END)) AS sh FROM gh),
+       |banded AS (
+       |  SELECT doc_id, sh, b,
+       |    (sh >> CAST(b*30//4 AS INT)) &
+       |      ((1::BIGINT << CAST((b+1)*30//4 - b*30//4 AS INT)) - 1) AS band_bits
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS b))
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+       |FROM banded a JOIN banded b
+       |  ON a.b = b.b AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+
+  private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  /** DuckDB fragment: deterministic left-fold dot product of two
+    * double lists — the oracle twin of [[graft.similarity.Similarity.dot]].
+    */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, len($a)+1), dp_i -> $a[dp_i]*$b[dp_i])),
+       |  (dp_x, dp_y) -> dp_x + dp_y)""".stripMargin
+
+  /** D9 — brute-force cosine top-5 neighbors for query vectors
+    * (vec_id < 10): broadcast queries × corpus scan, deterministic
+    * fold dot products, rank with id tie-break.
+    */
+  def d9(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.similarity.Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+      .withColumn("rk", col("rk").cast("long"))
+  }
+
+  val d9Sql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, ed_x -> CAST(ed_x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDot("q.e", "c.e")} /
+       |      (sqrt(${duckDot("q.e", "q.e")}) * sqrt(${duckDot("c.e", "c.e")})) AS cos
+       |  FROM (SELECT * FROM v WHERE vec_id < 10) q
+       |  CROSS JOIN v c WHERE c.vec_id <> q.vec_id)
+       |SELECT q_id, rk, n_id, cos FROM (
+       |  SELECT q_id, n_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+       |      AS BIGINT) AS rk
+       |  FROM pairs) WHERE rk <= 5""".stripMargin
+
+  /** D10 — embedding near-dup pairs: cosine >= 0.4 within a blocking
+    * key (cluster label) so the pair join is an equi-join.
+    */
+  def d10(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Similarity.nearDupPairs(
+      emb(s, dir), "vec_id", "embedding", "label", minCos = 0.4)
+
+  val d10Sql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, ed_x -> CAST(ed_x AS DOUBLE)) AS e
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |  ${duckDot("a.e", "b.e")} /
+       |    (sqrt(${duckDot("a.e", "a.e")}) * sqrt(${duckDot("b.e", "b.e")})) AS cos
+       |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${duckDot("a.e", "b.e")} /
+       |    (sqrt(${duckDot("a.e", "a.e")}) * sqrt(${duckDot("b.e", "b.e")})) >= 0.4""".stripMargin
+
+  /** D11 — LSH-bucketed approximate top-k (rows-only: recall vs the
+    * D9 brute force is asserted in SimilaritySpec; no SQL oracle).
+    */
+  def d11(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.similarity.Similarity.annTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 3)
+  }
+
+  /** D12 — multimodal payload plumbing: opaque binary payloads +
+    * typed metadata, decode stubbed with deterministic byte-stat
+    * features (see [[graft.multimodal.Media]]).
+    */
+  def d12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val payloads = graft.multimodal.Media.asPayloads(docs(s, dir), "doc_id", "text")
+    val decoded = graft.multimodal.Media.decodeStub(
+      payloads.as[graft.multimodal.Media.MediaRow]).toDF()
+    decoded
+      .join(docs(s, dir).select(col("doc_id"),
+        TextHash.poly_hash(col("text")).as("checksum")), "doc_id")
+      .select(col("doc_id"), col("n_bytes"), col("checksum"),
+        element_at(col("features"), 2).as("f_mean"),
+        element_at(col("features"), 3).as("f_min"),
+        element_at(col("features"), 4).as("f_max"))
+  }
+
+  val d12Sql: String =
+    s"""WITH codes AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       |    ${duckHash("text")} AS checksum,
+       |    list_transform(range(1, length(text)+1),
+       |      bc_i -> CAST(unicode(text[bc_i]) AS BIGINT)) AS cs
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, checksum,
+       |  CAST(list_sum(cs) AS DOUBLE) / greatest(len(cs), 1) AS f_mean,
+       |  CAST(list_min(cs) AS DOUBLE) AS f_min,
+       |  CAST(list_max(cs) AS DOUBLE) AS f_max
+       |FROM codes""".stripMargin
+
+  /** D13 — LSH candidate verification: for every band-colliding
+    * pair, MinHash-estimated agreement (matches out of 16) vs exact
+    * shingle-set Jaccard (integer per-mille).
+    */
+  def d13(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.minhashVerifiedPairs(docs(s, dir), "doc_id", "text")
+      .select("d1", "d2", "est_matches", "shared", "jac_pm")
+
+  val d13Sql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, lower(trim(text)) AS s FROM documents
+       |  WHERE length(lower(trim(text))) >= 8),
+       |sh AS (SELECT doc_id, ${duckShingles("s", 8)} AS h FROM n),
+       |sig AS (SELECT doc_id, $duckMinhashSig AS sg,
+       |        list_distinct(h) AS shset FROM sh),
+       |bands AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
+       |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
+       |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM sig)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash
+       |      AND a.doc_id < b.doc_id)
+       |SELECT d1, d2,
+       |  CAST(len(list_filter(range(1, 17), vf_i -> s1.sg[vf_i] = s2.sg[vf_i]))
+       |    AS BIGINT) AS est_matches,
+       |  CAST(len(list_intersect(s1.shset, s2.shset)) AS BIGINT) AS shared,
+       |  CAST(len(list_intersect(s1.shset, s2.shset)) AS BIGINT) * 1000
+       |    // (len(s1.shset) + len(s2.shset)
+       |        - len(list_intersect(s1.shset, s2.shset))) AS jac_pm
+       |FROM cand
+       |JOIN sig s1 ON d1 = s1.doc_id
+       |JOIN sig s2 ON d2 = s2.doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "d1_dedup_exact" -> (d1 _),
     "d2_token_count" -> (d2 _),
     "d3_quality_score" -> (d3 _),
     "d4_lang_id" -> (d4 _),
-    "d5_fingerprint" -> (d5 _))
+    "d5_fingerprint" -> (d5 _),
+    "d6_ngram_jaccard" -> (d6 _),
+    "d7_dedup_minhash" -> (d7 _),
+    "d8_dedup_simhash" -> (d8 _),
+    "d9_cosine_topk" -> (d9 _),
+    "d10_embed_dedup" -> (d10 _),
+    "d11_ann_lsh" -> (d11 _),
+    "d12_multimodal_meta" -> (d12 _),
+    "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" -> d1Sql,
     "d2_token_count" -> d2Sql,
     "d3_quality_score" -> d3Sql,
     "d4_lang_id" -> d4Sql,
-    "d5_fingerprint" -> d5Sql)
+    "d5_fingerprint" -> d5Sql,
+    "d6_ngram_jaccard" -> d6Sql,
+    "d7_dedup_minhash" -> d7Sql,
+    "d8_dedup_simhash" -> d8Sql,
+    "d9_cosine_topk" -> d9Sql,
+    "d10_embed_dedup" -> d10Sql,
+    // d11_ann_lsh: rows-only (approximate operator; recall asserted
+    // against d9 in SimilaritySpec)
+    "d12_multimodal_meta" -> d12Sql,
+    "d13_minhash_jaccard_verify" -> d13Sql)
 }

@@ -1,0 +1,129 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Embedding similarity search (SURVEY §2.D9-D11).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query
+  * set against the corpus — one scan, no shuffle of the corpus; the
+  * ANN path buckets vectors by random-hyperplane sign bits so the
+  * pair join is an equi-join on bucket id. Dot products run on
+  * double-cast arrays with a left-fold so results are reproducible
+  * across engines (no SIMD reassociation surprises in the contract).
+  */
+object Similarity {
+
+  /** Element-wise double cast — float inputs promoted exactly. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product: deterministic summation order
+    * (left fold), evaluated by the native [[graft.functions.VecDot]]
+    * expression — no per-element lambda interpretation.
+    */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshims.SparkShims.column(
+      graft.functions.VecDot(
+        org.apache.spark.sql.graftshims.SparkShims.expression(a),
+        org.apache.spark.sql.graftshims.SparkShims.expression(b)))
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Brute-force top-k cosine neighbors of each query vector.
+    * Queries are broadcast; the corpus is scanned once; per-query
+    * ranking is a window over the (queries × corpus) frame.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("q_id"), toDouble(col(vec)).as("q_vec"))
+      .withColumn("q_norm", norm2(col("q_vec")))
+    val c = corpus.select(col(id).as("n_id"), toDouble(col(vec)).as("n_vec"))
+      .withColumn("n_norm", norm2(col("n_vec")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+          .as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * in [-0.5, 0.5), reproducible anywhere.
+    */
+  def planeWeight(plane: Int, dim: Int, dims: Int): Double =
+    ((plane.toLong * dims + dim + 1) * 2654435761L % TextHash.P).toDouble /
+      TextHash.P - 0.5
+
+  /** Random-hyperplane bucket id for one hash table: one sign bit
+    * per plane; `table` offsets the plane family so tables are
+    * independent.
+    */
+  def lshBucket(vec: Column, table: Int, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      val weights = array((0 until dims).map(i =>
+        lit(planeWeight(table * planes + p, i, dims))): _*)
+      when(dot(vec, weights) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Multi-table LSH approximate top-k: `tables` independent
+    * hyperplane families; candidates are corpus vectors sharing a
+    * bucket with the query in any table (standard OR-amplification),
+    * ranked like the brute-force path. Cost scales with bucket
+    * occupancy, not corpus size; recall is tested against
+    * [[bruteForceTopK]] (SimilaritySpec).
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      k: Int, planes: Int = 4, tables: Int = 4, dims: Int = 64): DataFrame = {
+    def withBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      val bucketCols = (0 until tables).map(t =>
+        struct(lit(t).as("tbl"), lshBucket(col(vecCol), t, planes, dims).as("bkt")))
+      df.select(col(idCol), col(vecCol),
+        explode(array(bucketCols: _*)).as("tb"))
+        .select(col(idCol), col(vecCol),
+          col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    }
+    val q = withBuckets(
+      queries.select(col(id).as("q_id"), toDouble(col(vec)).as("q_vec")),
+      "q_id", "q_vec")
+    val c = withBuckets(
+      corpus.select(col(id).as("n_id"), toDouble(col(vec)).as("n_vec")),
+      "n_id", "n_vec")
+    val cand = c.join(broadcast(q), Seq("tbl", "bkt"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "q_vec", "n_id", "n_vec")
+      .dropDuplicates("q_id", "n_id")
+    val scored = cand.select(col("q_id"), col("n_id"),
+      cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+  }
+
+  /** Near-duplicate pairs above a cosine threshold, blocked by a
+    * coarse key (e.g. cluster label / LSH bucket) so the pair join
+    * is an equi-join, not a cross join.
+    */
+  def nearDupPairs(vectors: DataFrame, id: String, vec: String,
+      blockKey: String, minCos: Double): DataFrame = {
+    // norms precomputed per vector (not per pair) and the table
+    // materialized so the self-join probes cached rows
+    val v = vectors.select(col(id), col(blockKey).as("blk"),
+        toDouble(col(vec)).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    v.as("l").join(v.as("r"),
+        col("l.blk") === col("r.blk") && col(s"l.$id") < col(s"r.$id"))
+      .select(col(s"l.$id").as("id1"), col(s"r.$id").as("id2"),
+        (dot(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm"))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val v = Similarity.toDouble(col("embedding"))
+    val cos = emb.limit(5).select(Similarity.cosine(v, v).as("c"))
+      .as[Double].collect()
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("ANN LSH recall@3 vs brute force is usable") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annTopK(queries, emb, "vec_id", "embedding", 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 8 hyperplanes over 10 clusters: same-bucket neighbors should
+    // recover a meaningful share of the true top-3
+    assert(recall >= 0.2, s"recall@3 = $recall")
+    // and every approximate neighbor shares the query's bucket by
+    // construction — spot-check it returns at most k rows per query
+    val counts = Similarity.annTopK(queries, emb, "vec_id", "embedding", 3)
+      .groupBy("q_id").count().select("count").collect().map(_.getLong(0))
+    assert(counts.forall(_ <= 3))
+  }
+
+  test("near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", "label", 0.3)
+      .collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.3))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+class TextHashSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  def naiveShingles(s: String, k: Int): Array[Long] =
+    if (s.length < k) Array.empty
+    else (0 to s.length - k).map(i => TextHash.polyHashStr(s.substring(i, i + k))).toArray
+
+  test("polyHashStr matches the documented fold") {
+    var h = 0L
+    for (c <- "hello world") h = (h * 31 + c) % TextHash.P
+    assert(TextHash.polyHashStr("hello world") == h)
+    assert(TextHash.polyHashStr("hello world") == 204910434L) // cross-checked in DuckDB
+    assert(TextHash.polyHashStr("") == 0L)
+  }
+
+  test("rolling shingle hashes equal naive per-shingle hashes") {
+    for (s <- Seq("abcdefghij", "spark graft engine", "aaaaaaaaa", "short"))
+      assert(TextHash.shingleHashesStr(s, 8).toSeq == naiveShingles(s, 8).toSeq)
+  }
+
+  test("PolyHash expression (codegen path) matches local function") {
+    import spark.implicits._
+    val texts = Seq("alpha beta", "", "Mixed CASE 123!")
+    val got = texts.toDF("t")
+      .select(TextHash.poly_hash(col("t")).as("h")).as[Long].collect()
+    assert(got.toSeq == texts.map(TextHash.polyHashStr))
+  }
+
+  test("MinHashSig is a per-slot minimum of permuted hashes") {
+    import spark.implicits._
+    val hs = Seq(7L, 13L, 29L)
+    val got = Seq(1).toDF("x")
+      .select(TextHash.minhash_sig(
+        array(hs.map(lit): _*), 4).as("sig"))
+      .as[Seq[Long]].head()
+    val want = (0 until 4).map { j =>
+      hs.map(h => (TextHash.minA(j) * h + TextHash.minB(j)) % TextHash.P).min
+    }
+    assert(got == want)
+  }
+
+  test("SimHash sets exactly the majority bits") {
+    import spark.implicits._
+    // two elements with bit0 set, one without -> bit0 set;
+    // only one element with bit1 set -> bit1 unset
+    val got = Seq(1).toDF("x")
+      .select(TextHash.simhash(array(lit(1L), lit(3L), lit(0L)), 30).as("s"))
+      .as[Long].head()
+    assert((got & 1L) == 1L)
+    assert((got & 2L) == 0L)
+  }
+}
