@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end sensor batch job — the declarative twin of the
+  * reference's SensorDataPipeline.run
+  * (/root/reference/main_pipeline.py:262-329): pattern-select →
+  * integrity filter → incremental cutoff → broadcast enrichment →
+  * keep-latest dedup → partitioned, size-capped write → read-back
+  * validation.
+  *
+  * Differences by design (scale): no driver-side collect loops —
+  * the cutoff is a scalar subplan, tag selection is a semi-join,
+  * the per-sensor output split is `partitionBy`, and validation is
+  * an aggregation over the read-back, not an S3 listing.
+  */
+class SensorJob(spark: SparkSession, config: PipelineConfig) {
+
+  /** One declarative plan from raw readings to writable output. */
+  def transform(readings: DataFrame, tags: DataFrame,
+      existing: Option[DataFrame]): DataFrame = {
+    val selected = SensorPipeline.selectByTagPatterns(
+      readings, tags, config.sensorPatterns, "tagid", "id", "tagpath")
+    val valid = selected.filter(
+      SensorPipeline.integrityFilter(col("value"),
+        config.integrityMin, config.integrityMax))
+    val withTs = valid
+      .withColumn("datetime", SensorPipeline.epochMsToTs(col("t_stamp")))
+    val incremental = existing match {
+      case Some(prev) =>
+        val cutoff = prev.agg(least(
+          max(col("datetime")),
+          lit(config.defaultStartDate).cast("timestamp") +
+            expr(s"INTERVAL ${config.lookbackDays} DAYS")).as("__cutoff"))
+        withTs.crossJoin(broadcast(cutoff))
+          .filter(col("datetime") >= col("__cutoff")).drop("__cutoff")
+      case None =>
+        withTs.filter(col("datetime") >=
+          lit(config.defaultStartDate).cast("timestamp"))
+    }
+    val enriched = SensorPipeline.enrich(incremental, tags, "tagid", "id")
+      .drop("id", "description", "unit")
+    SensorPipeline.dedupLatest(enriched,
+      keys = Seq(col("tagid"), col("datetime")),
+      orderDesc = Seq(col("t_stamp")))
+  }
+
+  /** Write one directory per tagpath with bounded file sizes. */
+  def write(output: DataFrame): Unit =
+    OptimizedWriter.writeOptimized(output, config.outputDir,
+      partitionCols = Seq("tagpath"),
+      maxRecordsPerFile = config.maxRecordsPerFile,
+      mode = org.apache.spark.sql.SaveMode.valueOf(
+        config.writeMode.toLowerCase.capitalize))
+
+  /** Read-back validation: per-sensor row counts and time ranges. */
+  def validate(): DataFrame =
+    spark.read.parquet(config.outputDir)
+      .groupBy("tagpath")
+      .agg(count(lit(1)).as("n"),
+        min(col("datetime")).as("min_dt"), max(col("datetime")).as("max_dt"))
+
+  def run(readings: DataFrame, tags: DataFrame,
+      existing: Option[DataFrame] = None): DataFrame = {
+    write(transform(readings, tags, existing))
+    validate()
+  }
+}

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+
+import graft.pipeline.PipelineConfig
+
+/** Partitioned JDBC reads — the reference's DatabaseManager
+  * (/root/reference/main_pipeline.py:137-169): parallel range
+  * partitioning on the sensor key, bounded fetch size.
+  *
+  * No database exists in the test environment, so only the
+  * option-building logic is exercised by tests; the `load` path is
+  * the standard Spark JDBC source.
+  */
+object Jdbc {
+
+  /** JDBC reader options for a partitioned sensor-table read. */
+  def connectionOptions(url: String, user: String, password: String,
+      config: PipelineConfig, partitionColumn: String = "tagid",
+      lowerBound: Long = 1L, upperBound: Long = 100000L): Map[String, String] =
+    Map(
+      "url" -> url,
+      "user" -> user,
+      "password" -> password,
+      "fetchsize" -> config.jdbcFetchSize.toString,
+      "numPartitions" -> config.jdbcNumPartitions.toString,
+      "partitionColumn" -> partitionColumn,
+      "lowerBound" -> lowerBound.toString,
+      "upperBound" -> upperBound.toString)
+
+  def reader(spark: SparkSession, options: Map[String, String]): DataFrameReader =
+    spark.read.format("jdbc").options(options)
+
+  def queryTable(spark: SparkSession, options: Map[String, String],
+      query: String): DataFrame =
+    reader(spark, options).option("query", query).load()
+}
