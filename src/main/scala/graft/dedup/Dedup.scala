@@ -66,12 +66,15 @@ object Dedup {
           col(s"l.$id") < col(s"r.$id"))
       .select(col(s"l.$id").as("d1"), col(s"r.$id").as("d2"))
       .distinct()
+    // Materialized: joined twice (d1 and d2 side) — without it the
+    // signature/shingle-set computation runs once per join side.
     val features = docs
       .filter(length(lower(trim(col(text)))) >= shingleK)
       .select(col(id),
         minhashSignature(col(text), shingleK, numPerms).as("sig"),
         array_distinct(TextHash.shingle_hashes(lower(trim(col(text))), shingleK))
           .as("shset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(features.select(col(id).as("d1"), col("sig").as("sig1"),
         col("shset").as("set1")), "d1")

@@ -68,8 +68,9 @@ object Similarity {
     */
   def lshBucket(vec: Column, table: Int, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
-      val weights = array((0 until dims).map(i =>
-        lit(planeWeight(table * planes + p, i, dims))): _*)
+      // constant array literal (not per-row CreateArray)
+      val weights = typedLit(
+        (0 until dims).map(i => planeWeight(table * planes + p, i, dims)))
       when(dot(vec, weights) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
