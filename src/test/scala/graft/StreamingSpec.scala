@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+
+/** Incremental semantics: state (dedup keys, window aggregates)
+  * must carry across micro-batches, not just within one pass.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def writeBatch(dir: String, name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    // rename for readability; file stream picks up any new file
+    val _ = name
+  }
+
+  test("streaming dedup state spans micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val ns = 1000000L * 1000 // 1s in ns
+    writeBatch(dir, "b1", Seq(
+      (1L, 1 * ns, 10L, "click", 1.0, "{}"),
+      (2L, 2 * ns, 10L, "view", 2.0, "{}")))
+
+    val dedup = spark.readStream
+      .schema(StreamingOps.eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val q = dedup.writeStream.format("memory")
+      .queryName("dedup_batches").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_batches").count() == 2)
+
+      // batch 2: one duplicate key, one new key — only the new one
+      // must be emitted
+      writeBatch(dir, "b2", Seq(
+        (3L, 3 * ns, 10L, "click", 3.0, "{}"),
+        (4L, 4 * ns, 11L, "click", 4.0, "{}")))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_batches")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((10L, "click"), (10L, "view"), (11L, "click")))
+    } finally q.stop()
+  }
+
+  test("windowed aggregation accumulates across micro-batches in complete mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    val hourNs = 3600L * 1000000000L
+    writeBatch(dir, "b1", Seq(
+      (1L, 1 * hourNs + 5, 10L, "click", 1.0, "{}"),
+      (2L, 1 * hourNs + 6, 10L, "click", 2.0, "{}")))
+    val agg = spark.readStream
+      .schema(StreamingOps.eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory")
+      .queryName("win_batches").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("win_batches").agg(sum("n")).head().getLong(0) == 2)
+      writeBatch(dir, "b2", Seq(
+        (3L, 1 * hourNs + 7, 10L, "click", 3.0, "{}"),   // same window
+        (4L, 5 * hourNs + 1, 10L, "click", 4.0, "{}")))  // new window
+      q.processAllAvailable()
+      val byWindow = spark.table("win_batches")
+        .select(col("window.start").cast("long"), col("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byWindow.values.sum == 4)
+      assert(byWindow.size == 2)
+      assert(byWindow(3600L) == 3) // first hour accumulated across batches
+    } finally q.stop()
+  }
+}
