@@ -227,7 +227,12 @@ object SensorQueries {
     * permuted column order per chunk to exercise name resolution.
     */
   def a11(s: SparkSession, dir: String): DataFrame = {
+    // One materialized scan feeding all 31 "daily table" chunks —
+    // the reference reads one JDBC table per period; emulating that
+    // from a single file must not cost 31 rescans.
     val e = ev(s, dir).withColumn("d", dayofmonth(col("ts")).cast("int"))
+      .select("event_id", "user_id", "d", "value")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = (1 to 31).map { d =>
       val c = e.filter(col("d") === d)
       if (d % 2 == 0) c.select("value", "d", "user_id", "event_id")

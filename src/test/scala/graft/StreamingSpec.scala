@@ -50,6 +50,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed query recovers state across restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ns = 1000000L * 1000
+    writeBatch(dir, "b1", Seq((1L, 1 * ns, 10L, "click", 1.0, "{}")))
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+
+    def startQuery() = spark.readStream
+      .schema(StreamingOps.eventsSchema)
+      .parquet(dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(outDir).count() == 1)
+
+    // restart from the same checkpoint: the duplicate key must be
+    // remembered from the previous run, only the new key appended
+    writeBatch(dir, "b2", Seq(
+      (2L, 2 * ns, 10L, "click", 2.0, "{}"),
+      (3L, 3 * ns, 12L, "view", 3.0, "{}")))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((10L, "click"), (12L, "view")))
+  }
+
   test("windowed aggregation accumulates across micro-batches in complete mode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     val hourNs = 3600L * 1000000000L
