@@ -51,7 +51,11 @@ object GraftExtensions {
         if (es.size > 2) boolArg(es(2)) else false)),
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - deterministic left-fold dot product"),
-      (es: Seq[Expression]) => VecDot(es.head, es(1))))
+      (es: Seq[Expression]) => VecDot(es.head, es(1))),
+    ("top_k",
+      info("top_k", "top_k(score, id, k) - bounded-heap top-k aggregate"),
+      (es: Seq[Expression]) =>
+        TopKAgg(es.head, es(1), intArg(es(2))).toAggregateExpression()))
 
   private def intArg(e: Expression): Int = e.eval(null) match {
     case i: Int => i

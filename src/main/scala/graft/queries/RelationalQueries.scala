@@ -127,17 +127,21 @@ object RelationalQueries {
       |FROM orders
       |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
-  /** B6 — top-k per group: 3 priciest parts per brand, rank with an
-    * explicit key tie-breaker.
+  /** B6 — top-k per group: 3 priciest parts per brand via the
+    * bounded-heap [[graft.functions.TopKAgg]] aggregate — partial
+    * aggregation ships at most k rows per group per partition,
+    * unlike a window row_number() which sorts and shuffles every
+    * row (TopKAggSpec proves result parity with that formulation,
+    * which remains the oracle).
     */
-  def b6(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("p_brand"))
-      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+  def b6(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select("p_brand", "rk", "p_partkey", "p_retailprice")
-  }
+      .groupBy("p_brand")
+      .agg(graft.functions.TopKAgg.top_k(
+        col("p_retailprice"), col("p_partkey"), 3).as("top"))
+      .select(col("p_brand"), posexplode(col("top")))
+      .select(col("p_brand"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("p_partkey"), col("col.score").as("p_retailprice"))
 
   val b6Sql: String =
     """SELECT p_brand, rk, p_partkey, p_retailprice FROM (

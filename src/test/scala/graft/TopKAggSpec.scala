@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAgg
+
+class TopKAggSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("top_k aggregate matches the window row_number formulation") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val viaAgg = o.groupBy("o_custkey")
+      .agg(TopKAgg.top_k(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).as("rk"),
+        col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk").cast("long").as("rk"),
+        col("o_orderkey"), col("o_totalprice"))
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
+  test("top_k keeps at most k and orders score desc, id asc") {
+    import spark.implicits._
+    val df = Seq((1, 5.0, 10L), (1, 5.0, 9L), (1, 7.0, 1L), (1, 3.0, 2L),
+      (2, 1.0, 1L)).toDF("k", "score", "id")
+    val rows = df.groupBy("k")
+      .agg(TopKAgg.top_k(col("score"), col("id"), 2).as("top"))
+      .orderBy("k").collect()
+    val g1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(g1 == Seq((7.0, 1L), (5.0, 9L))) // tie at 5.0 -> smaller id
+    val g2 = rows(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(g2 == Seq((1.0, 1L)))
+  }
+}
