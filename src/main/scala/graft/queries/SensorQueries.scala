@@ -209,7 +209,7 @@ object SensorQueries {
     OptimizedWriter.writeOptimized(
       ev(s, dir).select(col("event_id"), col("event_type"),
         epochMs(col("ts")).as("t_ms"), col("value")),
-      out, partitionCols = Seq("event_type"), maxRecordsPerFile = 5000)
+      out, partitionCols = Seq("event_type"), maxRecordsPerFile = 20000)
     s.read.parquet(out)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"),

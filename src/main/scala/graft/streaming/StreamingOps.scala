@@ -45,12 +45,20 @@ object StreamingOps {
     */
   def runToTable(df: DataFrame, spark: SparkSession, name: String,
       outputMode: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // State-store count is fixed at the query's shuffle-partition
+    // setting; size it to the state, not the core count (results
+    // are partitioning-independent, only state overhead changes).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.min(prev.toInt, 8).toString)
+      df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try {
       q.processAllAvailable()
     } finally {
