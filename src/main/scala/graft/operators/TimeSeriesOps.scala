@@ -29,8 +29,10 @@ object TimeSeriesOps {
     * the key; the island assignment is a running sum over the
     * ordered partition.
     */
-  def sessionize(df: DataFrame, key: Column, tsUs: Column, gapMinutes: Int): DataFrame = {
-    val gapUs = gapMinutes * 60L * 1000000L
+  def sessionize(df: DataFrame, key: Column, tsUs: Column, gapMinutes: Int): DataFrame =
+    sessionizeUs(df, key, tsUs, gapMinutes * 60L * 1000000L)
+
+  def sessionizeUs(df: DataFrame, key: Column, tsUs: Column, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(key).orderBy(tsUs)
     val flagged = df.withColumn("__new_session",
       when(tsUs - lag(tsUs, 1).over(w) >= gapUs || lag(tsUs, 1).over(w).isNull, 1)
