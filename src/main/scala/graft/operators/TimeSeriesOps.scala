@@ -93,6 +93,82 @@ object TimeSeriesOps {
         carry.map(c => col(s"__m_$c").as(s"matched_$c"))): _*)
   }
 
+  /** [[asOfJoin]] with a match-age bound: matches further than
+    * `toleranceUs` before the left time are nulled out (pandas
+    * merge_asof `tolerance` semantics). Same single-shuffle shape —
+    * the tolerance is a post-fill predicate.
+    */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      timeUs: String, leftId: String, rightId: String, carry: Seq[String],
+      toleranceUs: Long): DataFrame = {
+    val joined = asOfJoin(left, right, key, timeUs, leftId, rightId, carry)
+    val inRange = col(timeUs) - col("matched_time_us") <= toleranceUs
+    val cleared = (s"matched_$rightId" +: "matched_time_us" +:
+      carry.map(c => s"matched_$c"))
+      .foldLeft(joined)((d, c) => d.withColumn(c, when(inRange, col(c))))
+    cleared
+  }
+
+  /** Forward as-of join: the EARLIEST right row of the same key with
+    * right.time >= left.time (direction="forward" in pandas terms).
+    * Same union + ordered-fill composition, run in reverse time
+    * order; ties at equal time still see the right row, and the
+    * smallest `rightId` wins among equal-time right rows.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+      timeUs: String, leftId: String, rightId: String, carry: Seq[String]): DataFrame = {
+    val l = left.select(col(key), col(timeUs), col(leftId), lit(1).as("__is_q"))
+    val r = right.select((col(key) +: col(timeUs) +: lit(0).as("__is_q") +:
+      col(rightId) +: carry.map(col)): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(timeUs).desc, col("__is_q"), col(rightId).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned
+      .withColumn("__m_id", last(col(rightId), ignoreNulls = true).over(w))
+      .withColumn("__m_time", last(when(col("__is_q") === 0, col(timeUs)),
+        ignoreNulls = true).over(w))
+    val carried = carry.foldLeft(filled) { (d, c) =>
+      d.withColumn(s"__m_$c", last(when(col("__is_q") === 0, col(c)),
+        ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__is_q") === 1)
+      .select((col(key) +: col(timeUs) +: col(leftId) +:
+        col("__m_id").as(s"matched_$rightId") +:
+        col("__m_time").as("matched_time_us") +:
+        carry.map(c => col(s"__m_$c").as(s"matched_$c"))): _*)
+  }
+
+  /** Resample to a fixed per-key time grid: one row per
+    * `intervalUs` bucket from the key's first to last reading, with
+    * bucket aggregates where data exists and (optionally)
+    * forward-filled values across empty buckets — the
+    * "regularize an irregular sensor series" operator.
+    *
+    * Grid generation is per-key sequence/explode (no driver loop);
+    * everything downstream is the usual single-shuffle window.
+    */
+  def resample(df: DataFrame, key: Column, tsUs: Column, value: Column,
+      intervalUs: Long, fillForward: Boolean): DataFrame = {
+    val bucketed = df.select(key.as("k"),
+      (floor(tsUs / intervalUs) * intervalUs).cast("long").as("bucket"),
+      value.as("v"))
+    val agg = bucketed.groupBy("k", "bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("sum_v"))
+    val grid = bucketed.groupBy("k")
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("k"), explode(sequence(col("lo"), col("hi"),
+        lit(intervalUs))).as("bucket"))
+    val joined = grid.join(agg, Seq("k", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    if (!fillForward) joined
+    else joined.withColumn("sum_v_filled",
+      last(col("sum_v"), ignoreNulls = true).over(
+        Window.partitionBy(col("k")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Per-key z-score anomaly flags, with exact-decimal mean and
     * sum-of-squares so the derived stats are reproducible
     * bit-for-bit on any engine (no float summation-order drift).

@@ -214,7 +214,80 @@ object TimeSeriesQueries {
       |FROM events JOIN stats ON user_id = k
       |WHERE abs((value - mean) / sd) > 2.5""".stripMargin
 
+  /** C13 — as-of join with a match-age tolerance (pandas
+    * merge_asof `tolerance`): clicks older than 1 hour don't count
+    * as attribution.
+    */
+  def c13(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id").as("purchase_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    TimeSeriesOps.asOfJoinTolerance(purchases, clicks, key = "user_id",
+        timeUs = "t_us", leftId = "purchase_id", rightId = "click_id",
+        carry = Seq("click_value"), toleranceUs = 3600L * 1000000L)
+      .select(col("purchase_id"), col("user_id"),
+        col("matched_click_id").as("click_id"),
+        col("matched_time_us").as("click_t_us"),
+        col("matched_click_value").as("click_value"))
+  }
+
+  val c13Sql: String =
+    """SELECT purchase_id, user_id,
+      |  CASE WHEN p_us - click_t_us <= 3600000000 THEN click_id END AS click_id,
+      |  CASE WHEN p_us - click_t_us <= 3600000000 THEN click_t_us END AS click_t_us,
+      |  CASE WHEN p_us - click_t_us <= 3600000000 THEN click_value END AS click_value
+      |FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS p_us,
+      |         c.event_id AS click_id, epoch_us(c.ts) AS click_t_us,
+      |         c.value AS click_value,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |           ORDER BY epoch_us(c.ts) DESC NULLS LAST,
+      |                    c.event_id DESC NULLS LAST) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id AND epoch_us(c.ts) <= epoch_us(p.ts))
+      |WHERE rn = 1""".stripMargin
+
+  /** C14 — resample to a dense per-sensor daily grid with
+    * forward-filled values across empty buckets.
+    */
+  def c14(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    TimeSeriesOps.resample(events(s, dir), col("user_id"),
+        unix_micros(col("ts")), col("value"),
+        intervalUs = dayUs, fillForward = true)
+      .select(col("k").as("user_id"), col("bucket"), col("n"),
+        col("sum_v").as("sum_value"), col("sum_v_filled").as("sum_value_filled"))
+  }
+
+  val c14Sql: String =
+    """WITH b AS (
+      |  SELECT user_id AS k,
+      |    (epoch_us(ts) // 86400000000) * 86400000000 AS bucket, value AS v
+      |  FROM events),
+      |agg AS (
+      |  SELECT k, bucket, count(*) AS n,
+      |    CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |  FROM b GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT k, unnest(range(lo, hi + 86400000000, 86400000000)) AS bucket
+      |  FROM (SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY k)),
+      |joined AS (
+      |  SELECT grid.k, grid.bucket, coalesce(agg.n, 0) AS n, agg.sum_v
+      |  FROM grid LEFT JOIN agg ON grid.k = agg.k AND grid.bucket = agg.bucket)
+      |SELECT k AS user_id, bucket, n, sum_v AS sum_value,
+      |  last_value(sum_v IGNORE NULLS) OVER (
+      |    PARTITION BY k ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_filled
+      |FROM joined""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "c13_asof_tolerance" -> (c13 _),
+    "c14_resample" -> (c14 _),
     "c1_tumbling_window" -> (c1 _),
     "c2_sliding_window" -> (c2 _),
     "c3_session_window" -> (c3 _),
@@ -225,6 +298,8 @@ object TimeSeriesQueries {
     "c8_anomaly_zscore" -> (c8 _))
 
   val oracles: Map[String, String] = Map(
+    "c13_asof_tolerance" -> c13Sql,
+    "c14_resample" -> c14Sql,
     "c1_tumbling_window" -> c1Sql,
     "c2_sliding_window" -> c2Sql,
     "c3_session_window" -> c3Sql,
