@@ -451,7 +451,57 @@ object TrainingDataQueries {
        |JOIN sig s1 ON d1 = s1.doc_id
        |JOIN sig s2 ON d2 = s2.doc_id""".stripMargin
 
+  /** D14 — full corpus curation (exact dedup → LSH near-dup drop →
+    * quality gate) as one composed pipeline: see
+    * [[graft.dedup.Curator]].
+    */
+  def d14(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Curator.curate(s, docs(s, dir))
+
+  val d14Sql: String =
+    s"""WITH keepers AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, ${duckHash(duckNorm)} AS ch FROM documents)
+       |  GROUP BY ch),
+       |uniq AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+       |n AS (
+       |  SELECT doc_id, lower(trim(text)) AS s FROM uniq
+       |  WHERE length(lower(trim(text))) >= 8),
+       |sh AS (SELECT doc_id, ${duckShingles("s", 8)} AS h FROM n),
+       |sig AS (SELECT doc_id, $duckMinhashSig AS sg,
+       |        list_distinct(h) AS shset FROM sh),
+       |bands AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
+       |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
+       |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM sig)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash
+       |      AND a.doc_id < b.doc_id),
+       |dropped AS (
+       |  SELECT DISTINCT d2 AS doc_id FROM cand
+       |  JOIN sig s1 ON d1 = s1.doc_id
+       |  JOIN sig s2 ON d2 = s2.doc_id
+       |  WHERE CAST(len(list_intersect(s1.shset, s2.shset)) AS BIGINT) * 1000
+       |      // (len(s1.shset) + len(s2.shset)
+       |          - len(list_intersect(s1.shset, s2.shset))) >= 500),
+       |meta AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split_regex(trim(lower(text)), '\\s+')) AS ws_tokens,
+       |    len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS n_distinct,
+       |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |        t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop
+       |  FROM uniq)
+       |SELECT doc_id, lang, ws_tokens FROM meta
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       |  AND (n_distinct * 10000 // ws_tokens) > 3000
+       |  AND (n_stop * 10000 // ws_tokens) < 4000
+       |  AND ws_tokens BETWEEN 5 AND 10000""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d14_corpus_curate" -> (d14 _),
     "d1_dedup_exact" -> (d1 _),
     "d2_token_count" -> (d2 _),
     "d3_quality_score" -> (d3 _),
@@ -467,6 +517,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d14_corpus_curate" -> d14Sql,
     "d1_dedup_exact" -> d1Sql,
     "d2_token_count" -> d2Sql,
     "d3_quality_score" -> d3Sql,
