@@ -93,6 +93,30 @@ object TimeSeriesOps {
         carry.map(c => col(s"__m_$c").as(s"matched_$c"))): _*)
   }
 
+  /** Linear interpolation across value gaps: null readings take
+    * prev + (next − prev)·(t − t_prev)/(t_next − t_prev) between
+    * the nearest non-null neighbors; leading/trailing gaps fall
+    * back to the single available neighbor. One shuffle on the key,
+    * two window passes (backward and forward fill of value+time).
+    */
+  def interpolateLinear(df: DataFrame, value: Column, key: Column,
+      tUs: Column, as: String): DataFrame = {
+    val back = Window.partitionBy(key).orderBy(tUs)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(key).orderBy(tUs)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevV = last(value, ignoreNulls = true).over(back)
+    val prevT = last(when(value.isNotNull, tUs), ignoreNulls = true).over(back)
+    val nextV = first(value, ignoreNulls = true).over(fwd)
+    val nextT = first(when(value.isNotNull, tUs), ignoreNulls = true).over(fwd)
+    df.withColumn(as,
+      when(value.isNotNull, value)
+        .when(prevV.isNotNull && nextV.isNotNull,
+          prevV + (nextV - prevV) * (tUs - prevT) / (nextT - prevT))
+        .when(prevV.isNotNull, prevV)
+        .otherwise(nextV))
+  }
+
   /** [[asOfJoin]] with a match-age bound: matches further than
     * `toleranceUs` before the left time are nulled out (pandas
     * merge_asof `tolerance` semantics). Same single-shuffle shape —

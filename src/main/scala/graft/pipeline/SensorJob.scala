@@ -62,8 +62,13 @@ class SensorJob(spark: SparkSession, config: PipelineConfig) {
         min(col("datetime")).as("min_dt"), max(col("datetime")).as("max_dt"))
 
   def run(readings: DataFrame, tags: DataFrame,
-      existing: Option[DataFrame] = None): DataFrame = {
-    write(transform(readings, tags, existing))
-    validate()
-  }
+      existing: Option[DataFrame] = None): DataFrame =
+    try {
+      write(transform(readings, tags, existing))
+      validate()
+    } finally {
+      // reference parity: _cleanup unpersists and clears the cache
+      // after a run (main_pipeline.py:352-358)
+      spark.catalog.clearCache()
+    }
 }

@@ -285,7 +285,44 @@ object TimeSeriesQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_filled
       |FROM joined""".stripMargin
 
+  /** C15 — linear interpolation across invalid readings ('error'
+    * events carry no value): lerp between nearest valid neighbors.
+    */
+  def c15(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("t_us"),
+      when(col("event_type") =!= "error", col("value")).as("v"))
+    TimeSeriesOps.interpolateLinear(e, col("v"), col("user_id"),
+        col("t_us"), "v_interp")
+      .select("event_id", "user_id", "v", "v_interp")
+  }
+
+  val c15Sql: String =
+    """SELECT event_id, user_id, v,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+      |         THEN pv + (nv - pv) * (t_us - pt) / (nt - pt)
+      |       WHEN pv IS NOT NULL THEN pv
+      |       ELSE nv END AS v_interp
+      |FROM (
+      |  SELECT event_id, user_id, t_us, v,
+      |    last_value(v IGNORE NULLS) OVER wb AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+      |      OVER wb AS pt,
+      |    first_value(v IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+      |      OVER wf AS nt
+      |  FROM (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+      |          CASE WHEN event_type <> 'error' THEN value END AS v
+      |        FROM events)
+      |  WINDOW
+      |    wb AS (PARTITION BY user_id ORDER BY t_us
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY user_id ORDER BY t_us
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "c15_interpolate" -> (c15 _),
     "c13_asof_tolerance" -> (c13 _),
     "c14_resample" -> (c14 _),
     "c1_tumbling_window" -> (c1 _),
@@ -298,6 +335,7 @@ object TimeSeriesQueries {
     "c8_anomaly_zscore" -> (c8 _))
 
   val oracles: Map[String, String] = Map(
+    "c15_interpolate" -> c15Sql,
     "c13_asof_tolerance" -> c13Sql,
     "c14_resample" -> c14Sql,
     "c1_tumbling_window" -> c1Sql,

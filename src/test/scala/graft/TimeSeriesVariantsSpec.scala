@@ -37,6 +37,22 @@ class TimeSeriesVariantsSpec extends AnyFunSuite {
     assert(out == Seq((1000L, 5L), (1001L, -1L), (1002L, -1L)))
   }
 
+  test("interpolateLinear lerps interior gaps, clamps edge gaps") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 0L, Option.empty[Double]),   // leading gap -> next (10.0)
+      (1, 100L, Some(10.0)),
+      (1, 200L, None),                 // interior -> 10 + (30-10)*(200-100)/(300-100) = 20
+      (1, 250L, None),                 // interior -> 10 + 20*150/200 = 25
+      (1, 300L, Some(30.0)),
+      (1, 400L, None)                  // trailing gap -> prev (30.0)
+    ).toDF("k", "t_us", "v")
+    val out = TimeSeriesOps.interpolateLinear(df, col("v"), col("k"),
+        col("t_us"), "vi")
+      .orderBy("t_us").select("vi").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(10.0, 10.0, 20.0, 25.0, 30.0, 30.0))
+  }
+
   test("resample produces a dense grid with forward fill") {
     import spark.implicits._
     val df = Seq((1, 105L, 10.0), (1, 430L, 20.0), (2, 50L, 5.0))
