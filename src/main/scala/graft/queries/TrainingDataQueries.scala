@@ -500,7 +500,32 @@ object TrainingDataQueries {
        |  AND (n_stop * 10000 // ws_tokens) < 4000
        |  AND ws_tokens BETWEEN 5 AND 10000""".stripMargin
 
+  /** D15 — reproducible train/val/test split: the split of a
+    * document is a pure function of its content hash (not row
+    * order, partitioning, or a seed table), so it is stable across
+    * runs, engines, and re-shards — the property a training
+    * pipeline actually needs.
+    */
+  def d15(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("bucket",
+        pmod(TextHash.poly_hash(concat(col("text"), lit("|split"))), lit(1000)))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 900, "train")
+          .when(col("bucket") < 950, "val")
+          .otherwise("test").as("split"))
+
+  val d15Sql: String =
+    s"""SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 900 THEN 'train'
+       |       WHEN bucket < 950 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |        ${duckHash("(text || '|split')")} % 1000 AS bucket
+       |      FROM documents)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d15_train_split" -> (d15 _),
     "d14_corpus_curate" -> (d14 _),
     "d1_dedup_exact" -> (d1 _),
     "d2_token_count" -> (d2 _),
@@ -517,6 +542,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d15_train_split" -> d15Sql,
     "d14_corpus_curate" -> d14Sql,
     "d1_dedup_exact" -> d1Sql,
     "d2_token_count" -> d2Sql,
