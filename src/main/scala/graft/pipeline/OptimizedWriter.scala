@@ -20,11 +20,13 @@ object OptimizedWriter {
       path: String,
       partitionCols: Seq[String],
       maxRecordsPerFile: Int = 100000,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
+      mode: SaveMode = SaveMode.Overwrite,
+      format: String = "parquet"): Unit = {
     val w = df.write
       .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .format(format)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(path)
+      .save(path)
   }
 }

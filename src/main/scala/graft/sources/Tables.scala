@@ -22,4 +22,25 @@ object Tables {
       try Some(spark.read.parquet(p))
       catch { case _: Exception => None }
     }.nextOption()
+
+  /** Schema-enforced CSV read: an explicit schema (no inference
+    * scan — at 100 TB an inference pass is a full extra read) with
+    * malformed rows quarantined rather than failing the job.
+    */
+  def loadCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** Schema-enforced JSON-lines read; same no-inference rule. */
+  def loadJson(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
 }

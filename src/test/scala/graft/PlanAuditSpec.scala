@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale properties claimed in
+  * SURVEY §6/§7 are asserted on the physical plans, so a future
+  * change that silently loses a pushdown or broadcast fails CI.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+
+  private def shuffles(p: String): Int =
+    p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+
+  test("b1: shipdate predicate reaches the parquet scan") {
+    val p = plan("b1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("b1: scan is pruned to the referenced columns") {
+    val p = plan("b1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"))
+  }
+
+  test("b2: all three dims broadcast, one grouping shuffle") {
+    val p = plan("b2_join_broadcast")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 3)
+    assert(shuffles(p) == 1)
+  }
+
+  test("a4: metadata dim broadcast, single shuffle") {
+    val p = plan("a4_enrich_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(shuffles(p) == 1)
+  }
+
+  test("c1: tumbling window aggregates with a single shuffle") {
+    assert(shuffles(plan("c1_tumbling_window")) == 1)
+  }
+
+  test("b7: global top-n plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("b7_topn_global")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(shuffles(p) == 0)
+  }
+
+  test("b6: bounded top-k is a partial-final aggregate, not a window sort") {
+    val p = plan("b6_topk_group")
+    assert(!p.contains("Window"))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
+  }
+
+  test("a2: integrity predicate pushes to the scan as data filters") {
+    val p = plan("a2_integrity_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(value)"))
+  }
+
+  test("d9: query set broadcast against the corpus scan") {
+    assert(plan("d9_cosine_topk").contains("BroadcastNestedLoopJoin") ||
+      plan("d9_cosine_topk").contains("BroadcastExchange"))
+  }
+}
