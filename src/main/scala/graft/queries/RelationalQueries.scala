@@ -247,7 +247,51 @@ object RelationalQueries {
   val b12Sql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** B13 — correlated scalar subquery through the engine's SQL
+    * surface: parts priced above their brand's average. Exercises
+    * view registration + spark.sql end-to-end (the oracle runs the
+    * equivalent SQL in DuckDB).
+    */
+  def b13(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part_v")
+    s.sql(
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part_v p
+        |WHERE p_retailprice > (
+        |  SELECT avg(p2.p_retailprice) * 1.05 FROM part_v p2
+        |  WHERE p2.p_brand = p.p_brand)""".stripMargin)
+  }
+
+  val b13Sql: String =
+    """SELECT p_partkey, p_brand, p_retailprice
+      |FROM part p
+      |WHERE p_retailprice > (
+      |  SELECT avg(p2.p_retailprice) * 1.05 FROM part p2
+      |  WHERE p2.p_brand = p.p_brand)""".stripMargin
+
+  /** B14 — set operations: customers seen in events but with no
+    * orders (EXCEPT) and with both (INTERSECT).
+    */
+  def b14(s: SparkSession, dir: String): DataFrame = {
+    val active = events(s, dir).select(col("user_id").as("id")).distinct()
+    val buyers = t(s, dir, "orders").select(col("o_custkey").as("id")).distinct()
+    active.except(buyers).withColumn("relation", lit("active_no_orders"))
+      .unionByName(active.intersect(buyers)
+        .withColumn("relation", lit("active_with_orders")))
+  }
+
+  val b14Sql: String =
+    """SELECT id, 'active_no_orders' AS relation FROM (
+      |  SELECT DISTINCT user_id AS id FROM events
+      |  EXCEPT SELECT DISTINCT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT id, 'active_with_orders' AS relation FROM (
+      |  SELECT DISTINCT user_id AS id FROM events
+      |  INTERSECT SELECT DISTINCT o_custkey FROM orders)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "b13_subquery" -> (b13 _),
+    "b14_setops" -> (b14 _),
     "b1_agg" -> (b1 _),
     "b2_join_broadcast" -> (b2 _),
     "b3_join_shuffle" -> (b3 _),
@@ -262,6 +306,8 @@ object RelationalQueries {
     "b12_distinct" -> (b12 _))
 
   val oracles: Map[String, String] = Map(
+    "b13_subquery" -> b13Sql,
+    "b14_setops" -> b14Sql,
     "b1_agg" -> b1Sql,
     "b2_join_broadcast" -> b2Sql,
     "b3_join_shuffle" -> b3Sql,
