@@ -265,7 +265,34 @@ object SensorQueries {
       |       count(DISTINCT user_id) AS n_users, min(epoch_ms(ts)) AS min_ms
       |FROM events GROUP BY 1, 2 HAVING count(*) > 0""".stripMargin
 
+  /** A13 — append-mode incremental merge
+    * (SensorDataPipeline._write_outputs append branch,
+    * main_pipeline.py:322-328): existing output ∪ late-arriving
+    * re-extraction, keep-latest dedup on the natural key — the
+    * idempotent "re-run a day" path.
+    */
+  def a13(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_id"), col("user_id"),
+      epochMs(col("ts")).as("t_ms"), col("value"))
+    val existing = e.filter(col("t_ms") % 1000 < 800)  // prior run's slice
+    val reExtract = e.filter(col("t_ms") % 1000 >= 500) // overlapping re-pull
+    val merged = existing.unionByName(reExtract)
+    SensorPipeline.dedupLatest(merged,
+        keys = Seq(col("event_id")),
+        orderDesc = Seq(col("t_ms")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+  }
+
+  val a13Sql: String =
+    """SELECT user_id, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE epoch_ms(ts) % 1000 < 800 OR epoch_ms(ts) % 1000 >= 500
+      |GROUP BY user_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "a13_incremental_merge" -> (a13 _),
     "a1_schema_enforce" -> (a1 _),
     "a2_integrity_filter" -> (a2 _),
     "a3_epoch_convert" -> (a3 _),
@@ -280,6 +307,7 @@ object SensorQueries {
     "a12_output_validate" -> (a12 _))
 
   val oracles: Map[String, String] = Map(
+    "a13_incremental_merge" -> a13Sql,
     "a1_schema_enforce" -> a1Sql,
     "a2_integrity_filter" -> a2Sql,
     "a3_epoch_convert" -> a3Sql,

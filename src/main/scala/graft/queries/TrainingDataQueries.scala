@@ -524,7 +524,47 @@ object TrainingDataQueries {
        |        ${duckHash("(text || '|split')")} % 1000 AS bucket
        |      FROM documents)""".stripMargin
 
+  /** D16 — PII/URL scrubbing: redact emails and URLs with typed
+    * placeholder tokens, report redaction counts. The corpus has no
+    * organic PII, so deterministic synthetic contamination is
+    * injected first (doc_id-derived address/URL) — the scrubber
+    * must remove exactly what was injected.
+    */
+  def d16(s: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlPat = "https?://[^\\s]+"
+    val contaminated = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or "),
+      lit("https://host"), col("doc_id"), lit(".example/path"))
+    docs(s, dir)
+      .withColumn("dirty", contaminated)
+      .select(
+        col("doc_id"),
+        regexp_count(col("dirty"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("dirty"), lit(urlPat)).cast("long").as("n_urls"),
+        TextHash.poly_hash(
+          regexp_replace(regexp_replace(col("dirty"), urlPat, "<URL>"),
+            emailPat, "<EMAIL>")).as("clean_hash"),
+        length(regexp_replace(regexp_replace(col("dirty"), urlPat, "<URL>"),
+          emailPat, "<EMAIL>")).cast("long").as("clean_len"))
+  }
+
+  val d16Sql: String = {
+    val dirty = "text || ' contact user' || doc_id || '@example.com or ' " +
+      "|| 'https://host' || doc_id || '.example/path'"
+    val clean = s"regexp_replace(regexp_replace($dirty, 'https?://[^\\s]+', '<URL>', 'g'), " +
+      "'[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')"
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all($dirty,
+       |    '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       |  len(regexp_extract_all($dirty, 'https?://[^\\s]+')) AS n_urls,
+       |  ${duckHash(s"($clean)")} AS clean_hash,
+       |  CAST(length($clean) AS BIGINT) AS clean_len
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "d16_pii_scrub" -> (d16 _),
     "d15_train_split" -> (d15 _),
     "d14_corpus_curate" -> (d14 _),
     "d1_dedup_exact" -> (d1 _),
@@ -542,6 +582,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d16_pii_scrub" -> d16Sql,
     "d15_train_split" -> d15Sql,
     "d14_corpus_curate" -> d14Sql,
     "d1_dedup_exact" -> d1Sql,
