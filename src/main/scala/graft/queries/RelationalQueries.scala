@@ -289,7 +289,35 @@ object RelationalQueries {
       |  SELECT DISTINCT user_id AS id FROM events
       |  INTERSECT SELECT DISTINCT o_custkey FROM orders)""".stripMargin
 
+  /** B15 — supplier accounting rollup: dim⋈dim broadcast chain with
+    * per-nation balance stats and a deterministic rank (completes
+    * coverage of every test-corpus table).
+    */
+  def b15(s: SparkSession, dir: String): DataFrame = {
+    val joined = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+    joined.groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        moneySum(col("s_acctbal")).as("total_bal"),
+        max(col("s_acctbal")).as("max_bal"))
+      .withColumn("bal_rank",
+        rank().over(Window.orderBy(col("total_bal").desc, col("n_name"))).cast("long"))
+  }
+
+  val b15Sql: String =
+    """SELECT r_name, n_name, count(*) AS n_suppliers,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+      |  max(s_acctbal) AS max_bal,
+      |  rank() OVER (ORDER BY CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) DESC,
+      |               n_name) AS bal_rank
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "b15_supplier_stats" -> (b15 _),
     "b13_subquery" -> (b13 _),
     "b14_setops" -> (b14 _),
     "b1_agg" -> (b1 _),
@@ -306,6 +334,7 @@ object RelationalQueries {
     "b12_distinct" -> (b12 _))
 
   val oracles: Map[String, String] = Map(
+    "b15_supplier_stats" -> b15Sql,
     "b13_subquery" -> b13Sql,
     "b14_setops" -> b14Sql,
     "b1_agg" -> b1Sql,
