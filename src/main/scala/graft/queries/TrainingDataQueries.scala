@@ -563,7 +563,40 @@ object TrainingDataQueries {
        |FROM documents""".stripMargin
   }
 
+  /** D17 — embedding normalization + int8 quantization: unit-vector
+    * scaling and floor-based int8 codes (floor, not round — floor is
+    * engine-identical; round tie-breaks are not). The storage-
+    * compression step of an embedding pipeline.
+    */
+  def d17(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    val v = Similarity.toDouble(col("embedding"))
+    val nrm = Similarity.norm2(v)
+    val q = transform(v, x => floor(x / nrm * 127).cast("long"))
+    emb(s, dir).select(
+      col("vec_id"),
+      nrm.as("l2_norm"),
+      aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+      array_min(q).as("q_min"),
+      array_max(q).as("q_max"))
+  }
+
+  val d17Sql: String = {
+    val v = "list_transform(embedding, qx -> CAST(qx AS DOUBLE))"
+    val nrm = s"sqrt(${duckDot(s"($v)", s"($v)")})"
+    s"""WITH n AS (
+       |  SELECT vec_id, $v AS v, $nrm AS l2_norm FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, l2_norm,
+       |    list_transform(v, qe -> CAST(floor(qe / l2_norm * 127) AS BIGINT)) AS qv
+       |  FROM n)
+       |SELECT vec_id, l2_norm, list_sum(qv) AS q_sum,
+       |       list_min(qv) AS q_min, list_max(qv) AS q_max
+       |FROM q""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "d17_embed_quantize" -> (d17 _),
     "d16_pii_scrub" -> (d16 _),
     "d15_train_split" -> (d15 _),
     "d14_corpus_curate" -> (d14 _),
@@ -582,6 +615,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d17_embed_quantize" -> d17Sql,
     "d16_pii_scrub" -> d16Sql,
     "d15_train_split" -> d15Sql,
     "d14_corpus_curate" -> d14Sql,
