@@ -570,15 +570,22 @@ object TrainingDataQueries {
     */
   def d17(s: SparkSession, dir: String): DataFrame = {
     import graft.similarity.Similarity
-    val v = Similarity.toDouble(col("embedding"))
-    val nrm = Similarity.norm2(v)
-    val q = transform(v, x => floor(x / nrm * 127).cast("long"))
-    emb(s, dir).select(
-      col("vec_id"),
-      nrm.as("l2_norm"),
-      aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
-      array_min(q).as("q_min"),
-      array_max(q).as("q_max"))
+    // staged: norm and the quantized array computed once per row,
+    // not per-element / per-output-column; zero vectors are
+    // excluded (division by a zero norm is undefined — and engines
+    // disagree on NaN handling)
+    emb(s, dir)
+      .withColumn("v", Similarity.toDouble(col("embedding")))
+      .withColumn("l2_norm", Similarity.norm2(col("v")))
+      .filter(col("l2_norm") > 0)
+      .withColumn("q", transform(col("v"),
+        x => floor(x / col("l2_norm") * 127)))
+      .select(
+        col("vec_id"),
+        col("l2_norm"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
   }
 
   val d17Sql: String = {
@@ -589,7 +596,7 @@ object TrainingDataQueries {
        |q AS (
        |  SELECT vec_id, l2_norm,
        |    list_transform(v, qe -> CAST(floor(qe / l2_norm * 127) AS BIGINT)) AS qv
-       |  FROM n)
+       |  FROM n WHERE l2_norm > 0)
        |SELECT vec_id, l2_norm, list_sum(qv) AS q_sum,
        |       list_min(qv) AS q_min, list_max(qv) AS q_max
        |FROM q""".stripMargin
