@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic text hashing shared with the DuckDB oracles
-  * (SURVEY §5): base-31 polynomial over UTF-16 char codes,
-  * modulo P = 1e9+7. All values stay < 2^30, so every intermediate
-  * product fits a signed 64-bit long — the same arithmetic is
-  * expressible in portable SQL (list_reduce / list_transform),
-  * which is what makes hash-based operators oracle-checkable.
+  * (SURVEY §5): base-31 polynomial over Unicode code points,
+  * modulo P = 1e9+7. Iterating code points (not UTF-16 units)
+  * matches SQL engines' character semantics (`unicode(substr(s,i,1))`
+  * in DuckDB) for the full Unicode range including astral chars.
+  * Code points < 2^21 and h < 2^30, so every intermediate product
+  * fits a signed 64-bit long — the same arithmetic is expressible in
+  * portable SQL (list_reduce / list_transform), which is what makes
+  * hash-based operators oracle-checkable.
   *
   * Implemented as native Catalyst expressions (not UDFs): no
   * serialization boundary, null handling in the expression layer,
@@ -27,13 +30,18 @@ object TextHash {
   def polyHashStr(s: String): Long = {
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
     h
   }
 
-  /** Rolling k-char shingle hashes: O(n) for all shingles. */
+  /** Rolling k-codepoint shingle hashes: O(n) for all shingles. */
   def shingleHashesStr(s: String, k: Int): Array[Long] = {
-    val n = s.length
+    val cps = s.codePoints().toArray
+    val n = cps.length
     if (n < k) return Array.empty
     var pow = 1L // 31^(k-1) mod P
     var i = 1
@@ -41,11 +49,11 @@ object TextHash {
     val out = new Array[Long](n - k + 1)
     var h = 0L
     i = 0
-    while (i < k) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+    while (i < k) { h = (h * 31 + cps(i)) % P; i += 1 }
     out(0) = h
     i = 1
     while (i <= n - k) {
-      h = ((h - s.charAt(i - 1) * pow % P + P) % P * 31 + s.charAt(i + k - 1)) % P
+      h = ((h - cps(i - 1) * pow % P + P) % P * 31 + cps(i + k - 1)) % P
       out(i) = h
       i += 1
     }
@@ -151,11 +159,15 @@ case class PolyHash(child: Expression) extends UnaryExpression {
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       val h = ctx.freshName("h")
+      val cp = ctx.freshName("cp")
       code"""
         |String $s = $c.toString();
         |long $h = 0L;
-        |for (int $i = 0; $i < $s.length(); $i++) {
-        |  $h = ($h * 31 + $s.charAt($i)) % ${TextHash.P}L;
+        |int $i = 0;
+        |while ($i < $s.length()) {
+        |  int $cp = $s.codePointAt($i);
+        |  $h = ($h * 31 + $cp) % ${TextHash.P}L;
+        |  $i += Character.charCount($cp);
         |}
         |${ev.value} = $h;
       """.stripMargin.toString

@@ -107,9 +107,10 @@ object RelationalQueries {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     t(s, dir, "orders").select(
       col("o_custkey"), col("o_orderkey"),
-      row_number().over(w).as("rn"),
+      row_number().over(w).cast("long").as("rn"),
       rank().over(Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("price_rank"),
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")))
+        .cast("long").as("price_rank"),
       coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)).as("prev_price"),
       sum(col("o_totalprice").cast("decimal(18,2)")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -140,7 +141,7 @@ object RelationalQueries {
       .agg(graft.functions.TopKAgg.top_k(
         col("p_retailprice"), col("p_partkey"), 3).as("top"))
       .select(col("p_brand"), posexplode(col("top")))
-      .select(col("p_brand"), (col("pos") + 1).cast("int").as("rk"),
+      .select(col("p_brand"), (col("pos") + 1).cast("long").as("rk"),
         col("col.id").as("p_partkey"), col("col.score").as("p_retailprice"))
 
   val b6Sql: String =

@@ -186,7 +186,7 @@ object TrainingDataQueries {
        |    range(1, len(h)-4+2), w_i -> list_min(h[w_i:w_i+3]))) AS fps
        |  FROM sh)
        |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp,
-       |       list_max(fps) AS max_fp, list_sum(fps) AS sum_fp
+       |       list_max(fps) AS max_fp, CAST(list_sum(fps) AS BIGINT) AS sum_fp
        |FROM fp""".stripMargin
 
   // ---- similarity / near-dup wave (D6-D13) --------------------------
@@ -597,7 +597,7 @@ object TrainingDataQueries {
        |  SELECT vec_id, l2_norm,
        |    list_transform(v, qe -> CAST(floor(qe / l2_norm * 127) AS BIGINT)) AS qv
        |  FROM n WHERE l2_norm > 0)
-       |SELECT vec_id, l2_norm, list_sum(qv) AS q_sum,
+       |SELECT vec_id, l2_norm, CAST(list_sum(qv) AS BIGINT) AS q_sum,
        |       list_min(qv) AS q_min, list_max(qv) AS q_max
        |FROM q""".stripMargin
   }

@@ -8,9 +8,12 @@ import graft.functions.TextHash
 class TextHashSpec extends AnyFunSuite {
   import SparkTestBase._
 
-  def naiveShingles(s: String, k: Int): Array[Long] =
-    if (s.length < k) Array.empty
-    else (0 to s.length - k).map(i => TextHash.polyHashStr(s.substring(i, i + k))).toArray
+  def naiveShingles(s: String, k: Int): Array[Long] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < k) Array.empty
+    else (0 to cps.length - k)
+      .map(i => TextHash.polyHashStr(new String(cps, i, k))).toArray
+  }
 
   test("polyHashStr matches the documented fold") {
     var h = 0L
@@ -25,9 +28,21 @@ class TextHashSpec extends AnyFunSuite {
       assert(TextHash.shingleHashesStr(s, 8).toSeq == naiveShingles(s, 8).toSeq)
   }
 
+  test("hashes iterate Unicode code points, not UTF-16 units") {
+    // U+1D49C (𝒜) is an astral char: one code point, two UTF-16 units.
+    // The oracle (DuckDB unicode()) sees one element of value 0x1D49C.
+    assert(TextHash.polyHashStr("𝒜") == 0x1D49CL % TextHash.P)
+    assert(TextHash.polyHashStr("a𝒜b") ==
+      (('a'.toLong * 31 + 0x1D49CL) % TextHash.P * 31 + 'b') % TextHash.P)
+    // Shingles advance by code point: "a𝒜b" has exactly two 2-cp shingles.
+    val sh = TextHash.shingleHashesStr("a𝒜b", 2)
+    assert(sh.toSeq == naiveShingles("a𝒜b", 2).toSeq)
+    assert(sh.length == 2)
+  }
+
   test("PolyHash expression (codegen path) matches local function") {
     import spark.implicits._
-    val texts = Seq("alpha beta", "", "Mixed CASE 123!")
+    val texts = Seq("alpha beta", "", "Mixed CASE 123!", "astral a𝒜b ✓")
     val got = texts.toDF("t")
       .select(TextHash.poly_hash(col("t")).as("h")).as[Long].collect()
     assert(got.toSeq == texts.map(TextHash.polyHashStr))

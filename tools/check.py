@@ -58,20 +58,28 @@ def main():
         if only and name not in only:
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-            ).fetchall()
-            got_cols = [d[0] for d in con.description]
-            want = con.execute(sql).fetchall()
-            want_cols = [d[0] for d in con.description]
+            rel = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols, got_types = rel.columns, [str(t) for t in rel.types]
+            got = rel.fetchall()
+            rel = con.sql(sql)
+            want_cols, want_types = rel.columns, [str(t) for t in rel.types]
+            want = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
+        # The driver's hash compare is type-sensitive (HUGEINT != BIGINT
+        # even when values agree), so compare declared result types too.
+        gt = [t for _, t in sorted(zip(got_cols, got_types))]
+        wt = [t for _, t in sorted(zip(want_cols, want_types))]
         g = norm_rows(got_cols, got)
         w = norm_rows(want_cols, want)
         if g[0] != w[0]:
             print(f"FAIL {name}: schema {g[0]} vs oracle {w[0]}")
+            n_fail += 1
+        elif gt != wt:
+            print(f"FAIL {name}: types spark={gt} vs oracle={wt}")
             n_fail += 1
         elif len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)-1} vs oracle {len(w)-1}")
