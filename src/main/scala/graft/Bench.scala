@@ -16,6 +16,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -37,9 +38,15 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
+        spark.catalog.clearCache()
       }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter for local iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -48,7 +55,12 @@ object Bench {
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
             false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      // Per-query persists must not accumulate across the run —
+      // cached tables from one query would squeeze executor memory
+      // for the next (untimed bookkeeping, after the clock stops).
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (name, dt, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

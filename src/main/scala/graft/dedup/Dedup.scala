@@ -24,6 +24,19 @@ object Dedup {
   /** Normalized content key: lower-cased, trimmed. */
   def contentHash(text: Column): Column = TextHash.poly_hash(lower(trim(text)))
 
+  /** All id pairs (d1 < d2) within one candidate bucket, generated
+    * from the bucket's posting list instead of a bucket self-join:
+    * the groupBy that builds the list is the only shuffle, and pair
+    * expansion happens bucket-locally. Bucket sizes are bounded by
+    * construction upstream (rare-gram df cap, LSH band selectivity
+    * after exact dedup), which is what keeps the quadratic expansion
+    * local and small.
+    */
+  private[dedup] def bucketPairs(ds: Column): Column =
+    flatten(transform(ds, x =>
+      transform(filter(ds, y => y > x),
+        y => struct(x.as("d1"), y.as("d2")))))
+
   /** Exact dedup: group by content hash, keep the smallest id. */
   def exact(docs: DataFrame, id: String, text: String): DataFrame =
     docs.withColumn("content_hash", contentHash(col(text)))
@@ -58,16 +71,11 @@ object Dedup {
     */
   def minhashVerifiedPairs(docs: DataFrame, id: String, text: String,
       shingleK: Int = 8, numPerms: Int = 16, bands: Int = 4): DataFrame = {
-    val b = lshBands(docs, id, text, shingleK, numPerms, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = b.as("l").join(b.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.band_hash") === col("r.band_hash") &&
-          col(s"l.$id") < col(s"r.$id"))
-      .select(col(s"l.$id").as("d1"), col(s"r.$id").as("d2"))
-      .distinct()
-    // Materialized: joined twice (d1 and d2 side) — without it the
-    // signature/shingle-set computation runs once per join side.
+    val rowsPerBand = numPerms / bands
+    // Materialized once: the signature feeds BOTH band-key candidate
+    // generation and verification (and the table is joined twice) —
+    // without the persist the O(perms·|text|) signature expression
+    // would re-run per use.
     val features = docs
       .filter(length(lower(trim(col(text)))) >= shingleK)
       .select(col(id),
@@ -75,6 +83,19 @@ object Dedup {
         array_distinct(TextHash.shingle_hashes(lower(trim(col(text))), shingleK))
           .as("shset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        aggregate(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          lit(b.toLong), (acc, x) => (acc * 31 + x) % TextHash.P).as("band_hash"))
+    }
+    val cand = features
+      .select(col(id), explode(array(bandCols: _*)).as("bh"))
+      .groupBy(col("bh.band"), col("bh.band_hash"))
+      .agg(collect_list(col(id)).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(bucketPairs(col("ds"))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
     cand
       .join(features.select(col(id).as("d1"), col("sig").as("sig1"),
         col("shset").as("set1")), "d1")
@@ -111,21 +132,20 @@ object Dedup {
         shiftright(col("sh"), offs(b)).bitwiseAND(lit((1L << width) - 1))
           .as("band_bits"))
     }
-    // Materialize the (tiny: one row per doc per band) band table
-    // before the self-join — otherwise the signature expression is
-    // re-evaluated per joined pair, turning an O(docs) compute into
-    // O(candidate pairs).
-    val banded = sigs.select(col(id), col("sh"),
-      explode(array(bandCols: _*)).as("bb"))
-      .select(col(id), col("sh"), col("bb.band").as("band"),
-        col("bb.band_bits").as("band_bits"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.band_bits") === col("r.band_bits") &&
-          col(s"l.$id") < col(s"r.$id"))
-      .select(col(s"l.$id").as("d1"), col(s"r.$id").as("d2"),
-        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).cast("long").as("dist"))
+    // Pairs come from each band bucket's posting list: the groupBy
+    // shuffles each doc's (band, bits, sig) exactly once, and the
+    // signature expression is evaluated once per doc per band — never
+    // per candidate pair.
+    sigs.select(col(id), col("sh"), explode(array(bandCols: _*)).as("bb"))
+      .groupBy(col("bb.band"), col("bb.band_bits"))
+      .agg(collect_list(struct(col(id).as("i"), col("sh"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), x =>
+        transform(filter(col("ds"), y => y("i") > x("i")), y =>
+          struct(x("i").as("d1"), y("i").as("d2"),
+            bit_count(x("sh").bitwiseXOR(y("sh"))).cast("long").as("dist"))))))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.dist").as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }

@@ -24,6 +24,12 @@ object Session {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // Typed aggregates (TopKAgg, collect_list posting lists) run on
+      // ObjectHashAggregate, whose sort-based fallback kicks in at a
+      // default of 128 distinct keys per partition — far too eager for
+      // high-cardinality gram/band keys whose per-key state is bounded
+      // and small. Keep them hash-based.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

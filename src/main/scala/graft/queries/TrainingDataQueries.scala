@@ -215,13 +215,23 @@ object TrainingDataQueries {
       .select(col("doc_id"), gramH.as("gs"))
       .filter(size(col("gs")) >= 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Rare-gram posting lists with the df cap enforced INSIDE the
+    // aggregation: the bounded top-k heap keeps at most 21 doc ids
+    // per gram on the map side, so a frequent gram ("the quick
+    // brown" at corpus scale) ships 21 ids through the shuffle, not
+    // its whole posting list — it exceeds the df<=20 cap and is
+    // dropped. Pairs are then generated bucket-locally (<= 190 per
+    // gram) instead of via an exploded self-join.
     val eg = grams.select(col("doc_id"), explode(col("gs")).as("g"))
-    val rare = eg.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 20).select("g")
-    val egRare = eg.join(rare, "g")
-    val cand = egRare.as("l").join(egRare.as("r"),
-        col("l.g") === col("r.g") && col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+    val cand = eg.groupBy("g")
+      .agg(graft.functions.TopKAgg.top_k(
+        col("doc_id").cast("double"), col("doc_id"), 21).as("top"))
+      .filter(size(col("top")).between(2, 20))
+      .select(transform(col("top"), t => t("id")).as("ds"))
+      .select(explode(flatten(transform(col("ds"), x =>
+        transform(filter(col("ds"), y => y > x),
+          y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("shared_rare"))
       .filter(col("shared_rare") >= 5)
       .select("d1", "d2")
