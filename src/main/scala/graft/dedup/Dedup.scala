@@ -110,6 +110,66 @@ object Dedup {
       .withColumn("jac_pm", expr("shared * 1000 div (n1 + n2 - shared)"))
   }
 
+  /** Duplicate-cluster assignment: connected components over the
+    * union of exact-duplicate edges (same content hash) and verified
+    * MinHash near-dup edges (`jac_pm >= jacPm`). Every document gets
+    * a cluster id = the smallest doc id reachable through duplicate
+    * edges (singletons keep their own id), plus the cluster size —
+    * the form a curation pipeline needs to keep one representative
+    * per duplicate group when near-dup relations are transitive.
+    *
+    * Scale shape: min-label propagation — each iteration is one
+    * equi-join (frontier ⋈ adjacency) + one min-aggregation, and the
+    * loop runs O(cluster diameter) times with a cheap convergence
+    * count per step. Near-dup clusters are shallow (diameter rarely
+    * above single digits), so iterations stay few even at corpus
+    * scale; the adjacency list, not an all-pairs closure, is what
+    * shuffles. (For adversarial deep-chain graphs the same loop
+    * accepts an alternating small-star/large-star rewrite; the join
+    * structure is identical.)
+    */
+  def dupClusters(docs: DataFrame, id: String, text: String,
+      jacPm: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val exactPairs = docs
+      .select(col(id), contentHash(col(text)).as("h"))
+      .withColumn("m", min(col(id)).over(Window.partitionBy("h")))
+      .filter(col(id) =!= col("m"))
+      .select(col("m").as("d1"), col(id).as("d2"))
+    val nearPairs = minhashVerifiedPairs(docs, id, text)
+      .filter(col("jac_pm") >= jacPm)
+      .select("d1", "d2")
+    val edges = exactPairs.unionByName(nearPairs).distinct()
+    val adj = edges
+      .unionByName(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist(lvl)
+    var labels = adj.select(col("d1").as("n")).distinct()
+      .select(col("n"), col("n").as("lbl"))
+      .persist(lvl)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = adj.join(labels, adj("d2") === labels("n"))
+        .groupBy(adj("d1").as("nn")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels
+        .join(nbrMin, labels("n") === nbrMin("nn"), "left")
+        .select(col("n"), least(col("lbl"),
+          coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(lvl)
+      changed = next.as("a")
+        .join(labels.as("b"), col("a.n") === col("b.n"))
+        .filter(col("a.lbl") =!= col("b.lbl")).count()
+      labels.unpersist()
+      labels = next
+    }
+    adj.unpersist()
+    docs.select(col(id).as("doc_id"))
+      .join(labels.withColumnRenamed("n", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+  }
+
   /** SimHash near-dup pairs: signatures over word 3-gram hashes
     * (single tokens saturate on shared vocabulary — 3-grams are
     * document-specific, so signatures spread); pairs within

@@ -199,6 +199,33 @@ object TimeSeriesOps {
     * Stats join back broadcast: two scans, zero extra shuffles of
     * the fact.
     */
+  /** Final exponentially-weighted moving average per key over the
+    * time-ordered series: s_0 = x_0, s_t = α·x_t + (1−α)·s_{t−1}.
+    * One groupBy shuffle; the recurrence runs as a sequential array
+    * fold (deterministic order), so results are bit-reproducible on
+    * any engine that folds the same order — which is what lets the
+    * oracle check it without rounding. `order` must be a total order
+    * (include a unique id as tie-break). For unbounded histories the
+    * same recurrence runs incrementally in
+    * [[graft.streaming.Sessionizer]]-style keyed state; this batch
+    * form assumes per-key series fit an array (sensor-scale, not
+    * corpus-scale).
+    */
+  def ewma(df: DataFrame, key: Column, order: Seq[Column], value: Column,
+      alpha: Double): DataFrame = {
+    val a = lit(alpha)
+    val b = lit(1 - alpha)
+    df.groupBy(key.as("key"))
+      .agg(
+        sort_array(collect_list(struct(order :+ value.as("v"): _*))).as("xs"),
+        count(lit(1)).as("n"))
+      .select(col("key"), col("n"),
+        aggregate(
+          slice(transform(col("xs"), x => x("v")), lit(2), size(col("xs")) - 1),
+          element_at(transform(col("xs"), x => x("v")), 1),
+          (acc, x) => x * a + acc * b).as("ewma"))
+  }
+
   def zscore(df: DataFrame, key: Column, value: Column): DataFrame = {
     val stats = df.groupBy(key.as("__k")).agg(
       count(lit(1)).as("__n"),

@@ -317,7 +317,38 @@ object RelationalQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name""".stripMargin
 
+  /** B16 — sketch accuracy contract: HyperLogLog++ distinct counts
+    * (`approx_count_distinct`, rsd 2%) and approximate quantiles
+    * (`percentile_approx`, accuracy 10000) beside their exact twins.
+    * Sketch VALUES are engine-specific, so the oracle checks the
+    * engine-independent CONTRACT instead: exact values plus
+    * within-bound flags that must all be true (10% ≈ 5σ for the HLL;
+    * rank error ≤ n/accuracy for the quantile — far inside 10% on
+    * this data). Sketches are what survive at 100 TB: mergeable
+    * per-partition state, no global shuffle of distinct keys.
+    */
+  def b16(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_approx"),
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile_approx(value, 0.5, 10000)").as("p50_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) * 1000 <=
+          col("n_exact") * 100).as("hll_ok"),
+        round(col("p50_exact"), 4).as("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <=
+          abs(col("p50_exact")) * 0.1 + lit(0.01)).as("quantile_ok"))
+
+  val b16Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS hll_ok,
+      |  round(quantile_cont(value, 0.5), 4) AS p50_exact, true AS quantile_ok
+      |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "b16_sketch_contract" -> (b16 _),
     "b15_supplier_stats" -> (b15 _),
     "b13_subquery" -> (b13 _),
     "b14_setops" -> (b14 _),
@@ -335,6 +366,7 @@ object RelationalQueries {
     "b12_distinct" -> (b12 _))
 
   val oracles: Map[String, String] = Map(
+    "b16_sketch_contract" -> b16Sql,
     "b15_supplier_stats" -> b15Sql,
     "b13_subquery" -> b13Sql,
     "b14_setops" -> b14Sql,

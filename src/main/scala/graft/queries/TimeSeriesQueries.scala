@@ -321,7 +321,24 @@ object TimeSeriesQueries {
       |    wf AS (PARTITION BY user_id ORDER BY t_us
       |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))""".stripMargin
 
+  /** C16 — per-sensor EWMA (α = 0.1) over the time-ordered series:
+    * identical sequential fold on both engines, so the doubles match
+    * bit-for-bit with no rounding ([[TimeSeriesOps.ewma]]).
+    */
+  def c16(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.ewma(events(s, dir), col("user_id"),
+      Seq(unix_micros(col("ts")).as("t_us"), col("event_id")),
+      col("value"), alpha = 0.1)
+      .select(col("key").as("user_id"), col("n"), col("ewma"))
+
+  val c16Sql: String =
+    """SELECT user_id, count(*) AS n,
+      |  list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+      |    (ew_a, ew_x) -> ew_x * 0.1 + ew_a * 0.9) AS ewma
+      |FROM events GROUP BY user_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "c16_ewma" -> (c16 _),
     "c15_interpolate" -> (c15 _),
     "c13_asof_tolerance" -> (c13 _),
     "c14_resample" -> (c14 _),
@@ -335,6 +352,7 @@ object TimeSeriesQueries {
     "c8_anomaly_zscore" -> (c8 _))
 
   val oracles: Map[String, String] = Map(
+    "c16_ewma" -> c16Sql,
     "c15_interpolate" -> c15Sql,
     "c13_asof_tolerance" -> c13Sql,
     "c14_resample" -> c14Sql,

@@ -612,7 +612,135 @@ object TrainingDataQueries {
        |FROM q""".stripMargin
   }
 
+  /** D18 — duplicate-cluster assignment: connected components over
+    * the union of exact-dup and verified MinHash near-dup edges via
+    * iterative min-label propagation ([[graft.dedup.Dedup.dupClusters]]).
+    * The oracle computes the same components with a recursive CTE.
+    */
+  def d18(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.dupClusters(docs(s, dir), "doc_id", "text")
+
+  val d18Sql: String =
+    s"""WITH RECURSIVE n AS (
+       |  SELECT doc_id, lower(trim(text)) AS s FROM documents
+       |  WHERE length(lower(trim(text))) >= 8),
+       |sh AS (SELECT doc_id, ${duckShingles("s", 8)} AS h FROM n),
+       |sig AS (SELECT doc_id, $duckMinhashSig AS sg,
+       |        list_distinct(h) AS shset FROM sh),
+       |bands AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
+       |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
+       |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM sig)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash
+       |      AND a.doc_id < b.doc_id),
+       |near AS (
+       |  SELECT d1, d2 FROM cand
+       |  JOIN sig s1 ON d1 = s1.doc_id
+       |  JOIN sig s2 ON d2 = s2.doc_id
+       |  WHERE CAST(len(list_intersect(s1.shset, s2.shset)) AS BIGINT) * 1000
+       |      // (len(s1.shset) + len(s2.shset)
+       |          - len(list_intersect(s1.shset, s2.shset))) >= 500),
+       |exacth AS (SELECT doc_id, ${duckHash(duckNorm)} AS ch FROM documents),
+       |exactp AS (
+       |  SELECT min(doc_id) OVER (PARTITION BY ch) AS d1, doc_id AS d2
+       |  FROM exacth QUALIFY d2 != d1),
+       |edges AS (SELECT d1, d2 FROM near UNION SELECT d1, d2 FROM exactp),
+       |sym AS (SELECT d1, d2 FROM edges
+       |        UNION SELECT d2 AS d1, d1 AS d2 FROM edges),
+       |reach AS (
+       |  SELECT d1 AS src, d2 AS dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.d2 AS dst FROM reach r JOIN sym s ON r.dst = s.d1),
+       |lab AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       |  count(*) OVER (PARTITION BY coalesce(l.cluster_id, d.doc_id)) AS csize
+       |FROM documents d LEFT JOIN lab l USING (doc_id)""".stripMargin
+
+  /** D19 — IVF approximate nearest neighbors: deterministic coarse
+    * quantizer (16 lowest-id vectors), nearest-centroid inverted
+    * lists, nprobe=4 probed lists per query, exact cosine within
+    * ([[graft.similarity.Similarity.ivfTopK]]). Deterministic by
+    * construction, so unlike the LSH path (d11) it carries a full
+    * SQL oracle.
+    */
+  def d19(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.similarity.Similarity.ivfTopK(
+      e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+      k = 5, kCentroids = 16, nprobe = 4)
+  }
+
+  val d19Sql: String =
+    s"""WITH vn AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, ed_x -> CAST(ed_x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |v AS (SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM vn),
+       |cents AS (
+       |  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v
+       |  ORDER BY vec_id LIMIT 16),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${duckDot("v.e", "c.ce")} / (v.nrm * c.cnrm) DESC,
+       |                 c.cid) AS crk
+       |    FROM v CROSS JOIN cents c) WHERE crk = 1),
+       |probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.vec_id AS q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckDot("q.e", "c.ce")} / (q.nrm * c.cnrm) DESC,
+       |                 c.cid) AS crk
+       |    FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q
+       |    CROSS JOIN cents c) WHERE crk <= 4),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id AS n_id,
+       |    ${duckDot("q.e", "n.e")} / (q.nrm * n.nrm) AS cos
+       |  FROM probes p
+       |  JOIN assign a USING (cid)
+       |  JOIN v q ON p.q_id = q.vec_id
+       |  JOIN v n ON a.vec_id = n.vec_id
+       |  WHERE a.vec_id <> p.q_id)
+       |SELECT q_id, rk, n_id, cos FROM (
+       |  SELECT q_id, n_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+       |      AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= 5""".stripMargin
+
+  /** D20 — deterministic stratified sampling: per-language per-mille
+    * rates (downsample dominant en, mildly thin zh, keep the rest),
+    * keep-decision a pure function of content hash
+    * ([[graft.sampling.Sampler.stratified]]).
+    */
+  def d20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("en", 400L), ("zh", 800L), ("de", 1000L),
+      ("es", 1000L), ("fr", 1000L)).toDF("lang", "rate_pm")
+    graft.sampling.Sampler.stratified(docs(s, dir), rates, "lang", "text", "strat")
+      .select("doc_id", "lang", "samp_pm")
+  }
+
+  val d20Sql: String =
+    s"""WITH r AS (
+       |  SELECT * FROM (VALUES ('en', 400), ('zh', 800), ('de', 1000),
+       |    ('es', 1000), ('fr', 1000)) AS t(lang, rate_pm))
+       |SELECT doc_id, lang, samp_pm FROM (
+       |  SELECT doc_id, lang,
+       |    ${duckHash("(text || '|strat')")} % 1000 AS samp_pm, rate_pm
+       |  FROM documents JOIN r USING (lang))
+       |WHERE samp_pm < rate_pm""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d20_stratified_sample" -> (d20 _),
+    "d19_ivf_ann" -> (d19 _),
+    "d18_dup_clusters" -> (d18 _),
     "d17_embed_quantize" -> (d17 _),
     "d16_pii_scrub" -> (d16 _),
     "d15_train_split" -> (d15 _),
@@ -632,6 +760,9 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d20_stratified_sample" -> d20Sql,
+    "d19_ivf_ann" -> d19Sql,
+    "d18_dup_clusters" -> d18Sql,
     "d17_embed_quantize" -> d17Sql,
     "d16_pii_scrub" -> d16Sql,
     "d15_train_split" -> d15Sql,

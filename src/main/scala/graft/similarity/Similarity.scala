@@ -109,6 +109,58 @@ object Similarity {
       .select("q_id", "rk", "n_id", "cos")
   }
 
+  /** IVF (inverted-file) approximate top-k — the scale path for
+    * similarity search: a small coarse-quantizer table partitions the
+    * corpus into `kCentroids` inverted lists; a query probes only its
+    * `nprobe` nearest lists and brute-forces those. Corpus cost per
+    * query drops from O(N) to O(N·nprobe/kCentroids) expected.
+    *
+    * Centroids here are the `kCentroids` lowest-id corpus vectors —
+    * deterministic, so the whole operator is exactly reproducible
+    * (and SQL-oracle-checkable); a production deployment swaps in
+    * k-means centroids without touching the index or search shape.
+    *
+    * Scale shape: centroids broadcast everywhere (assignment is a
+    * map-side argmax with partial aggregation — no per-vector
+    * shuffle); the probe join is centroid-id equi-join with the
+    * (small) probe set broadcast. Ties break on centroid/vector id.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      k: Int, kCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = corpus.select(col(id).as("vid"), toDouble(col(vec)).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .persist(lvl)
+    val cents = v.orderBy("vid").limit(kCentroids)
+      .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // argmax over a struct: highest cosine wins, ties to the smallest
+    // centroid id — same ordering the oracle's row_number uses.
+    val assign = v.crossJoin(broadcast(cents))
+      .select(col("vid"), struct(
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim"),
+        (-col("cid")).as("negc")).as("sc"))
+      .groupBy("vid").agg(max(col("sc")).as("best"))
+      .select(col("vid"), (-col("best.negc")).as("cid"))
+    val lists = v.join(assign, "vid")
+    val q = queries.select(col(id).as("q_id"), toDouble(col(vec)).as("qv"))
+      .withColumn("qnrm", norm2(col("qv")))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("csim"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid"))))
+      .filter(col("crk") <= nprobe)
+      .select("q_id", "qv", "qnrm", "cid")
+    val scored = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid").as("n_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+  }
+
   /** Near-duplicate pairs above a cosine threshold, blocked by a
     * coarse key (e.g. cluster label / LSH bucket) so the pair join
     * is an equi-join, not a cross join.
