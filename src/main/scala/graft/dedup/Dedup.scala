@@ -144,23 +144,26 @@ object Dedup {
     val adj = edges
       .unionByName(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(lvl)
-    var labels = adj.select(col("d1").as("n")).distinct()
+    var persisted = adj.select(col("d1").as("n")).distinct()
       .select(col("n"), col("n").as("lbl"))
       .persist(lvl)
+    var labels = persisted
     var changed = 1L
     while (changed > 0) {
+      // One join + one action per round: the improvement flag rides
+      // the propagation result, so convergence needs no second join.
       val nbrMin = adj.join(labels, adj("d2") === labels("n"))
         .groupBy(adj("d1").as("nn")).agg(min(col("lbl")).as("nlbl"))
       val next = labels
         .join(nbrMin, labels("n") === nbrMin("nn"), "left")
-        .select(col("n"), least(col("lbl"),
-          coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("n"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
         .persist(lvl)
-      changed = next.as("a")
-        .join(labels.as("b"), col("a.n") === col("b.n"))
-        .filter(col("a.lbl") =!= col("b.lbl")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      persisted.unpersist()
+      persisted = next
+      labels = next.select("n", "lbl")
     }
     adj.unpersist()
     docs.select(col(id).as("doc_id"))
