@@ -63,4 +63,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("d9_cosine_topk").contains("BroadcastNestedLoopJoin") ||
       plan("d9_cosine_topk").contains("BroadcastExchange"))
   }
+
+  test("d19: centroids and probe set broadcast; no corpus self-shuffle join") {
+    val p = plan("d19_ivf_ann")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"),
+      "IVF search must not sort-merge-join the corpus")
+  }
+
+  test("d20: rates dim broadcasts and the scan skips the text-free columns") {
+    val p = plan("d20_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"))
+  }
+
+  test("b16: sketches aggregate with partial + final over one shuffle") {
+    val p = plan("b16_sketch_contract")
+    assert(shuffles(p) <= 2) // grouping + the exact count-distinct expand
+  }
+
+  test("c16: EWMA is one grouping shuffle, no window sort") {
+    val p = plan("c16_ewma")
+    assert(shuffles(p) == 1)
+    assert(!p.contains("Window"))
+  }
 }
