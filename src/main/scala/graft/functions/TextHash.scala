@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshims.SparkShims
 import org.apache.spark.sql.types._
@@ -109,10 +108,11 @@ object TextHash {
 /** Sequential-fold dot product of two double arrays: identical
   * arithmetic to aggregate(zip_with(a, b, _*_), 0.0, _+_) — i.e. a
   * left fold, reproducible on any engine — in one native pass.
+  * Full doGenCode (primitive loop): stays inside whole-stage codegen
+  * on the d9/d10/d17/d19 hot paths.
   */
 case class VecDot(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -125,6 +125,21 @@ case class VecDot(left: Expression, right: Expression)
     acc
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      code"""
+        |double $acc = 0.0;
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $acc += $a.getDouble($i) * $b.getDouble($i);
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin.toString
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
 }
@@ -136,13 +151,23 @@ case class VecDot(left: Expression, right: Expression)
   * (acc·31 + h) mod P.
   */
 case class WordGramHashes(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  def compute(v: UTF8String): GenericArrayData =
+    new GenericArrayData(TextHash.wordGramHashesStr(v.toString, n, distinct))
+
   override protected def nullSafeEval(v: Any): Any =
-    new GenericArrayData(
-      TextHash.wordGramHashesStr(v.asInstanceOf[UTF8String].toString, n, distinct))
+    compute(v.asInstanceOf[UTF8String])
+
+  // The kernel runs as compiled Scala behind a referenced object so
+  // the surrounding stage keeps whole-stage codegen (no interpreted
+  // projection fallback for the whole expression tree).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordGramHashes", this, classOf[WordGramHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
 
   override protected def withNewChildInternal(c: Expression): WordGramHashes =
     copy(child = c)
@@ -180,13 +205,20 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   * with a rolling hash (O(n), not O(n·k)).
   */
 case class ShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1, "shingle width must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  def compute(v: UTF8String): GenericArrayData =
+    new GenericArrayData(TextHash.shingleHashesStr(v.toString, k))
+
   override protected def nullSafeEval(v: Any): Any =
-    new GenericArrayData(
-      TextHash.shingleHashesStr(v.asInstanceOf[UTF8String].toString, k))
+    compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
     copy(child = c)
@@ -197,11 +229,10 @@ case class ShingleHashes(child: Expression, k: Int)
   * sentinel per slot (never produced by a real hash).
   */
 case class MinHashSig(child: Expression, numPerms: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
     val sig = Array.fill(numPerms)(TextHash.P)
     var j = 0
     while (j < numPerms) {
@@ -217,6 +248,14 @@ case class MinHashSig(child: Expression, numPerms: Int)
     new GenericArrayData(sig)
   }
 
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
 }
@@ -226,11 +265,10 @@ case class MinHashSig(child: Expression, numPerms: Int)
   * strictly positive).
   */
 case class SimHash(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     var result = 0L
     var b = 0
     while (b < bits) {
@@ -244,6 +282,14 @@ case class SimHash(child: Expression, bits: Int)
       b += 1
     }
     result
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simHash", this, classOf[SimHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash =

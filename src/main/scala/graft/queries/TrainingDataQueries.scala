@@ -737,7 +737,81 @@ object TrainingDataQueries {
        |  FROM documents JOIN r USING (lang))
        |WHERE samp_pm < rate_pm""".stripMargin
 
+  /** D21 — eval-set decontamination: test-split documents sharing
+    * >= 2 rare (df <= 50) distinct 5-word-grams with a train-split
+    * document, using the D15 content-hash split. The df cap drops
+    * boilerplate grams that carry no contamination signal AND bounds
+    * the join's per-key fanout — the same skew defense as d6.
+    */
+  def d21(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).withColumn("bucket",
+      pmod(TextHash.poly_hash(concat(col("text"), lit("|split"))), lit(1000)))
+    val g = base
+      .select(col("doc_id"), col("bucket"),
+        explode(TextHash.word_gram_hashes(col("text"), 5, distinct = true)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = g.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("g")
+    val gr = g.join(rare, "g")
+    gr.filter(col("bucket") < 900)
+      .select(col("doc_id").as("train_id"), col("g"))
+      .join(gr.filter(col("bucket") >= 950)
+        .select(col("doc_id").as("test_id"), col("g")), "g")
+      .groupBy("train_id", "test_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= 2)
+  }
+
+  val d21Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, ${duckHash("(text || '|split')")} % 1000 AS bucket,
+       |         text FROM documents),
+       |th AS (SELECT doc_id, bucket, $duckTokenHashes AS h FROM b),
+       |g AS (
+       |  SELECT doc_id, bucket, unnest(list_distinct(
+       |    list_transform(range(1, len(h)-3), g_i ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT), h[g_i:g_i+4]),
+       |        (ga, gx) -> (ga*31 + gx) % 1000000007)))) AS g
+       |  FROM th),
+       |rare AS (SELECT g FROM g GROUP BY g HAVING count(*) <= 50),
+       |gr AS (SELECT doc_id, bucket, g FROM g JOIN rare USING (g))
+       |SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+       |       count(*) AS shared_grams
+       |FROM (SELECT doc_id, g FROM gr WHERE bucket < 900) tr
+       |JOIN (SELECT doc_id, g FROM gr WHERE bucket >= 950) te USING (g)
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** D22 — per-language term-frequency top-10 (corpus vocabulary
+    * stats): explode tokens, two-level aggregation (map-side partial
+    * on (lang, token)), deterministic rank tie-break on the token.
+    */
+  def d22(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    docs(s, dir)
+      .select(col("lang"), explode(toks).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("token")))
+        .cast("long"))
+      .filter(col("rk") <= 10)
+      .select("lang", "rk", "token", "cnt")
+  }
+
+  val d22Sql: String =
+    """SELECT lang, rk, token, cnt FROM (
+      |  SELECT lang, token, cnt,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token)
+      |      AS BIGINT) AS rk
+      |  FROM (
+      |    SELECT lang, token, count(*) AS cnt FROM (
+      |      SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |      FROM documents) GROUP BY lang, token))
+      |WHERE rk <= 10""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d22_term_topk" -> (d22 _),
+    "d21_decontaminate" -> (d21 _),
     "d20_stratified_sample" -> (d20 _),
     "d19_ivf_ann" -> (d19 _),
     "d18_dup_clusters" -> (d18 _),
@@ -760,6 +834,8 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d22_term_topk" -> d22Sql,
+    "d21_decontaminate" -> d21Sql,
     "d20_stratified_sample" -> d20Sql,
     "d19_ivf_ann" -> d19Sql,
     "d18_dup_clusters" -> d18Sql,
