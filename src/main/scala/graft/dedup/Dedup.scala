@@ -148,18 +148,22 @@ object Dedup {
       .select(col("n"), col("n").as("lbl"))
       .persist(lvl)
     var labels = persisted
+    // One propagation round: neighbor-min with an improvement flag.
+    def step(ls: DataFrame): DataFrame = {
+      val nbrMin = adj.join(ls, adj("d2") === ls("n"))
+        .groupBy(adj("d1").as("nn")).agg(min(col("lbl")).as("nlbl"))
+      ls.join(nbrMin, ls("n") === nbrMin("nn"), "left")
+        .select(ls("n"),
+          least(ls("lbl"), coalesce(col("nlbl"), ls("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), ls("lbl")) < ls("lbl")).as("chg"))
+    }
     var changed = 1L
     while (changed > 0) {
-      // One join + one action per round: the improvement flag rides
-      // the propagation result, so convergence needs no second join.
-      val nbrMin = adj.join(labels, adj("d2") === labels("n"))
-        .groupBy(adj("d1").as("nn")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels
-        .join(nbrMin, labels("n") === nbrMin("nn"), "left")
-        .select(col("n"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
-        .persist(lvl)
+      // Two propagation rounds per scheduled action: both rounds run
+      // lazily inside the one count job, and a zero count on the
+      // second round is a fixpoint proof (a round applied to already-
+      // converged labels changes nothing).
+      val next = step(step(labels).select("n", "lbl")).persist(lvl)
       changed = next.filter(col("chg")).count()
       persisted.unpersist()
       persisted = next
