@@ -43,4 +43,17 @@ object QueryUtil {
   /** Same, with 4-decimal quantization for derived money products. */
   def moneySum4(c: Column): Column =
     sum(c.cast("decimal(22,4)")).cast("double")
+
+  /** Spread a narrow scan across the session's cores before a
+    * CPU-heavy per-row kernel (hashing, signatures, regex). A
+    * single-row-group parquet file reads as ONE partition — fine for
+    * IO-bound plans, serializing for compute-bound ones. At cluster
+    * scale inputs arrive with many splits and this is a no-op; the
+    * round-robin exchange only fires when the scan has fewer
+    * partitions than the session has cores.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 }

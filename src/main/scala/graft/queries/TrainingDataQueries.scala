@@ -16,7 +16,11 @@ import QueryUtil._
   */
 object TrainingDataQueries {
 
-  private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  // Spread across cores: every D-query runs CPU-heavy per-row
+  // kernels (shingles, signatures, regex) and the single-row-group
+  // test files would otherwise pin them to one task.
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents"))
 
   /** DuckDB fragment: base-31 poly hash of a string expression —
     * the oracle twin of [[graft.functions.PolyHash]].
@@ -328,7 +332,8 @@ object TrainingDataQueries {
        |  ON a.b = b.b AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
 
-  private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "embeddings"))
 
   /** DuckDB fragment: deterministic left-fold dot product of two
     * double lists — the oracle twin of [[graft.similarity.Similarity.dot]].
