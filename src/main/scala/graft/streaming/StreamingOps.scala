@@ -29,14 +29,42 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def readEventsStream(s: SparkSession, dir: String): DataFrame = {
+  def readEventsStream(s: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.readStream
       .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Continuous twin of the reference's daily batch job
+    * (/root/reference/main_pipeline.py:262-329): stream → integrity
+    * filter → broadcast metadata enrichment → event-time normalize →
+    * partitioned parquet sink. The native file sink's commit log
+    * gives exactly-once output across restarts from the same
+    * checkpoint — re-delivered micro-batches are skipped, so a
+    * crashed-and-restarted job never duplicates files (proven in
+    * StreamingSpec).
+    */
+  def sensorFileSinkJob(s: SparkSession, srcDir: String,
+      dim: DataFrame, dimKey: String, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    readEventsStream(s, srcDir, glob = "*.parquet")
+      .filter(col("value").isNotNull && !isnan(col("value")) &&
+        col("value").between(0.0, 1e6))
+      .join(broadcast(dim), col("user_id") === col(dimKey))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("t_ms"), col("value"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("event_type")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Run a streaming frame to completion against the currently
     * available data and return the result as a batch table

@@ -44,6 +44,66 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dupClusters equals union-find on randomized duplicated corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "theta", "kappa", "lambda", "sigma", "omega", "quick", "brown", "fox")
+    def sentence() =
+      (0 until 12 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (round <- 1 to 3) {
+      val bases = (0 until 10).map(_ => sentence())
+      // each doc copies some base verbatim (exact dups) or with a
+      // small tail tweak (near dups); ids shuffled
+      val docs = rnd.shuffle((1L to 40L).toList).map { i =>
+        val b = bases(rnd.nextInt(bases.size))
+        val text = rnd.nextInt(3) match {
+          case 0 => b
+          case 1 => b + " zz" + rnd.nextInt(3)
+          case _ => b.toUpperCase
+        }
+        (i, text, "en")
+      }.toDF("doc_id", "text", "lang")
+      val got = graft.dedup.Dedup.dupClusters(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // independent union-find over independently recomputed edges
+      val near = graft.dedup.Dedup.minhashVerifiedPairs(docs, "doc_id", "text")
+        .filter(col("jac_pm") >= 500).select("d1", "d2")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val exact = docs.collect()
+        .map(r => (r.getLong(0), TextHash.polyHashStr(r.getString(1).trim.toLowerCase)))
+        .groupBy(_._2).values.map(_.map(_._1).sorted)
+        .filter(_.length > 1).flatMap(g => g.tail.map((g.head, _)))
+      val parent = scala.collection.mutable.Map((1L to 40L).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      (near ++ exact).foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (1L to 40L).map(i => i -> find(i)).toMap
+      assert(got == want, s"round $round")
+    }
+  }
+
+  test("ewma agrees with naive fold on random per-key series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(48)
+    val rows = (1L to 300L).map { i =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(100000).toLong, i, rnd.nextDouble() * 100)
+    }
+    val df = rows.toDF("k", "t", "id", "v")
+    val got = TimeSeriesOps.ewma(df, col("k"),
+      Seq(col("t"), col("id")), col("v"), alpha = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val want = rows.groupBy(_._1).view.mapValues { rs =>
+      val xs = rs.sortBy(r => (r._2, r._3)).map(_._4)
+      xs.tail.foldLeft(xs.head)((acc, x) => x * 0.25 + acc * 0.75)
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"key $k") }
+  }
+
   test("TopKAgg agrees with multiset sort-take on random groups") {
     import spark.implicits._
     val rnd = new scala.util.Random(44)

@@ -86,6 +86,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((10L, "click"), (12L, "view")))
   }
 
+  test("end-to-end streaming sensor job: filter + enrich + partitioned sink, exactly-once restart") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_job_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_job_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_job_ckpt").toString
+    val ns = 1000000L * 1000
+    val dim = Seq((10L, "S1"), (11L, "S2")).toDF("c_custkey", "c_name")
+    writeBatch(src, "b1", Seq(
+      (1L, 1 * ns, 10L, "click", 1.0, "{}"),
+      (2L, 2 * ns, 10L, "view", -5.0, "{}"), // fails integrity filter
+      (3L, 3 * ns, 99L, "click", 2.0, "{}"))) // no metadata match
+    val q1 = StreamingOps.sensorFileSinkJob(spark, src, dim, "c_custkey", out, ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out).select("event_id").as[Long].collect().toSet
+      == Set(1L))
+
+    // restart from the same checkpoint with one new file: the old
+    // batch must not re-emit (file-sink commit log), the new row lands
+    writeBatch(src, "b2", Seq((4L, 4 * ns, 11L, "sigview", 3.0, "{}")))
+    val q2 = StreamingOps.sensorFileSinkJob(spark, src, dim, "c_custkey", out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out)
+      .select(col("event_id"), col("t_ms"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 1000L, "click"), (4L, 4000L, "sigview")))
+    // the sink is physically partitioned by sensor type
+    val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(dirs.contains("event_type=click") && dirs.contains("event_type=sigview"))
+  }
+
   test("windowed aggregation accumulates across micro-batches in complete mode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     val hourNs = 3600L * 1000000000L
