@@ -347,7 +347,34 @@ object RelationalQueries {
       |  round(quantile_cont(value, 0.5), 4) AS p50_exact, true AS quantile_ok
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** B17 — unpivot (wide → long reshape, the inverse of A9's pivot):
+    * four lineitem measures melt into (measure, value) rows via the
+    * native `unpivot` (plans as Expand — one pass, no shuffle, output
+    * is 4× the scan with no join).
+    */
+  def b17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+
+  val b17Sql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_extendedprice', l_extendedprice FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount', l_discount FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_tax', l_tax FROM lineitem""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "b17_unpivot" -> (b17 _),
     "b16_sketch_contract" -> (b16 _),
     "b15_supplier_stats" -> (b15 _),
     "b13_subquery" -> (b13 _),
@@ -366,6 +393,7 @@ object RelationalQueries {
     "b12_distinct" -> (b12 _))
 
   val oracles: Map[String, String] = Map(
+    "b17_unpivot" -> b17Sql,
     "b16_sketch_contract" -> b16Sql,
     "b15_supplier_stats" -> b15Sql,
     "b13_subquery" -> b13Sql,
