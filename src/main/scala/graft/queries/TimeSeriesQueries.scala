@@ -337,7 +337,41 @@ object TimeSeriesQueries {
       |    (ew_a, ew_x) -> ew_x * 0.1 + ew_a * 0.9) AS ewma
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** C17 — rate of change per sensor: value delta over time delta
+    * between consecutive readings (total order on (t, event_id)),
+    * with a spike flag. Same-timestamp pairs are excluded (no
+    * zero-division), and the rate expression is written identically
+    * on both engines so doubles match bit-for-bit.
+    */
+  def c17(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t_us"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"), col("value"))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .withColumn("pt", lag(col("t_us"), 1).over(w))
+      .filter(col("pv").isNotNull && col("t_us") > col("pt"))
+      .select(col("user_id"), col("event_id"),
+        (col("t_us") / 1000).cast("long").as("t_ms"),
+        ((col("value") - col("pv")) * 1000000.0 / (col("t_us") - col("pt")))
+          .as("rate"))
+      .withColumn("spike", abs(col("rate")) > 100.0)
+  }
+
+  val c17Sql: String =
+    """WITH w AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
+      |    lag(value) OVER win AS pv, lag(epoch_us(ts)) OVER win AS pt
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |SELECT user_id, event_id, CAST(t_us // 1000 AS BIGINT) AS t_ms,
+      |  (value - pv) * 1000000.0 / (t_us - pt) AS rate,
+      |  abs((value - pv) * 1000000.0 / (t_us - pt)) > 100.0 AS spike
+      |FROM w WHERE pv IS NOT NULL AND t_us > pt""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "c17_rate_of_change" -> (c17 _),
     "c16_ewma" -> (c16 _),
     "c15_interpolate" -> (c15 _),
     "c13_asof_tolerance" -> (c13 _),
@@ -352,6 +386,7 @@ object TimeSeriesQueries {
     "c8_anomaly_zscore" -> (c8 _))
 
   val oracles: Map[String, String] = Map(
+    "c17_rate_of_change" -> c17Sql,
     "c16_ewma" -> c16Sql,
     "c15_interpolate" -> c15Sql,
     "c13_asof_tolerance" -> c13Sql,
