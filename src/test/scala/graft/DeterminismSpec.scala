@@ -14,7 +14,11 @@ class DeterminismSpec extends AnyFunSuite {
   // ranks, LSH joins, cosine folds
   private val sample = Seq("b1_agg", "b5_window_funcs", "b6_topk_group",
     "c4_rolling_stats", "c8_anomaly_zscore", "d9_cosine_topk",
-    "d13_minhash_jaccard_verify", "d15_train_split")
+    "d13_minhash_jaccard_verify", "d15_train_split",
+    // r2 additions: collect-order folds, iterative CC, IVF argmax,
+    // hash sampling, posting-list pair generation
+    "c16_ewma", "c17_rate_of_change", "d18_dup_clusters",
+    "d19_ivf_ann", "d20_stratified_sample", "d21_decontaminate")
 
   private def fingerprint(name: String, partitions: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
