@@ -199,6 +199,27 @@ object TimeSeriesOps {
     * Stats join back broadcast: two scans, zero extra shuffles of
     * the fact.
     */
+  /** Scalable point-in-interval (range) join: each interval explodes
+    * to the fixed-width time buckets it overlaps and each point
+    * carries its single bucket, so the range predicate evaluates only
+    * within (key, bucket) equi-groups — a hash-partitioned equi-join,
+    * never a theta/nested-loop join. Pick `bucketUs` on the order of
+    * the typical interval length: an interval explodes to
+    * O(length/bucket + 1) rows and a point probes exactly one bucket,
+    * so the join stays linear in inputs at any scale.
+    */
+  def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
+      key: String, tUs: String, sUs: String, eUs: String,
+      bucketUs: Long): DataFrame = {
+    val bIv = intervals
+      .withColumn("__bk", explode(sequence(
+        expr(s"$sUs div $bucketUs"), expr(s"$eUs div $bucketUs"))))
+    val bPt = points.withColumn("__bk", expr(s"$tUs div $bucketUs"))
+    bPt.join(bIv, Seq(key, "__bk"))
+      .filter(col(tUs).between(col(sUs), col(eUs)))
+      .drop("__bk")
+  }
+
   /** Final exponentially-weighted moving average per key over the
     * time-ordered series: s_0 = x_0, s_t = α·x_t + (1−α)·s_{t−1}.
     * One groupBy shuffle; the recurrence runs as a sequential array

@@ -370,7 +370,41 @@ object TimeSeriesQueries {
       |  abs((value - pv) * 1000000.0 / (t_us - pt)) > 100.0 AS spike
       |FROM w WHERE pv IS NOT NULL AND t_us > pt""".stripMargin
 
+  /** C18 — range join: events against per-(sensor, day) calibration
+    * intervals (first two hours of each sensor's day), via the
+    * bucketed equi-join [[TimeSeriesOps.pointInIntervalJoin]] — the
+    * scale-safe form of a `BETWEEN` theta join (plan audited: no
+    * nested-loop join).
+    */
+  def c18(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+    val iv = e
+      .withColumn("d", expr("t_us div 86400000000"))
+      .groupBy("user_id", "d").agg(min(col("t_us")).as("s_us"))
+      .withColumn("e_us", col("s_us") + lit(7200000000L))
+      .select("user_id", "s_us", "e_us")
+    TimeSeriesOps.pointInIntervalJoin(e, iv, "user_id",
+        "t_us", "s_us", "e_us", bucketUs = 3600000000L)
+      .select(col("user_id"), col("event_id"),
+        expr("t_us div 1000").as("t_ms"),
+        expr("s_us div 1000").as("w_start_ms"))
+  }
+
+  val c18Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+      |iv AS (
+      |  SELECT user_id, t_us // 86400000000 AS d, min(t_us) AS s_us
+      |  FROM e GROUP BY 1, 2)
+      |SELECT e.user_id, e.event_id,
+      |  CAST(e.t_us // 1000 AS BIGINT) AS t_ms,
+      |  CAST(iv.s_us // 1000 AS BIGINT) AS w_start_ms
+      |FROM e JOIN iv ON e.user_id = iv.user_id
+      |  AND e.t_us BETWEEN iv.s_us AND iv.s_us + 7200000000""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "c18_range_join" -> (c18 _),
     "c17_rate_of_change" -> (c17 _),
     "c16_ewma" -> (c16 _),
     "c15_interpolate" -> (c15 _),
@@ -386,6 +420,7 @@ object TimeSeriesQueries {
     "c8_anomaly_zscore" -> (c8 _))
 
   val oracles: Map[String, String] = Map(
+    "c18_range_join" -> c18Sql,
     "c17_rate_of_change" -> c17Sql,
     "c16_ewma" -> c16Sql,
     "c15_interpolate" -> c15Sql,

@@ -83,6 +83,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(p) <= 2) // grouping + the exact count-distinct expand
   }
 
+  test("c18: range join is a hash equi-join, never a nested loop") {
+    val p = plan("c18_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("c16: EWMA is one grouping shuffle, no window sort") {
     val p = plan("c16_ewma")
     assert(shuffles(p) == 1)
