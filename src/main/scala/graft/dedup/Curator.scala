@@ -28,12 +28,14 @@ object Curator {
       minTokens: Int = 5, maxTokens: Int = 10000): DataFrame = {
     val norm = lower(trim(col("text")))
 
-    // 1. exact dedup
-    val hashed = docs.withColumn("content_hash", TextHash.poly_hash(norm))
-    val keepers = hashed
-      .groupBy("content_hash").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val uniqueDocs = docs.join(keepers, "doc_id")
+    // 1. exact dedup: keep the min-id row per content hash with a
+    // window filter — one shuffle over the corpus, no agg+join pair.
+    val uniqueDocs = docs
+      .withColumn("content_hash", TextHash.poly_hash(norm))
+      .withColumn("__keep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
+      .filter(col("doc_id") === col("__keep"))
+      .drop("content_hash", "__keep")
 
     // 2. near-dup drop among survivors
     val nearDup = Dedup.minhashVerifiedPairs(uniqueDocs, "doc_id", "text")

@@ -230,8 +230,13 @@ object SensorQueries {
     // One materialized scan feeding all 31 "daily table" chunks —
     // the reference reads one JDBC table per period; emulating that
     // from a single file must not cost 31 rescans.
+    // Sorted within partitions by day before caching (no shuffle):
+    // each cached batch then spans few day values, so the 31 chunk
+    // filters prune batches via in-memory min/max stats instead of
+    // re-scanning the whole cache 31 times.
     val e = ev(s, dir).withColumn("d", dayofmonth(col("ts")).cast("int"))
       .select("event_id", "user_id", "d", "value")
+      .sortWithinPartitions("d")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = (1 to 31).map { d =>
       val c = e.filter(col("d") === d)
