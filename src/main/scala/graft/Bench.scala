@@ -30,26 +30,28 @@ object Bench {
       catch { case _: Throwable => }
     }
 
-    // Steady-state warmup: run every query once at the smallest SF so
-    // the timed pass measures query cost, not first-touch JIT/codegen
-    // compilation (generated-code cache is keyed by source, so the
-    // sfDir pass reuses these compiled classes).
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => }
-        spark.catalog.clearCache()
-      }
-
     // Optional comma-separated query filter for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
+
+    // Steady-state warmup: run every (selected) query once at the
+    // smallest SF so the timed pass measures query cost, not
+    // first-touch JIT/codegen compilation (generated-code cache is
+    // keyed by source, so the sfDir pass reuses compiled classes).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      catalog.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
+        spark.catalog.clearCache()
+      }
+
     // Best-of-N timing (min per query across passes): a query's cost
     // is a property of the plan, not of whatever else the host was
     // doing during one pass; the pass count is reported in the JSON.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
     val timings = (1 to passes).map { _ =>
       catalog.map { case (name, fn) =>
         val t0 = System.nanoTime()

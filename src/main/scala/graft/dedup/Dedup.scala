@@ -32,7 +32,7 @@ object Dedup {
     * after exact dedup), which is what keeps the quadratic expansion
     * local and small.
     */
-  private[dedup] def bucketPairs(ds: Column): Column =
+  private[graft] def bucketPairs(ds: Column): Column =
     flatten(transform(ds, x =>
       transform(filter(ds, y => y > x),
         y => struct(x.as("d1"), y.as("d2")))))
@@ -170,9 +170,12 @@ object Dedup {
       labels = next.select("n", "lbl")
     }
     adj.unpersist()
-    docs.select(col(id).as("doc_id"))
-      .join(labels.withColumnRenamed("n", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    // The returned plan reads the (small) converged label table,
+    // which stays persisted — callers running many curation batches
+    // in one session should clearCache between batches.
+    docs.select(col(id))
+      .join(labels.withColumnRenamed("n", id), Seq(id), "left")
+      .select(col(id), coalesce(col("lbl"), col(id)).as("cluster_id"))
       .withColumn("csize",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
   }

@@ -210,8 +210,14 @@ object TimeSeriesOps {
     */
   def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
       key: String, tUs: String, sUs: String, eUs: String,
-      bucketUs: Long): DataFrame = {
+      bucketUs: Long, maxBuckets: Int = 1 << 14): DataFrame = {
+    // Data-quality guard: a corrupt interval (wrong time unit,
+    // sentinel far-future end) would explode to millions of bucket
+    // rows and kill the task; empty and over-long intervals are
+    // dropped rather than letting one bad row take down the job.
     val bIv = intervals
+      .filter(col(eUs) >= col(sUs) &&
+        expr(s"$eUs div $bucketUs") - expr(s"$sUs div $bucketUs") <= maxBuckets)
       .withColumn("__bk", explode(sequence(
         expr(s"$sUs div $bucketUs"), expr(s"$eUs div $bucketUs"))))
     val bPt = points.withColumn("__bk", expr(s"$tUs div $bucketUs"))
@@ -240,10 +246,14 @@ object TimeSeriesOps {
       .agg(
         sort_array(collect_list(struct(order :+ value.as("v"): _*))).as("xs"),
         count(lit(1)).as("n"))
+      // project the ordered value array once — Catalyst does not CSE
+      // higher-order-function calls
+      .select(col("key"), col("n"),
+        transform(col("xs"), x => x("v")).as("vals"))
       .select(col("key"), col("n"),
         aggregate(
-          slice(transform(col("xs"), x => x("v")), lit(2), size(col("xs")) - 1),
-          element_at(transform(col("xs"), x => x("v")), 1),
+          slice(col("vals"), lit(2), size(col("vals")) - 1),
+          element_at(col("vals"), 1),
           (acc, x) => x * a + acc * b).as("ewma"))
   }
 

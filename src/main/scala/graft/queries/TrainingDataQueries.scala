@@ -232,9 +232,7 @@ object TrainingDataQueries {
         col("doc_id").cast("double"), col("doc_id"), 21).as("top"))
       .filter(size(col("top")).between(2, 20))
       .select(transform(col("top"), t => t("id")).as("ds"))
-      .select(explode(flatten(transform(col("ds"), x =>
-        transform(filter(col("ds"), y => y > x),
-          y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(explode(graft.dedup.Dedup.bucketPairs(col("ds"))).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("shared_rare"))
       .filter(col("shared_rare") >= 5)
@@ -686,7 +684,8 @@ object TrainingDataQueries {
        |  SELECT vec_id,
        |    list_transform(embedding, ed_x -> CAST(ed_x AS DOUBLE)) AS e
        |  FROM embeddings),
-       |v AS (SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM vn),
+       |v AS (SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM vn
+       |      WHERE sqrt(${duckDot("e", "e")}) > 0),
        |cents AS (
        |  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v
        |  ORDER BY vec_id LIMIT 16),

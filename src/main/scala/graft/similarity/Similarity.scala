@@ -128,8 +128,11 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
       k: Int, kCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Zero-norm vectors are excluded up front: 0/0 cosine is NaN,
+    // whose ordering is engine-divergent (same guard as d17).
     val v = corpus.select(col(id).as("vid"), toDouble(col(vec)).as("v"))
       .withColumn("nrm", norm2(col("v")))
+      .filter(col("nrm") > 0)
       .persist(lvl)
     val cents = v.orderBy("vid").limit(kCentroids)
       .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
@@ -144,6 +147,7 @@ object Similarity {
     val lists = v.join(assign, "vid")
     val q = queries.select(col(id).as("q_id"), toDouble(col(vec)).as("qv"))
       .withColumn("qnrm", norm2(col("qv")))
+      .filter(col("qnrm") > 0)
     val probes = q.crossJoin(broadcast(cents))
       .select(col("q_id"), col("qv"), col("qnrm"), col("cid"),
         (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("csim"))
