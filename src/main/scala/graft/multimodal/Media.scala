@@ -59,4 +59,26 @@ object Media {
       rows.map(r => DecodedRow(r.doc_id, r.n_bytes, decodeBytes(r.payload)))
     }
   }
+
+  /** Deterministic frame sampling: treat the payload as a sequence of
+    * fixed-width frames, emit one row per `stride`-th frame with its
+    * timestamp and a stub per-frame feature (hash of the frame
+    * window — a real pipeline decodes pixels there; the row-per-frame
+    * explode, frame addressing, and timestamping are the production
+    * plumbing). Frame count comes from cheap metadata, so pruning
+    * (e.g. only long documents) can happen before any payload touch.
+    */
+  def frameSample(docs: DataFrame, id: String, text: String,
+      frameChars: Int = 64, stride: Int = 5, frameMs: Long = 100L): DataFrame =
+    docs.filter(length(col(text)) >= 1)
+      .select(col(id).as("doc_id"), col(text).as("__t"),
+        expr(s"(length($text) + ${frameChars - 1}) div $frameChars").as("__nf"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(0L), col("__nf") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * frameMs).as("t_ms"),
+        graft.functions.TextHash.poly_hash(expr(
+          s"substring(__t, cast(frame_idx * $frameChars + 1 as int), $frameChars)"))
+          .as("frame_hash"))
 }

@@ -813,7 +813,27 @@ object TrainingDataQueries {
       |      FROM documents) GROUP BY lang, token))
       |WHERE rk <= 10""".stripMargin
 
+  /** D23 — multimodal frame sampling: every 5th 64-char frame of the
+    * payload, one row per sampled frame with timestamp and a stub
+    * frame feature ([[graft.multimodal.Media.frameSample]] — the
+    * decode is stubbed by a frame-window hash, the row-per-frame
+    * plumbing is the production shape).
+    */
+  def d23(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Media.frameSample(docs(s, dir), "doc_id", "text")
+
+  val d23Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, text, (length(text) + 63) // 64 AS nf
+       |  FROM documents WHERE length(text) >= 1),
+       |fr AS (SELECT doc_id, text, unnest(range(0, nf, 5)) AS idx FROM f)
+       |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+       |  CAST(idx * 100 AS BIGINT) AS t_ms,
+       |  ${duckHash("substr(text, CAST(idx*64+1 AS INT), 64)")} AS frame_hash
+       |FROM fr""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d23_frame_sample" -> (d23 _),
     "d22_term_topk" -> (d22 _),
     "d21_decontaminate" -> (d21 _),
     "d20_stratified_sample" -> (d20 _),
@@ -838,6 +858,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d23_frame_sample" -> d23Sql,
     "d22_term_topk" -> d22Sql,
     "d21_decontaminate" -> d21Sql,
     "d20_stratified_sample" -> d20Sql,
