@@ -3,8 +3,6 @@ package graft.dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextHash
-
 /** End-to-end training-corpus curation (SURVEY §2.D14): the
   * composition an LLM data pipeline actually runs —
   *
@@ -26,12 +24,10 @@ object Curator {
   def curate(spark: SparkSession, docs: DataFrame,
       jacPmThreshold: Int = 500,
       minTokens: Int = 5, maxTokens: Int = 10000): DataFrame = {
-    val norm = lower(trim(col("text")))
-
     // 1. exact dedup: keep the min-id row per content hash with a
     // window filter — one shuffle over the corpus, no agg+join pair.
     val uniqueDocs = docs
-      .withColumn("content_hash", TextHash.poly_hash(norm))
+      .withColumn("content_hash", Dedup.contentHash(col("text")))
       .withColumn("__keep", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
       .filter(col("doc_id") === col("__keep"))

@@ -12,7 +12,7 @@ import graft.functions.TextHash
   * key (content hash, LSH band hash, rare-gram hash, SimHash band) —
   * never an all-pairs comparison — so the shuffle is hash-partitioned
   * and skew-bounded by construction:
-  *  - exact: one aggregation on a 64-bit content hash.
+  *  - exact: one aggregation on a 128-bit content hash.
   *  - MinHash-LSH: 4 band keys per doc; only same-band docs meet.
   *  - SimHash: pigeonhole bands of the signature; dist<=d pairs are
   *    guaranteed to collide on >=1 of d+1 bands (no recall loss).
@@ -21,8 +21,13 @@ import graft.functions.TextHash
   */
 object Dedup {
 
-  /** Normalized content key: lower-cased, trimmed. */
-  def contentHash(text: Column): Column = TextHash.poly_hash(lower(trim(text)))
+  /** Normalized content identity key: 128-bit MD5 of the lower-cased,
+    * trimmed text. Exact-dedup decisions DROP documents, so the key
+    * must make collisions negligible at corpus scale — the ~2^30 poly
+    * hash used for similarity signatures reaches 50% birthday-collision
+    * probability around 38k documents and must never be an identity.
+    */
+  def contentHash(text: Column): Column = md5(lower(trim(text)))
 
   /** All id pairs (d1 < d2) within one candidate bucket, generated
     * from the bucket's posting list instead of a bucket self-join:

@@ -31,21 +31,25 @@ object Media {
       octet_length(col(text).cast("binary")).cast("long").as("n_bytes"))
 
   /** STUB — stands in for a real image/audio decoder. Deterministic
-    * fake features: byte histogram moments. Real implementation
-    * would decode `bytes` with a codec and emit e.g. pixel stats or
-    * an embedding; everything around it (batching, schema,
-    * partition shape) is the production path.
+    * fake features: Unicode code-point moments of the UTF-8 payload
+    * (code points, not raw bytes, so the fake is engine-portable —
+    * SQL oracles see characters, not UTF-8 byte layout). Real
+    * implementation would decode `bytes` with a codec and emit e.g.
+    * pixel stats or an embedding; everything around it (batching,
+    * schema, partition shape) is the production path.
     */
   def decodeBytes(bytes: Array[Byte]): Array[Double] = {
+    val cps = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .codePoints().toArray
     var sum = 0L; var mx = Int.MinValue; var mn = Int.MaxValue
     var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      sum += b; if (b > mx) mx = b; if (b < mn) mn = b
+    while (i < cps.length) {
+      val c = cps(i)
+      sum += c; if (c > mx) mx = c; if (c < mn) mn = c
       i += 1
     }
-    val n = math.max(1, bytes.length)
-    Array(bytes.length.toDouble, sum.toDouble / n, mn.toDouble, mx.toDouble)
+    val n = math.max(1, cps.length)
+    Array(cps.length.toDouble, sum.toDouble / n, mn.toDouble, mx.toDouble)
   }
 
   /** Batched decode over partitions: the per-partition iterator is

@@ -41,9 +41,13 @@ class SensorJob(spark: SparkSession, config: PipelineConfig) {
     }
     val enriched = SensorPipeline.enrich(incremental, tags, "tagid", "id")
       .drop("id", "description", "unit")
+    // t_stamp is constant within a (tagid, datetime) group, so the
+    // conflict winner needs a further total-order key: greatest
+    // value wins deterministically (re-extraction overlaps must
+    // resolve the same way on every run and partitioning).
     SensorPipeline.dedupLatest(enriched,
       keys = Seq(col("tagid"), col("datetime")),
-      orderDesc = Seq(col("t_stamp")))
+      orderDesc = Seq(col("t_stamp"), col("value")))
   }
 
   /** Write one directory per tagpath with bounded file sizes. */
@@ -51,8 +55,15 @@ class SensorJob(spark: SparkSession, config: PipelineConfig) {
     OptimizedWriter.writeOptimized(output, config.outputDir,
       partitionCols = Seq("tagpath"),
       maxRecordsPerFile = config.maxRecordsPerFile,
-      mode = org.apache.spark.sql.SaveMode.valueOf(
-        config.writeMode.toLowerCase.capitalize))
+      mode = config.writeMode.toLowerCase match {
+        case "overwrite" => org.apache.spark.sql.SaveMode.Overwrite
+        case "append" => org.apache.spark.sql.SaveMode.Append
+        case "ignore" => org.apache.spark.sql.SaveMode.Ignore
+        case "error" | "errorifexists" | "default" =>
+          org.apache.spark.sql.SaveMode.ErrorIfExists
+        case other =>
+          throw new IllegalArgumentException(s"unknown write mode: $other")
+      })
 
   /** Read-back validation: per-sensor row counts and time ranges. */
   def validate(): DataFrame =

@@ -204,8 +204,10 @@ object SensorQueries {
     * the write/read round-trip is lossless.
     */
   def a10(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_a10").toString
+    // fixed per-process path, overwritten each run — repeated
+    // bench/verify invocations must not accumulate temp copies
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_a10_${java.lang.ProcessHandle.current().pid()}").toString
     OptimizedWriter.writeOptimized(
       ev(s, dir).select(col("event_id"), col("event_type"),
         epochMs(col("ts")).as("t_ms"), col("value")),

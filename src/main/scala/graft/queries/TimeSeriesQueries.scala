@@ -121,8 +121,14 @@ object TimeSeriesQueries {
     events(s, dir)
       .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(
-        min_by(col("value"), unix_micros(col("ts"))).as("open"),
-        max_by(col("value"), unix_micros(col("ts"))).as("close"),
+        // ordering key includes event_id: same-timestamp readings
+        // must resolve deterministically (QueryUtil's total-order
+        // rule). min/max over a (t, id, value) struct == the oracle's
+        // first/last(value ORDER BY t, id).
+        min(struct(unix_micros(col("ts")).as("t"), col("event_id").as("i"),
+          col("value").as("v")))("v").as("open"),
+        max(struct(unix_micros(col("ts")).as("t"), col("event_id").as("i"),
+          col("value").as("v")))("v").as("close"),
         min(col("value")).as("low"),
         max(col("value")).as("high"),
         moneySum(col("value")).as("sum_value"),
@@ -130,8 +136,8 @@ object TimeSeriesQueries {
 
   val c5Sql: String =
     """SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
-      |  arg_min(value, epoch_us(ts)) AS open,
-      |  arg_max(value, epoch_us(ts)) AS close,
+      |  first(value ORDER BY epoch_us(ts), event_id) AS open,
+      |  last(value ORDER BY epoch_us(ts), event_id) AS close,
       |  min(value) AS low, max(value) AS high,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
       |  count(*) AS n

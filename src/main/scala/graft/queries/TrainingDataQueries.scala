@@ -42,21 +42,23 @@ object TrainingDataQueries {
   private val duckNorm = "lower(trim(text))"
 
   /** D1 — exact dedup: normalized-content hash groups; keep the
-    * minimum doc id as canonical, count members. At scale this is
-    * one hash-partitioned aggregation on a 64-bit key (no text
-    * comparison shuffle; collisions resolved inside the group by
-    * grouping on the normalized text too).
+    * minimum doc id as canonical, count members. The key is a
+    * 128-bit MD5 of the normalized text (not the 30-bit poly hash —
+    * birthday collisions on a ~2^30 key would silently merge
+    * unrelated documents at corpus scale), so this is one
+    * hash-partitioned aggregation with no text-comparison shuffle
+    * and a negligible collision probability at any realistic size.
     */
   def d1(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("content_hash", TextHash.poly_hash(norm))
+      .withColumn("content_hash", graft.dedup.Dedup.contentHash(col("text")))
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   val d1Sql: String =
-    s"""SELECT ${duckHash(duckNorm)} AS content_hash,
-       |       min(doc_id) AS keeper_id, count(*) AS n_copies
-       |FROM documents GROUP BY 1""".stripMargin
+    """SELECT md5(lower(trim(text))) AS content_hash,
+      |       min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
 
   /** D2 — token counting: whitespace tokens, a BPE-ish regex token
     * count (letter runs / digit runs / single punctuation), and
@@ -170,16 +172,23 @@ object TrainingDataQueries {
     */
   def d5(s: SparkSession, dir: String): DataFrame = {
     val sh = TextHash.shingle_hashes(norm, 8)
-    val fps = array_distinct(transform(
-      sequence(lit(0), size(sh) - 4),
-      i => array_min(slice(sh, i + 1, lit(4)))))
+    // Guarded for docs with fewer than 4 shingles: an unguarded
+    // sequence(0, size-4) would descend through negative indices and
+    // crash slice(); the oracle's range() is empty there, so short
+    // docs must yield an empty fingerprint set (NULL min/max/sum).
+    val fps = when(size(sh) >= 4,
+      array_distinct(transform(
+        sequence(lit(0), size(sh) - 4),
+        i => array_min(slice(sh, i + 1, lit(4))))))
+      .otherwise(array().cast("array<bigint>"))
     docs(s, dir)
       .withColumn("fps", fps)
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fp"),
         array_min(col("fps")).as("min_fp"),
         array_max(col("fps")).as("max_fp"),
-        aggregate(col("fps"), lit(0L), (a, x) => a + x).as("sum_fp"))
+        when(size(col("fps")) > 0,
+          aggregate(col("fps"), lit(0L), (a, x) => a + x)).as("sum_fp"))
   }
 
   val d5Sql: String =
@@ -355,7 +364,10 @@ object TrainingDataQueries {
   val d9Sql: String =
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, ed_x -> CAST(ed_x AS DOUBLE)) AS e
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE sqrt(${duckDot(
+              "list_transform(embedding, zn_x -> CAST(zn_x AS DOUBLE))",
+              "list_transform(embedding, zn_x -> CAST(zn_x AS DOUBLE))")}) > 0),
        |pairs AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
        |    ${duckDot("q.e", "c.e")} /
@@ -379,7 +391,10 @@ object TrainingDataQueries {
     s"""WITH v AS (
        |  SELECT vec_id, label,
        |    list_transform(embedding, ed_x -> CAST(ed_x AS DOUBLE)) AS e
-       |  FROM embeddings)
+       |  FROM embeddings
+       |  WHERE sqrt(${duckDot(
+              "list_transform(embedding, zn_x -> CAST(zn_x AS DOUBLE))",
+              "list_transform(embedding, zn_x -> CAST(zn_x AS DOUBLE))")}) > 0)
        |SELECT a.vec_id AS id1, b.vec_id AS id2,
        |  ${duckDot("a.e", "b.e")} /
        |    (sqrt(${duckDot("a.e", "a.e")}) * sqrt(${duckDot("b.e", "b.e")})) AS cos
@@ -403,7 +418,10 @@ object TrainingDataQueries {
   def d12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sp: SparkSession = s
-    val payloads = graft.multimodal.Media.asPayloads(docs(s, dir), "doc_id", "text")
+    // empty payloads excluded on both sides: the stub's empty-input
+    // sentinels (Int.MaxValue/MinValue) have no SQL NULL analogue
+    val payloads = graft.multimodal.Media.asPayloads(
+      docs(s, dir).filter(length(col("text")) >= 1), "doc_id", "text")
     val decoded = graft.multimodal.Media.decodeStub(
       payloads.as[graft.multimodal.Media.MediaRow]).toDF()
     decoded
@@ -421,7 +439,7 @@ object TrainingDataQueries {
        |    ${duckHash("text")} AS checksum,
        |    list_transform(range(1, length(text)+1),
        |      bc_i -> CAST(unicode(text[bc_i]) AS BIGINT)) AS cs
-       |  FROM documents)
+       |  FROM documents WHERE length(text) >= 1)
        |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, checksum,
        |  CAST(list_sum(cs) AS DOUBLE) / greatest(len(cs), 1) AS f_mean,
        |  CAST(list_min(cs) AS DOUBLE) AS f_min,
@@ -474,7 +492,7 @@ object TrainingDataQueries {
   val d14Sql: String =
     s"""WITH keepers AS (
        |  SELECT min(doc_id) AS doc_id
-       |  FROM (SELECT doc_id, ${duckHash(duckNorm)} AS ch FROM documents)
+       |  FROM (SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents)
        |  GROUP BY ch),
        |uniq AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
        |n AS (
@@ -647,7 +665,7 @@ object TrainingDataQueries {
        |  WHERE CAST(len(list_intersect(s1.shset, s2.shset)) AS BIGINT) * 1000
        |      // (len(s1.shset) + len(s2.shset)
        |          - len(list_intersect(s1.shset, s2.shset))) >= 500),
-       |exacth AS (SELECT doc_id, ${duckHash(duckNorm)} AS ch FROM documents),
+       |exacth AS (SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents),
        |exactp AS (
        |  SELECT min(doc_id) OVER (PARTITION BY ch) AS d1, doc_id AS d2
        |  FROM exacth QUALIFY d2 != d1),

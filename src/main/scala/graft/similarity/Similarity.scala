@@ -40,10 +40,14 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, id: String,
       vec: String, k: Int): DataFrame = {
+    // zero-norm vectors excluded: 0/0 cosine is NaN and engines
+    // disagree on NaN ordering/comparison
     val q = queries.select(col(id).as("q_id"), toDouble(col(vec)).as("q_vec"))
       .withColumn("q_norm", norm2(col("q_vec")))
+      .filter(col("q_norm") > 0)
     val c = corpus.select(col(id).as("n_id"), toDouble(col(vec)).as("n_vec"))
       .withColumn("n_norm", norm2(col("n_vec")))
+      .filter(col("n_norm") > 0)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
@@ -176,6 +180,7 @@ object Similarity {
     val v = vectors.select(col(id), col(blockKey).as("blk"),
         toDouble(col(vec)).as("v"))
       .withColumn("nrm", norm2(col("v")))
+      .filter(col("nrm") > 0) // NaN cosine guard, as in ivfTopK/d17
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     v.as("l").join(v.as("r"),
         col("l.blk") === col("r.blk") && col(s"l.$id") < col(s"r.$id"))

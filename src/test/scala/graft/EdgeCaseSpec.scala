@@ -64,6 +64,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(cl(1L) == 1L && cl(2L) == 1L && cl(3L) == 3L)
   }
 
+  test("d5 fingerprinting survives documents with fewer than 4 shingles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_d5").toString
+    mkDocs(Seq((1L, "tiny", "en"),
+      (2L, "a somewhat longer document body so shingles exist here", "en")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("d5_fingerprint")(spark, dir).collect()
+    val tiny = rows.find(_.getLong(0) == 1L).get
+    assert(tiny.getLong(1) == 0 && tiny.isNullAt(2) && tiny.isNullAt(4))
+    assert(rows.find(_.getLong(0) == 2L).get.getLong(1) > 0)
+  }
+
+  test("zero-norm vectors are excluded, not NaN-ranked") {
+    val e = Seq(
+      (1L, Array(1f, 0f), "a"), (2L, Array(0.9f, 0.1f), "a"),
+      (3L, Array(0f, 0f), "a")) // zero vector
+      .toDF("vec_id", "embedding", "label")
+    val bf = Similarity.bruteForceTopK(e.filter(col("vec_id") === 1), e,
+      "vec_id", "embedding", 5).collect()
+    assert(bf.map(_.getLong(2)).toSet == Set(2L)) // 3 excluded, no NaN rank
+    val nd = Similarity.nearDupPairs(e, "vec_id", "embedding", "label", 0.4)
+    assert(nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("empty embedding set: brute-force and IVF return no rows") {
     val e = Seq.empty[(Long, Array[Float], String)]
       .toDF("vec_id", "embedding", "label")

@@ -71,7 +71,7 @@ class PropertySpec extends AnyFunSuite {
         .filter(col("jac_pm") >= 500).select("d1", "d2")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val exact = docs.collect()
-        .map(r => (r.getLong(0), TextHash.polyHashStr(r.getString(1).trim.toLowerCase)))
+        .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase))
         .groupBy(_._2).values.map(_.map(_._1).sorted)
         .filter(_.length > 1).flatMap(g => g.tail.map((g.head, _)))
       val parent = scala.collection.mutable.Map((1L to 40L).map(i => i -> i): _*)

@@ -21,11 +21,12 @@ class Round2OpsSpec extends AnyFunSuite {
     val near = Dedup.minhashVerifiedPairs(docs, "doc_id", "text")
       .filter(col("jac_pm") >= 500)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
-    // independent exact-dup edges: naive Scala hash of normalized text
-    val byHash = docs.select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), TextHash.polyHashStr(r.getString(1).trim.toLowerCase)))
+    // independent exact-dup edges: group by the normalized text
+    // itself (true identity, no hash involved)
+    val byText = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase))
       .groupBy(_._2).values.map(_.map(_._1).sorted)
-    val exact = byHash.filter(_.length > 1)
+    val exact = byText.filter(_.length > 1)
       .flatMap(g => g.tail.map(d => (g.head, d)))
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
     val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
