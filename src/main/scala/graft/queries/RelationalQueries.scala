@@ -373,7 +373,32 @@ object RelationalQueries {
       |UNION ALL
       |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_tax', l_tax FROM lineitem""".stripMargin
 
+  /** B18 — explicit skew-salted fact⋈fact join: hot keys (above a
+    * frequency threshold) take the salted path (key spread over 4
+    * salt partitions, right side replicated), cold keys the plain
+    * hash join ([[graft.operators.SkewJoin.hybridSkewJoin]]).
+    * Salting is result-invariant, so the oracle is the plain join —
+    * proving the skew machinery preserves semantics exactly.
+    */
+  def b18(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+    val r = t(s, dir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.operators.SkewJoin
+      .hybridSkewJoin(l, r, "okey", saltFactor = 4, hotThreshold = 5)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val b18Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "b18_skew_salted_join" -> (b18 _),
     "b17_unpivot" -> (b17 _),
     "b16_sketch_contract" -> (b16 _),
     "b15_supplier_stats" -> (b15 _),
@@ -393,6 +418,7 @@ object RelationalQueries {
     "b12_distinct" -> (b12 _))
 
   val oracles: Map[String, String] = Map(
+    "b18_skew_salted_join" -> b18Sql,
     "b17_unpivot" -> b17Sql,
     "b16_sketch_contract" -> b16Sql,
     "b15_supplier_stats" -> b15Sql,
