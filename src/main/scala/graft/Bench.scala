@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Driver benchmark: one timed pass over every SURVEY §2 query at
   * SPARK_GRAFT_SF_DIR, after warming the session (FS cache, JIT,

@@ -16,9 +16,11 @@ class DeterminismSpec extends AnyFunSuite {
     "c4_rolling_stats", "c8_anomaly_zscore", "d9_cosine_topk",
     "d13_minhash_jaccard_verify", "d15_train_split",
     // r2 additions: collect-order folds, iterative CC, IVF argmax,
-    // hash sampling, posting-list pair generation
-    "c16_ewma", "c17_rate_of_change", "d18_dup_clusters",
-    "d19_ivf_ann", "d20_stratified_sample", "d21_decontaminate")
+    // hash sampling, posting-list pair generation, row-hash salting
+    "c16_ewma", "c17_rate_of_change", "c18_range_join",
+    "d18_dup_clusters", "d19_ivf_ann", "d20_stratified_sample",
+    "d21_decontaminate", "d22_term_topk", "b18_skew_salted_join",
+    "c5_downsample")
 
   private def fingerprint(name: String, partitions: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
