@@ -40,16 +40,56 @@ object Curator {
     val deduped = uniqueDocs.join(nearDup, Seq("doc_id"), "left_anti")
 
     // 3. quality gate
-    val toks = split(trim(lower(col("text"))), "\\s+")
     deduped
-      .withColumn("ws_tokens", size(toks).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
-      .withColumn("n_stop", size(filter(toks,
-        t => t.isin(Seq("the", "a", "of", "and", "to", "in").map(lit(_)): _*)))
-        .cast("long"))
-      .filter(expr("n_distinct * 10000 div ws_tokens") > 3000 &&
-        expr("n_stop * 10000 div ws_tokens") < 4000 &&
-        col("ws_tokens").between(minTokens, maxTokens))
+      .withColumn("ws_tokens", qualityTokens)
+      .withColumn("n_distinct", qualityDistinct)
+      .withColumn("n_stop", qualityStop)
+      .filter(qualityOk(minTokens, maxTokens))
       .select(col("doc_id"), col("lang"), col("ws_tokens"))
+  }
+
+  private def toks = split(trim(lower(col("text"))), "\\s+")
+  private def qualityTokens = size(toks).cast("long")
+  private def qualityDistinct = size(array_distinct(toks)).cast("long")
+  private def qualityStop = size(filter(toks,
+    t => t.isin(Seq("the", "a", "of", "and", "to", "in").map(lit(_)): _*)))
+    .cast("long")
+  private def qualityOk(minTokens: Int, maxTokens: Int) =
+    expr("n_distinct * 10000 div ws_tokens") > 3000 &&
+      expr("n_stop * 10000 div ws_tokens") < 4000 &&
+      col("ws_tokens").between(minTokens, maxTokens)
+
+  /** Curation observability: every document's fate — `kept`,
+    * `exact_dup`, `near_dup`, or `low_quality` — with identical
+    * stage semantics to [[curate]] (the `kept` count equals
+    * curate's row count by construction), attributed in one pass
+    * and aggregated per fate. This is the per-stage drop report a
+    * production pipeline ships to its monitoring, as the same
+    * shuffle-bounded plan shape as the curation itself.
+    */
+  def fates(spark: SparkSession, docs: DataFrame,
+      jacPmThreshold: Int = 500,
+      minTokens: Int = 5, maxTokens: Int = 10000): DataFrame = {
+    val flagged = docs
+      .withColumn("content_hash", Dedup.contentHash(col("text")))
+      .withColumn("__keep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
+    val uniqueDocs = flagged.filter(col("doc_id") === col("__keep"))
+      .drop("content_hash", "__keep")
+    val nearDup = Dedup.minhashVerifiedPairs(uniqueDocs, "doc_id", "text")
+      .filter(col("jac_pm") >= jacPmThreshold)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("__near", lit(true))
+    flagged
+      .join(nearDup, Seq("doc_id"), "left")
+      .withColumn("ws_tokens", qualityTokens)
+      .withColumn("n_distinct", qualityDistinct)
+      .withColumn("n_stop", qualityStop)
+      .select(
+        when(col("doc_id") =!= col("__keep"), "exact_dup")
+          .when(col("__near"), "near_dup")
+          .when(!qualityOk(minTokens, maxTokens), "low_quality")
+          .otherwise("kept").as("fate"))
+      .groupBy("fate").agg(count(lit(1)).as("n"))
   }
 }

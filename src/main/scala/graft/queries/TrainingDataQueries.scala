@@ -850,7 +850,62 @@ object TrainingDataQueries {
        |  ${duckHash("substr(text, CAST(idx*64+1 AS INT), 64)")} AS frame_hash
        |FROM fr""".stripMargin
 
+  /** D24 — curation observability: per-document fate attribution
+    * (kept / exact_dup / near_dup / low_quality) with the exact
+    * stage semantics of d14, aggregated per fate in one pass
+    * ([[graft.dedup.Curator.fates]]). The `kept` count equals d14's
+    * row count by construction (asserted in Round2OpsSpec).
+    */
+  def d24(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Curator.fates(s, docs(s, dir))
+
+  val d24Sql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, text,
+       |    min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, lower(trim(text)) AS s FROM u
+       |  WHERE doc_id = keep_id AND length(lower(trim(text))) >= 8),
+       |sh AS (SELECT doc_id, ${duckShingles("s", 8)} AS h FROM n),
+       |sig AS (SELECT doc_id, $duckMinhashSig AS sg,
+       |        list_distinct(h) AS shset FROM sh),
+       |bands AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
+       |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
+       |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM sig)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash
+       |      AND a.doc_id < b.doc_id),
+       |dropped AS (
+       |  SELECT DISTINCT d2 AS doc_id FROM cand
+       |  JOIN sig s1 ON d1 = s1.doc_id
+       |  JOIN sig s2 ON d2 = s2.doc_id
+       |  WHERE CAST(len(list_intersect(s1.shset, s2.shset)) AS BIGINT) * 1000
+       |      // (len(s1.shset) + len(s2.shset)
+       |          - len(list_intersect(s1.shset, s2.shset))) >= 500),
+       |meta AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(trim(lower(text)), '\\s+')) AS ws_tokens,
+       |    len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS n_distinct,
+       |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |        t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop
+       |  FROM documents)
+       |SELECT fate, count(*) AS n FROM (
+       |  SELECT CASE WHEN u.doc_id <> u.keep_id THEN 'exact_dup'
+       |    WHEN u.doc_id IN (SELECT doc_id FROM dropped) THEN 'near_dup'
+       |    WHEN NOT (m.n_distinct * 10000 // m.ws_tokens > 3000
+       |      AND m.n_stop * 10000 // m.ws_tokens < 4000
+       |      AND m.ws_tokens BETWEEN 5 AND 10000) THEN 'low_quality'
+       |    ELSE 'kept' END AS fate
+       |  FROM u JOIN meta m USING (doc_id))
+       |GROUP BY fate""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d24_curation_report" -> (d24 _),
     "d23_frame_sample" -> (d23 _),
     "d22_term_topk" -> (d22 _),
     "d21_decontaminate" -> (d21 _),
@@ -876,6 +931,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d24_curation_report" -> d24Sql,
     "d23_frame_sample" -> d23Sql,
     "d22_term_topk" -> d22Sql,
     "d21_decontaminate" -> d21Sql,

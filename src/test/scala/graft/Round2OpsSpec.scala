@@ -50,6 +50,14 @@ class Round2OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) == sizes(r.getLong(1))))
   }
 
+  test("d24: fate attribution is exhaustive and kept equals curate") {
+    val fates = graft.dedup.Curator.fates(spark, docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fates.values.sum == docs.count())
+    assert(fates.getOrElse("kept", 0L) ==
+      graft.dedup.Curator.curate(spark, docs).count())
+  }
+
   test("d19: IVF top-k is well-formed and overlaps brute force") {
     val q = embs.filter(col("vec_id") % 50 === 0)
     val ivf = Similarity.ivfTopK(q, embs, "vec_id", "embedding", k = 5)
