@@ -33,18 +33,22 @@ object Curator {
       .filter(col("doc_id") === col("__keep"))
       .drop("content_hash", "__keep")
 
-    // 2. near-dup drop among survivors
-    val nearDup = Dedup.minhashVerifiedPairs(uniqueDocs, "doc_id", "text")
+    // 2. near-dup drop among survivors (stage 1 already dedup'd —
+    // skip minhashVerifiedPairs' internal prefilter)
+    val nearDup = Dedup.minhashVerifiedPairs(uniqueDocs, "doc_id", "text",
+        prededup = false)
       .filter(col("jac_pm") >= jacPmThreshold)
       .select(col("d2").as("doc_id")).distinct()
     val deduped = uniqueDocs.join(nearDup, Seq("doc_id"), "left_anti")
 
-    // 3. quality gate
+    // 3. quality gate — NULL-predicate rows (e.g. null text) must be
+    // dropped as low-quality, and [[fates]] must classify them the
+    // same way: coalesce to false on BOTH paths, not just here.
     deduped
       .withColumn("ws_tokens", qualityTokens)
       .withColumn("n_distinct", qualityDistinct)
       .withColumn("n_stop", qualityStop)
-      .filter(qualityOk(minTokens, maxTokens))
+      .filter(coalesce(qualityOk(minTokens, maxTokens), lit(false)))
       .select(col("doc_id"), col("lang"), col("ws_tokens"))
   }
 
@@ -76,7 +80,8 @@ object Curator {
         org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
     val uniqueDocs = flagged.filter(col("doc_id") === col("__keep"))
       .drop("content_hash", "__keep")
-    val nearDup = Dedup.minhashVerifiedPairs(uniqueDocs, "doc_id", "text")
+    val nearDup = Dedup.minhashVerifiedPairs(uniqueDocs, "doc_id", "text",
+        prededup = false)
       .filter(col("jac_pm") >= jacPmThreshold)
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("__near", lit(true))
@@ -88,7 +93,12 @@ object Curator {
       .select(
         when(col("doc_id") =!= col("__keep"), "exact_dup")
           .when(col("__near"), "near_dup")
-          .when(!qualityOk(minTokens, maxTokens), "low_quality")
+          // coalesce mirrors curate's filter: a NULL quality
+          // predicate (null text) is a drop there, so it must be
+          // low_quality here — otherwise the when-chain would fall
+          // through to 'kept' and break kept == curate-count.
+          .when(!coalesce(qualityOk(minTokens, maxTokens), lit(false)),
+            "low_quality")
           .otherwise("kept").as("fate"))
       .groupBy("fate").agg(count(lit(1)).as("n"))
   }

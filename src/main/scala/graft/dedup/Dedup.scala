@@ -10,8 +10,21 @@ import graft.functions.TextHash
   * Scale design: every method is candidate-generation + verification.
   * Candidate generation is always an equi-join on a small derived
   * key (content hash, LSH band hash, rare-gram hash, SimHash band) —
-  * never an all-pairs comparison — so the shuffle is hash-partitioned
-  * and skew-bounded by construction:
+  * never an all-pairs comparison — so the shuffle is hash-partitioned.
+  * Candidate-bucket sizes are bounded by two explicit mechanisms
+  * (band selectivity alone is NOT a bound — a duplicate-heavy corpus
+  * puts every copy in the same band bucket):
+  *  1. exact-dedup prefilter (`prededup`, on by default): near-dup
+  *     candidate generation runs on one representative per content
+  *     hash, so exact duplicates — the only unbounded skew source a
+  *     similarity key can't separate — never meet in a bucket;
+  *  2. a posting-list cap (`maxBucket`): each bucket keeps at most
+  *     `maxBucket` ids, enforced INSIDE the aggregation by a bounded
+  *     top-k heap (map-side state and shuffled bytes are both capped,
+  *     like d6's rare-gram df cap). A bucket past the cap is a
+  *     degenerate band (boilerplate corpus) whose pairs carry no
+  *     near-dup signal at that volume.
+  * Within those bounds:
   *  - exact: one aggregation on a 128-bit content hash.
   *  - MinHash-LSH: 4 band keys per doc; only same-band docs meet.
   *  - SimHash: pigeonhole bands of the signature; dist<=d pairs are
@@ -32,15 +45,44 @@ object Dedup {
   /** All id pairs (d1 < d2) within one candidate bucket, generated
     * from the bucket's posting list instead of a bucket self-join:
     * the groupBy that builds the list is the only shuffle, and pair
-    * expansion happens bucket-locally. Bucket sizes are bounded by
-    * construction upstream (rare-gram df cap, LSH band selectivity
-    * after exact dedup), which is what keeps the quadratic expansion
-    * local and small.
+    * expansion happens bucket-locally. Callers must bound the posting
+    * list BEFORE it reaches this expansion (rare-gram df cap,
+    * [[cappedBucket]]) — the quadratic blowup is only safe because
+    * the list is capped.
     */
   private[graft] def bucketPairs(ds: Column): Column =
     flatten(transform(ds, x =>
       transform(filter(ds, y => y > x),
         y => struct(x.as("d1"), y.as("d2")))))
+
+  /** Bounded posting list: the `maxBucket` smallest ids of the
+    * group, as a sorted array. State is a bounded heap
+    * ([[graft.functions.TopKAgg]]), so the map side holds and ships
+    * at most `maxBucket` entries per bucket regardless of how
+    * degenerate the key distribution is — the skew defense for all
+    * bucket-pair candidate generation. Deterministic (ids, not
+    * arrival order). Requires a numeric id.
+    */
+  private[graft] def cappedBucket(id: Column, maxBucket: Int): Column =
+    transform(
+      graft.functions.TopKAgg.top_k(-id.cast("double"), id, maxBucket),
+      t => t("id"))
+
+  /** One representative (minimum id) per normalized-content hash:
+    * the exact-dedup prefilter run before near-dup candidate
+    * generation. Exact duplicates collide on EVERY similarity key,
+    * so without this filter a duplicate-heavy corpus concentrates in
+    * single band buckets; with it, near-dup buckets only ever hold
+    * content-distinct docs. One window shuffle on the content hash.
+    */
+  private[graft] def contentReps(docs: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("__ch", contentHash(col(text)))
+      .withColumn("__rep", min(col(id)).over(Window.partitionBy("__ch")))
+      .filter(col(id) === col("__rep"))
+      .drop("__ch", "__rep")
+  }
 
   /** Exact dedup: group by content hash, keep the smallest id. */
   def exact(docs: DataFrame, id: String, text: String): DataFrame =
@@ -73,15 +115,24 @@ object Dedup {
   /** MinHash-LSH candidate pairs (distinct doc pairs sharing >= 1
     * band) with estimated (signature agreement out of numPerms) and
     * exact (shingle-set) Jaccard, as exact integer per-milles.
+    *
+    * `prededup` (default on) restricts candidate generation to one
+    * representative per content hash — exact duplicates are
+    * identity-dedup's job (D1) and would otherwise concentrate a
+    * duplicate-heavy corpus into single band buckets. `maxBucket`
+    * caps each band bucket's posting list at the smallest ids
+    * (bounded agg state; see [[cappedBucket]]).
     */
   def minhashVerifiedPairs(docs: DataFrame, id: String, text: String,
-      shingleK: Int = 8, numPerms: Int = 16, bands: Int = 4): DataFrame = {
+      shingleK: Int = 8, numPerms: Int = 16, bands: Int = 4,
+      prededup: Boolean = true, maxBucket: Int = 512): DataFrame = {
     val rowsPerBand = numPerms / bands
+    val base = if (prededup) contentReps(docs, id, text) else docs
     // Materialized once: the signature feeds BOTH band-key candidate
     // generation and verification (and the table is joined twice) —
     // without the persist the O(perms·|text|) signature expression
     // would re-run per use.
-    val features = docs
+    val features = base
       .filter(length(lower(trim(col(text)))) >= shingleK)
       .select(col(id),
         minhashSignature(col(text), shingleK, numPerms).as("sig"),
@@ -96,7 +147,7 @@ object Dedup {
     val cand = features
       .select(col(id), explode(array(bandCols: _*)).as("bh"))
       .groupBy(col("bh.band"), col("bh.band_hash"))
-      .agg(collect_list(col(id)).as("ds"))
+      .agg(cappedBucket(col(id), maxBucket).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(bucketPairs(col("ds"))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
@@ -123,29 +174,40 @@ object Dedup {
     * the form a curation pipeline needs to keep one representative
     * per duplicate group when near-dup relations are transitive.
     *
-    * Scale shape: min-label propagation — each iteration is one
-    * equi-join (frontier ⋈ adjacency) + one min-aggregation, and the
-    * loop runs O(cluster diameter) times with a cheap convergence
-    * count per step. Near-dup clusters are shallow (diameter rarely
-    * above single digits), so iterations stay few even at corpus
-    * scale; the adjacency list, not an all-pairs closure, is what
-    * shuffles. (For adversarial deep-chain graphs the same loop
-    * accepts an alternating small-star/large-star rewrite; the join
-    * structure is identical.)
+    * Scale shape: the exact-duplicate relation is CONTRACTED before
+    * the iterative part — every doc maps to its content-hash
+    * representative (one window shuffle), near-dup edges are found
+    * among representatives only (copies have identical shingle sets,
+    * so rep edges carry the full relation), and min-label
+    * propagation runs on that contracted graph. A duplicate-heavy
+    * corpus therefore never enters the loop: a million copies are
+    * one node. Expansion back to documents is a single equi-join.
+    * The representative is the min id of its group, so the
+    * contracted min-label equals the document-level min label.
+    *
+    * The loop itself: each iteration is one equi-join (frontier ⋈
+    * adjacency) + one min-aggregation, run O(near-dup-cluster
+    * diameter) times — shallow in practice — with a cheap
+    * convergence count per step. (For adversarial deep-chain graphs
+    * the same loop accepts an alternating small-star/large-star
+    * rewrite; the join structure is identical.)
     */
   def dupClusters(docs: DataFrame, id: String, text: String,
       jacPm: Int = 500): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val exactPairs = docs
-      .select(col(id), contentHash(col(text)).as("h"))
-      .withColumn("m", min(col(id)).over(Window.partitionBy("h")))
-      .filter(col(id) =!= col("m"))
-      .select(col("m").as("d1"), col(id).as("d2"))
-    val nearPairs = minhashVerifiedPairs(docs, id, text)
+    // One window pass computes the contraction map (doc -> rep) used
+    // both to pick near-dup inputs and to expand labels at the end.
+    val withRep = docs
+      .select(col(id), col(text))
+      .withColumn("__h", contentHash(col(text)))
+      .withColumn("rep", min(col(id)).over(Window.partitionBy("__h")))
+      .persist(lvl)
+    val nearPairs = minhashVerifiedPairs(
+        withRep.filter(col(id) === col("rep")), id, text, prededup = false)
       .filter(col("jac_pm") >= jacPm)
       .select("d1", "d2")
-    val edges = exactPairs.unionByName(nearPairs).distinct()
+    val edges = nearPairs.distinct()
     val adj = edges
       .unionByName(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(lvl)
@@ -175,12 +237,15 @@ object Dedup {
       labels = next.select("n", "lbl")
     }
     adj.unpersist()
-    // The returned plan reads the (small) converged label table,
-    // which stays persisted — callers running many curation batches
-    // in one session should clearCache between batches.
-    docs.select(col(id))
-      .join(labels.withColumnRenamed("n", id), Seq(id), "left")
-      .select(col(id), coalesce(col("lbl"), col(id)).as("cluster_id"))
+    // Expand contracted labels back to documents: a doc's cluster is
+    // its rep's near-dup component label, or the rep itself when the
+    // rep touches no near edge. The returned plan reads the (small)
+    // converged label table and the contraction map, which stay
+    // persisted — callers running many curation batches in one
+    // session should clearCache between batches.
+    withRep.select(col(id), col("rep"))
+      .join(labels.withColumnRenamed("n", "rep"), Seq("rep"), "left")
+      .select(col(id), coalesce(col("lbl"), col("rep")).as("cluster_id"))
       .withColumn("csize",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
   }
@@ -190,14 +255,27 @@ object Dedup {
     * document-specific, so signatures spread); pairs within
     * `maxDist` hamming distance found via pigeonhole banding
     * (exact — no recall loss for dist <= maxDist).
+    *
+    * Same skew defenses as [[minhashVerifiedPairs]]: candidate
+    * generation runs on content-hash representatives (`prededup`)
+    * and each band bucket's posting list is capped at the
+    * `maxBucket` smallest ids inside the aggregation; the hamming
+    * distance is then computed by joining the signature table back
+    * onto the distinct candidate pairs (signature evaluated once per
+    * doc, shuffled bytes bounded per bucket).
     */
   def simhashPairs(docs: DataFrame, id: String, text: String,
-      bits: Int = 30, maxDist: Int = 3): DataFrame = {
+      bits: Int = 30, maxDist: Int = 3,
+      prededup: Boolean = true, maxBucket: Int = 512): DataFrame = {
+    val base = if (prededup) contentReps(docs, id, text) else docs
     val gramHashes = TextHash.word_gram_hashes(col(text), 3, distinct = false)
-    val sigs = docs
+    // Materialized once: feeds band candidate generation and is
+    // joined twice for verification.
+    val sigs = base
       .select(col(id), TextHash.simhash(gramHashes, bits).as("sh"),
         size(gramHashes).as("__ng"))
       .filter(col("__ng") >= 1).drop("__ng")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = maxDist + 1
     // band b covers bits [off(b), off(b+1)): widths as equal as possible
     val offs = (0 to nBands).map(b => b * bits / nBands)
@@ -207,21 +285,18 @@ object Dedup {
         shiftright(col("sh"), offs(b)).bitwiseAND(lit((1L << width) - 1))
           .as("band_bits"))
     }
-    // Pairs come from each band bucket's posting list: the groupBy
-    // shuffles each doc's (band, bits, sig) exactly once, and the
-    // signature expression is evaluated once per doc per band — never
-    // per candidate pair.
-    sigs.select(col(id), col("sh"), explode(array(bandCols: _*)).as("bb"))
+    val cand = sigs.select(col(id), explode(array(bandCols: _*)).as("bb"))
       .groupBy(col("bb.band"), col("bb.band_bits"))
-      .agg(collect_list(struct(col(id).as("i"), col("sh"))).as("ds"))
+      .agg(cappedBucket(col(id), maxBucket).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(flatten(transform(col("ds"), x =>
-        transform(filter(col("ds"), y => y("i") > x("i")), y =>
-          struct(x("i").as("d1"), y("i").as("d2"),
-            bit_count(x("sh").bitwiseXOR(y("sh"))).cast("long").as("dist"))))))
-        .as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.dist").as("dist"))
+      .select(explode(bucketPairs(col("ds"))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
+    cand
+      .join(sigs.select(col(id).as("d1"), col("sh").as("sh1")), "d1")
+      .join(sigs.select(col(id).as("d2"), col("sh").as("sh2")), "d2")
+      .select(col("d1"), col("d2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
 }

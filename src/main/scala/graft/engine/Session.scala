@@ -24,12 +24,18 @@ object Session {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
-      // Typed aggregates (TopKAgg, collect_list posting lists) run on
-      // ObjectHashAggregate, whose sort-based fallback kicks in at a
-      // default of 128 distinct keys per partition — far too eager for
-      // high-cardinality gram/band keys whose per-key state is bounded
-      // and small. Keep them hash-based.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // Typed aggregates run on ObjectHashAggregate, whose sort-based
+      // fallback kicks in at a default of 128 distinct keys per
+      // partition — far too eager for high-cardinality gram/band keys.
+      // 32768 keys is safe because every object-agg state in the
+      // engine is bounded: TopKAgg heaps (d6's df cap, the Dedup
+      // maxBucket posting-list cap) hold <= k entries, so 32k keys of
+      // state is a few MB. The one unbounded state — ewma's per-key
+      // series array (documented sensor-scale assumption) — groups by
+      // sensor key, whose cardinality is far below any threshold, and
+      // a sort-based fallback would not bound a single key's array
+      // anyway.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "32768")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeriesOps {
 
+  // Unique observe() query names per pointInIntervalJoin call site
+  // (Spark requires observed-metric names to be distinct per query).
+  private val rjSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Tumbling/hopping windows via Spark's native `window()`;
     * epoch-aligned so the bucket of a row is a pure function of its
     * timestamp (map-side partial aggregation works).
@@ -215,9 +219,19 @@ object TimeSeriesOps {
     // sentinel far-future end) would explode to millions of bucket
     // rows and kill the task; empty and over-long intervals are
     // dropped rather than letting one bad row take down the job.
+    // The drop is NOT silent: an observed metric
+    // `dropped_intervals` (query name `graft.pointInIntervalJoin.N`)
+    // reports the count to every QueryExecutionListener on each
+    // action over this plan, so a caller whose intervals are
+    // legitimately longer than maxBuckets·bucketUs sees a non-zero
+    // counter instead of quietly missing join rows. (observe() is a
+    // plan-level agg — free at scale, no extra job or shuffle.)
+    val ok = col(eUs) >= col(sUs) &&
+      expr(s"$eUs div $bucketUs") - expr(s"$sUs div $bucketUs") <= maxBuckets
     val bIv = intervals
-      .filter(col(eUs) >= col(sUs) &&
-        expr(s"$eUs div $bucketUs") - expr(s"$sUs div $bucketUs") <= maxBuckets)
+      .observe(s"graft.pointInIntervalJoin.${rjSeq.incrementAndGet()}",
+        sum(when(ok, 0L).otherwise(1L)).as("dropped_intervals"))
+      .filter(ok)
       .withColumn("__bk", explode(sequence(
         expr(s"$sUs div $bucketUs"), expr(s"$eUs div $bucketUs"))))
     val bPt = points.withColumn("__bk", expr(s"$tUs div $bucketUs"))

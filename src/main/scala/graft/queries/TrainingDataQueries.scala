@@ -289,6 +289,29 @@ object TrainingDataQueries {
       |    (((mh_j+1)*2654435761 % 1000000007) * mh_x
       |      + (mh_j+1)*40503 % 1000000007) % 1000000007)))""".stripMargin
 
+  /** DuckDB fragment: LSH band keys from MinHash signatures `sig(sg)`
+    * + candidate pairs, with the posting-list cap mirrored from
+    * [[graft.dedup.Dedup.minhashVerifiedPairs]] (maxBucket=512: per
+    * band bucket only the 512 smallest doc ids pair up). Expects a
+    * `sig(doc_id, sg, ...)` CTE in scope; defines `bands`, `bandc`,
+    * `cand`.
+    */
+  private val duckBandCand =
+    """bands AS (
+      |  SELECT doc_id, band,
+      |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
+      |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
+      |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM sig)),
+      |bandc AS (
+      |  SELECT * FROM bands
+      |  QUALIFY row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id)
+      |    <= 512),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bandc a JOIN bandc b
+      |    ON a.band = b.band AND a.band_hash = b.band_hash
+      |      AND a.doc_id < b.doc_id)""".stripMargin
+
   /** D7 — MinHash-LSH band index: 16 permutations over 8-char
     * shingles, 4 bands of 4 — each doc emits 4 (band, band_hash)
     * keys; equal keys are the near-dup candidate join.
@@ -312,15 +335,22 @@ object TrainingDataQueries {
   /** D8 — SimHash near-dup pairs: 30-bit signatures over word
     * 3-gram hashes; pairs at hamming distance <= 3 via pigeonhole
     * banding (4 bands; a pair within distance 3 must agree on at
-    * least one band — exact recall, equi-join cost).
+    * least one band — exact recall, equi-join cost). Candidates are
+    * generated among content-hash representatives with capped band
+    * buckets (see [[graft.dedup.Dedup.simhashPairs]]).
     */
   def d8(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
 
   val d8Sql: String =
-    s"""WITH th AS (
-       |  SELECT doc_id, $duckTokenHashes AS h FROM documents
-       |  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
+    s"""WITH u AS (
+       |  SELECT doc_id, text,
+       |    min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS rep
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, $duckTokenHashes AS h FROM u
+       |  WHERE doc_id = rep
+       |    AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
        |gh AS (SELECT doc_id, list_transform(range(1, len(h)-1),
        |    g_i -> ((h[g_i]*31 + h[g_i+1]) % 1000000007 * 31 + h[g_i+2]) % 1000000007)
        |  AS g FROM th),
@@ -332,10 +362,15 @@ object TrainingDataQueries {
        |  SELECT doc_id, sh, b,
        |    (sh >> CAST(b*30//4 AS INT)) &
        |      ((1::BIGINT << CAST((b+1)*30//4 - b*30//4 AS INT)) - 1) AS band_bits
-       |  FROM sig, (SELECT unnest([0,1,2,3]) AS b))
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+       |bandedc AS (
+       |  -- mirrors Dedup maxBucket=512
+       |  SELECT * FROM banded
+       |  QUALIFY row_number() OVER (PARTITION BY b, band_bits ORDER BY doc_id)
+       |    <= 512)
        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
-       |FROM banded a JOIN banded b
+       |FROM bandedc a JOIN bandedc b
        |  ON a.b = b.b AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
 
@@ -447,30 +482,27 @@ object TrainingDataQueries {
        |FROM codes""".stripMargin
 
   /** D13 — LSH candidate verification: for every band-colliding
-    * pair, MinHash-estimated agreement (matches out of 16) vs exact
-    * shingle-set Jaccard (integer per-mille).
+    * pair among content-hash representatives (exact duplicates are
+    * D1's job and would concentrate band buckets), MinHash-estimated
+    * agreement (matches out of 16) vs exact shingle-set Jaccard
+    * (integer per-mille).
     */
   def d13(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.minhashVerifiedPairs(docs(s, dir), "doc_id", "text")
       .select("d1", "d2", "est_matches", "shared", "jac_pm")
 
   val d13Sql: String =
-    s"""WITH n AS (
-       |  SELECT doc_id, lower(trim(text)) AS s FROM documents
-       |  WHERE length(lower(trim(text))) >= 8),
+    s"""WITH u AS (
+       |  SELECT doc_id, text,
+       |    min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS rep
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, lower(trim(text)) AS s FROM u
+       |  WHERE doc_id = rep AND length(lower(trim(text))) >= 8),
        |sh AS (SELECT doc_id, ${duckShingles("s", 8)} AS h FROM n),
        |sig AS (SELECT doc_id, $duckMinhashSig AS sg,
        |        list_distinct(h) AS shset FROM sh),
-       |bands AS (
-       |  SELECT doc_id, band,
-       |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
-       |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
-       |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM sig)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_hash = b.band_hash
-       |      AND a.doc_id < b.doc_id)
+       |$duckBandCand
        |SELECT d1, d2,
        |  CAST(len(list_filter(range(1, 17), vf_i -> s1.sg[vf_i] = s2.sg[vf_i]))
        |    AS BIGINT) AS est_matches,
@@ -501,16 +533,7 @@ object TrainingDataQueries {
        |sh AS (SELECT doc_id, ${duckShingles("s", 8)} AS h FROM n),
        |sig AS (SELECT doc_id, $duckMinhashSig AS sg,
        |        list_distinct(h) AS shset FROM sh),
-       |bands AS (
-       |  SELECT doc_id, band,
-       |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
-       |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
-       |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM sig)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_hash = b.band_hash
-       |      AND a.doc_id < b.doc_id),
+       |$duckBandCand,
        |dropped AS (
        |  SELECT DISTINCT d2 AS doc_id FROM cand
        |  JOIN sig s1 ON d1 = s1.doc_id
@@ -642,22 +665,20 @@ object TrainingDataQueries {
     graft.dedup.Dedup.dupClusters(docs(s, dir), "doc_id", "text")
 
   val d18Sql: String =
-    s"""WITH RECURSIVE n AS (
-       |  SELECT doc_id, lower(trim(text)) AS s FROM documents
-       |  WHERE length(lower(trim(text))) >= 8),
+    s"""WITH RECURSIVE u AS (
+       |  SELECT doc_id, text,
+       |    min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS rep
+       |  FROM documents),
+       |n AS (
+       |  -- near-dup edges among content reps only (mirrors Dedup's
+       |  -- prededup); exact edges below connect the copies, so the
+       |  -- components are unchanged
+       |  SELECT doc_id, lower(trim(text)) AS s FROM u
+       |  WHERE doc_id = rep AND length(lower(trim(text))) >= 8),
        |sh AS (SELECT doc_id, ${duckShingles("s", 8)} AS h FROM n),
        |sig AS (SELECT doc_id, $duckMinhashSig AS sg,
        |        list_distinct(h) AS shset FROM sh),
-       |bands AS (
-       |  SELECT doc_id, band,
-       |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
-       |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
-       |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM sig)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_hash = b.band_hash
-       |      AND a.doc_id < b.doc_id),
+       |$duckBandCand,
        |near AS (
        |  SELECT d1, d2 FROM cand
        |  JOIN sig s1 ON d1 = s1.doc_id
@@ -870,16 +891,7 @@ object TrainingDataQueries {
        |sh AS (SELECT doc_id, ${duckShingles("s", 8)} AS h FROM n),
        |sig AS (SELECT doc_id, $duckMinhashSig AS sg,
        |        list_distinct(h) AS shset FROM sh),
-       |bands AS (
-       |  SELECT doc_id, band,
-       |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
-       |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
-       |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM sig)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_hash = b.band_hash
-       |      AND a.doc_id < b.doc_id),
+       |$duckBandCand,
        |dropped AS (
        |  SELECT DISTINCT d2 AS doc_id FROM cand
        |  JOIN sig s1 ON d1 = s1.doc_id
@@ -897,9 +909,11 @@ object TrainingDataQueries {
        |SELECT fate, count(*) AS n FROM (
        |  SELECT CASE WHEN u.doc_id <> u.keep_id THEN 'exact_dup'
        |    WHEN u.doc_id IN (SELECT doc_id FROM dropped) THEN 'near_dup'
-       |    WHEN NOT (m.n_distinct * 10000 // m.ws_tokens > 3000
+       |    -- coalesce mirrors Curator: a NULL quality predicate is a
+       |    -- curate-drop, so it must be low_quality, not 'kept'
+       |    WHEN NOT coalesce(m.n_distinct * 10000 // m.ws_tokens > 3000
        |      AND m.n_stop * 10000 // m.ws_tokens < 4000
-       |      AND m.ws_tokens BETWEEN 5 AND 10000) THEN 'low_quality'
+       |      AND m.ws_tokens BETWEEN 5 AND 10000, false) THEN 'low_quality'
        |    ELSE 'kept' END AS fate
        |  FROM u JOIN meta m USING (doc_id))
        |GROUP BY fate""".stripMargin

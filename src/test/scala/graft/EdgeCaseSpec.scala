@@ -93,4 +93,99 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5).count() == 0)
     assert(Similarity.ivfTopK(e, e, "vec_id", "embedding", 5).count() == 0)
   }
+
+  test("duplicate-heavy corpus: near-dup candidates form among content reps only") {
+    // 30 copies each of two near-identical texts. Without the
+    // exact-dedup prefilter every copy of both lands in one band
+    // bucket (O(n^2) pair expansion in a single aggregation row);
+    // with it only the two representatives (min ids 1 and 31) can
+    // ever meet.
+    val a = "the quick brown fox jumps over the lazy dog near the quiet " +
+      "river bank while autumn leaves drift slowly across the water"
+    val b = a + " tonight"
+    val docs = mkDocs(
+      (1L to 30L).map(i => (i, a, "en")) ++ (31L to 60L).map(i => (i, b, "en")))
+    val mh = Dedup.minhashVerifiedPairs(docs, "doc_id", "text")
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(Set((1L, 31L))), s"non-rep pair leaked: $mh")
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.subsetOf(Set((1L, 31L))), s"non-rep pair leaked: $sh")
+    // clusters: every copy of a joins doc 1's cluster via exact
+    // edges; every copy of b joins 31's (or 1's, if the near edge
+    // verified) — either way copies agree with their rep.
+    val cl = Dedup.dupClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((2L to 30L).forall(cl(_) == cl(1L)))
+    assert((32L to 60L).forall(cl(_) == cl(31L)))
+  }
+
+  test("maxBucket caps candidate posting lists deterministically") {
+    val body = "shared long document body with many identical shingles " +
+      "flowing through every copy of this paragraph variant"
+    val docs = mkDocs((1L to 6L).map(i => (i, s"$body tail$i", "en")))
+    def pairs(cap: Int) =
+      Dedup.minhashVerifiedPairs(docs, "doc_id", "text", maxBucket = cap)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(512)
+    assert(full.nonEmpty, "fixture should produce candidate pairs")
+    // cap 1: every bucket keeps a single id — no pairs at all
+    assert(pairs(1).isEmpty)
+    // cap 2: only the two smallest ids of each bucket pair up
+    val capped = pairs(2)
+    assert(capped.subsetOf(full) && capped.size < full.size)
+    // simhash path shares the cap machinery
+    assert(Dedup.simhashPairs(docs, "doc_id", "text", maxBucket = 1).count() == 0)
+  }
+
+  test("null-text documents get the same fate in curate and fates") {
+    val docs = mkDocs(Seq(
+      (1L, "zebra quantum violet meadow crystal harbor puzzle lantern ember cascade", "en"),
+      (2L, null, "en"),
+      (3L, null, "en")))
+    val fates = Curator.fates(spark, docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fates.values.sum == 3)
+    // curate drops NULL-quality rows; fates must not call them kept
+    assert(fates.getOrElse("kept", 0L) == Curator.curate(spark, docs).count())
+    // the two null docs: one rep (low_quality via NULL predicate),
+    // one exact_dup (null content hashes group together)
+    assert(fates.getOrElse("low_quality", 0L) == 1L)
+    assert(fates.getOrElse("exact_dup", 0L) == 1L)
+  }
+
+  test("pointInIntervalJoin reports dropped intervals via observed metric") {
+    import graft.operators.TimeSeriesOps
+    @volatile var dropped: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.collectFirst {
+          case (name, row) if name.startsWith("graft.pointInIntervalJoin.") =>
+            row.getLong(0)
+        }.foreach(v => dropped = Some(v))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val points = Seq((1L, 10L, 1.0)).toDF("k", "t", "v")
+      val intervals = Seq(
+        (1L, 0L, 20L),      // kept: spans 3 buckets
+        (1L, 5L, 1000000L), // dropped: over-long
+        (1L, 30L, 10L))     // dropped: empty (end < start)
+        .toDF("k", "s", "e")
+      val out = TimeSeriesOps.pointInIntervalJoin(
+        points, intervals, "k", "t", "s", "e", bucketUs = 10L, maxBuckets = 3)
+      assert(out.count() == 1) // t=10 in [0,20]
+      var i = 0
+      while (dropped.isEmpty && i < 200) { Thread.sleep(50); i += 1 }
+      assert(dropped.contains(2L), s"observed $dropped")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
