@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses Bench's one-line JSON from stdout: forked
+// run output must reach stdout verbatim (no "[info] " logger prefix)
+// and the JSON must stay the LAST line (no "[success] Total time"
+// trailer after it).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+// showSuccess/showTiming are consumed by the sbt shell itself, not by
+// other settings — exclude them from the unused-key lint (whose
+// warning would otherwise land on stdout ahead of Bench's JSON).
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
