@@ -240,6 +240,61 @@ object TimeSeriesOps {
       .drop("__bk")
   }
 
+  /** Interval × interval overlap join: pairs of same-key intervals
+    * with a non-empty intersection, as a hash equi-join — the
+    * interval twin of [[pointInIntervalJoin]]. Both sides explode to
+    * the fixed-width buckets they cover; a pair is admitted ONLY in
+    * the first bucket the two intervals share
+    * (`bucket == max(ls, rs) div bucketUs`), so every overlapping
+    * pair emerges exactly once with no dedup/distinct pass and no
+    * theta join anywhere in the plan. Corrupt (empty / over-long)
+    * intervals are dropped with the count reported via the same
+    * observed-metric channel as [[pointInIntervalJoin]].
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, key: String,
+      lsUs: String, leUs: String, rsUs: String, reUs: String,
+      bucketUs: Long, maxBuckets: Int = 1 << 14): DataFrame = {
+    def buckets(df: DataFrame, s: String, e: String): DataFrame = {
+      val ok = col(e) >= col(s) &&
+        expr(s"$e div $bucketUs") - expr(s"$s div $bucketUs") <= maxBuckets
+      df.observe(s"graft.intervalOverlapJoin.${rjSeq.incrementAndGet()}",
+          sum(when(ok, 0L).otherwise(1L)).as("dropped_intervals"))
+        .filter(ok)
+        .withColumn("__bk", explode(sequence(
+          expr(s"$s div $bucketUs"), expr(s"$e div $bucketUs"))))
+    }
+    buckets(left, lsUs, leUs)
+      .join(buckets(right, rsUs, reUs), Seq(key, "__bk"))
+      .filter(col(lsUs) <= col(reUs) && col(rsUs) <= col(leUs) &&
+        col("__bk") === expr(s"greatest($lsUs, $rsUs) div $bucketUs"))
+      .drop("__bk")
+  }
+
+  /** Per-key one-sided CUSUM drift statistics over the time-ordered
+    * series: pos_t = max(0, pos_{t−1} + (x_t − target − slack)),
+    * neg_t = min(0, neg_{t−1} + (x_t − target + slack)), both from 0.
+    * Same sequential-fold shape as [[ewma]] (one groupBy shuffle,
+    * deterministic order ⇒ bit-reproducible doubles); per-key series
+    * are assumed sensor-scale. Returns the FINAL accumulator per key
+    * — the streaming twin keeps (pos, neg) in keyed state.
+    */
+  def cusum(df: DataFrame, key: Column, order: Seq[Column], value: Column,
+      target: Double, slack: Double): DataFrame = {
+    val up = lit(target + slack)
+    val dn = lit(target - slack)
+    df.groupBy(key.as("key"))
+      .agg(
+        sort_array(collect_list(struct(order :+ value.as("v"): _*))).as("xs"),
+        count(lit(1)).as("n"))
+      .select(col("key"), col("n"),
+        transform(col("xs"), x => x("v")).as("vals"))
+      .select(col("key"), col("n"),
+        aggregate(col("vals"), lit(0.0),
+          (acc, x) => greatest(lit(0.0), acc + (x - up))).as("cusum_pos"),
+        aggregate(col("vals"), lit(0.0),
+          (acc, x) => least(lit(0.0), acc + (x - dn))).as("cusum_neg"))
+  }
+
   /** Final exponentially-weighted moving average per key over the
     * time-ordered series: s_0 = x_0, s_t = α·x_t + (1−α)·s_{t−1}.
     * One groupBy shuffle; the recurrence runs as a sequential array

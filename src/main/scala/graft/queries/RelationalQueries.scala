@@ -397,7 +397,93 @@ object RelationalQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** B19 — CUBE aggregation (all grouping-set combinations of
+    * status × priority), with `grouping_id` to disambiguate
+    * subtotal rows from genuine NULL keys. Plans as a single Expand
+    * + partial agg — one shuffle for all four grouping sets.
+    */
+  def b19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("gid"), col("n"), col("sum_price"))
+
+  val b19Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** B20 — time-RANGE window frame: trailing 1-hour count and exact
+    * decimal sum per sensor, a frame defined by the ORDER BY value
+    * (epoch ms) rather than row position — C4's row-frame twin.
+    * Deterministic without tie-breakers: peers share one frame.
+    */
+  def b20(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t_ms")
+      .rangeBetween(-3600000L, 0L)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        epochMs(col("ts")).as("t_ms"), col("value"))
+      .select(col("event_id"), col("user_id"), col("t_ms"),
+        count(lit(1)).over(w).as("trail_n"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("trail_sum"))
+  }
+
+  val b20Sql: String =
+    """SELECT event_id, user_id, epoch_ms(ts) AS t_ms,
+      |  count(*) OVER w AS trail_n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** B21 — the SQL-text surface: graft's native expressions
+    * registered on the Catalyst function registry
+    * ([[graft.engine.GraftExtensions]]) and invoked from plain SQL
+    * over a temp view — proving the library is usable by SQL-only
+    * clients, not just the Column API.
+    */
+  def b21(s: SparkSession, dir: String): DataFrame = {
+    graft.engine.GraftExtensions.register(s)
+    t(s, dir, "documents").createOrReplaceTempView("b21_docs")
+    s.sql("""
+      SELECT doc_id,
+             poly_hash(text) AS text_hash,
+             poly_hash(lower(trim(text))) AS norm_hash,
+             size(word_gram_hashes(text, 2, true)) AS n_bigrams
+      FROM b21_docs""")
+  }
+
+  private def b21Hash(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, length($e)+1),
+       |    ch_i -> CAST(unicode($e[ch_i]) AS BIGINT))),
+       |  (ch_a, ch_x) -> (ch_a*31 + ch_x) % 1000000007)""".stripMargin
+
+  val b21Sql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, text,
+       |    list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+       |      tk -> ${b21Hash("tk")}) AS h
+       |  FROM documents)
+       |SELECT doc_id,
+       |  ${b21Hash("text")} AS text_hash,
+       |  ${b21Hash("lower(trim(text))")} AS norm_hash,
+       |  CAST(len(list_distinct(list_transform(range(1, len(h)),
+       |    bg_i -> (h[bg_i]*31 + h[bg_i+1]) % 1000000007))) AS INTEGER)
+       |    AS n_bigrams
+       |FROM th""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "b21_sql_surface" -> (b21 _),
+    "b20_range_frame" -> (b20 _),
+    "b19_cube" -> (b19 _),
     "b18_skew_salted_join" -> (b18 _),
     "b17_unpivot" -> (b17 _),
     "b16_sketch_contract" -> (b16 _),
@@ -418,6 +504,9 @@ object RelationalQueries {
     "b12_distinct" -> (b12 _))
 
   val oracles: Map[String, String] = Map(
+    "b21_sql_surface" -> b21Sql,
+    "b20_range_frame" -> b20Sql,
+    "b19_cube" -> b19Sql,
     "b18_skew_salted_join" -> b18Sql,
     "b17_unpivot" -> b17Sql,
     "b16_sketch_contract" -> b16Sql,

@@ -298,7 +298,61 @@ object SensorQueries {
       |WHERE epoch_ms(ts) % 1000 < 800 OR epoch_ms(ts) % 1000 >= 500
       |GROUP BY user_id""".stripMargin
 
+  /** A14 — CSV source round-trip: readings exported to CSV and read
+    * back through the schema-enforced CSV reader
+    * ([[graft.sources.Tables.loadCsv]] — explicit schema, no
+    * inference scan). The oracle aggregates the parquet source
+    * directly, so a PASS proves the CSV write/read path is lossless
+    * (longs exact, doubles via shortest-round-trip text).
+    */
+  def a14(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_a14_${java.lang.ProcessHandle.current().pid()}").toString
+    ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+        epochMs(col("ts")).as("t_ms"), col("value"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("t_ms", LongType),
+      StructField("value", DoubleType)))
+    graft.sources.Tables.loadCsv(s, out, schema)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"),
+        min(col("t_ms")).as("min_ms"), max(col("t_ms")).as("max_ms"))
+  }
+
+  val a14Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |       min(epoch_ms(ts)) AS min_ms, max(epoch_ms(ts)) AS max_ms
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** A15 — JSON-lines source round-trip, the
+    * [[graft.sources.Tables.loadJson]] twin of A14 (same
+    * no-inference rule; a second wire format a sensor fleet actually
+    * emits).
+    */
+  def a15(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_a15_${java.lang.ProcessHandle.current().pid()}").toString
+    ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+        epochMs(col("ts")).as("t_ms"), col("value"))
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("t_ms", LongType),
+      StructField("value", DoubleType)))
+    graft.sources.Tables.loadJson(s, out, schema)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"),
+        min(col("t_ms")).as("min_ms"), max(col("t_ms")).as("max_ms"))
+  }
+
+  val a15Sql: String = a14Sql
+
   val queries: Map[String, QFn] = Map(
+    "a15_json_roundtrip" -> (a15 _),
+    "a14_csv_roundtrip" -> (a14 _),
     "a13_incremental_merge" -> (a13 _),
     "a1_schema_enforce" -> (a1 _),
     "a2_integrity_filter" -> (a2 _),
@@ -314,6 +368,8 @@ object SensorQueries {
     "a12_output_validate" -> (a12 _))
 
   val oracles: Map[String, String] = Map(
+    "a15_json_roundtrip" -> a15Sql,
+    "a14_csv_roundtrip" -> a14Sql,
     "a13_incremental_merge" -> a13Sql,
     "a1_schema_enforce" -> a1Sql,
     "a2_integrity_filter" -> a2Sql,

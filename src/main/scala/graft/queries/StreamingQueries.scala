@@ -95,13 +95,53 @@ object StreamingQueries {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1""".stripMargin
 
+  /** C22 — stream-stream inner join with an event-time range
+    * condition: purchases ⋈ clicks of the same user where the click
+    * happened within the hour before the purchase. Both sides carry
+    * watermarks, so the join state is BOUNDED — Spark evicts buffered
+    * rows once they can no longer match (the only stream-stream join
+    * shape that survives an unbounded stream). The batch oracle is
+    * the equivalent time-bounded join.
+    */
+  def c22(s: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, idAs: String, tsAs: String) =
+      StreamingOps.readEventsStream(s, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id").as(s"${tsAs}_uid"),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val purchases = side("purchase", "purchase_id", "p_ts")
+    val clicks = side("click", "click_id", "c_ts")
+    val joined = purchases.join(clicks,
+      col("p_ts_uid") === col("c_ts_uid") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_ts_uid").as("user_id"),
+        epochMs(col("p_ts")).as("p_ms"), epochMs(col("c_ts")).as("c_ms"))
+    StreamingOps.runToTable(joined, s, "c22_stream_join", "append")
+  }
+
+  val c22Sql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.user_id,
+      |  epoch_ms(p.ts) AS p_ms, epoch_ms(c.ts) AS c_ms
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |  -- µs, not ms: Spark joins on µs-precision timestamps, and a
+      |  -- ms-floored bound would admit/reject different boundary rows
+      | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "c22_stream_join" -> (c22 _),
     "c9_stream_window" -> (c9 _),
     "c10_stream_dedup" -> (c10 _),
     "c11_sessionize_state" -> (c11 _),
     "c12_stream_enrich" -> (c12 _))
 
   val oracles: Map[String, String] = Map(
+    "c22_stream_join" -> c22Sql,
     "c9_stream_window" -> c9Sql,
     "c10_stream_dedup" -> c10Sql,
     "c11_sessionize_state" -> c11Sql,

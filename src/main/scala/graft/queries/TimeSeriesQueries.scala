@@ -409,7 +409,160 @@ object TimeSeriesQueries {
       |FROM e JOIN iv ON e.user_id = iv.user_id
       |  AND e.t_us BETWEEN iv.s_us AND iv.s_us + 7200000000""".stripMargin
 
+  /** C19 — gap detection: silent periods > 2 hours between
+    * consecutive readings of a sensor (the report an ops team pages
+    * on). One lag window over the per-sensor total order.
+    */
+  def c19(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("pt", lag(col("t_us"), 1).over(w))
+      .filter(col("pt").isNotNull && col("t_us") - col("pt") > 7200000000L)
+      .select(col("user_id"),
+        expr("pt div 1000").as("gap_start_ms"),
+        expr("t_us div 1000").as("gap_end_ms"),
+        expr("(t_us - pt) div 1000").as("gap_ms"))
+  }
+
+  val c19Sql: String =
+    """WITH w AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS pt
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(pt // 1000 AS BIGINT) AS gap_start_ms,
+      |  CAST(t_us // 1000 AS BIGINT) AS gap_end_ms,
+      |  CAST((t_us - pt) // 1000 AS BIGINT) AS gap_ms
+      |FROM w WHERE pt IS NOT NULL AND t_us - pt > 7200000000""".stripMargin
+
+  /** C20 — interval × interval overlap join: per-user activity
+    * sessions (30-min gap) against per-(user, day) calibration
+    * windows (first 4 hours of the sensor's day), via
+    * [[TimeSeriesOps.intervalOverlapJoin]] — bucketed equi-join,
+    * exactly-once pair emission, no theta join (the oracle is the
+    * plain BETWEEN-style theta join, proving equivalence).
+    */
+  def c20(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+    val sessions = TimeSeriesOps.sessionizeUs(e, col("user_id"), col("t_us"),
+        gapUs = 1800000000L)
+      .groupBy(col("user_id"), col("__session_id"))
+      .agg(min(col("t_us")).as("ls_us"), max(col("t_us")).as("le_us"))
+      .drop("__session_id")
+    val cal = e
+      .withColumn("d", expr("t_us div 86400000000"))
+      .groupBy("user_id", "d").agg(min(col("t_us")).as("rs_us"))
+      .withColumn("re_us", col("rs_us") + lit(14400000000L))
+      .select("user_id", "rs_us", "re_us")
+    TimeSeriesOps.intervalOverlapJoin(sessions, cal, "user_id",
+        "ls_us", "le_us", "rs_us", "re_us", bucketUs = 3600000000L)
+      .select(col("user_id"),
+        expr("ls_us div 1000").as("s_start_ms"),
+        expr("le_us div 1000").as("s_end_ms"),
+        expr("rs_us div 1000").as("cal_start_ms"),
+        expr("(least(le_us, re_us) - greatest(ls_us, rs_us)) div 1000")
+          .as("overlap_ms"))
+  }
+
+  val c20Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us FROM events),
+      |flagged AS (
+      |  SELECT user_id, t_us,
+      |    CASE WHEN lag(t_us) OVER w IS NULL
+      |           OR t_us - lag(t_us) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+      |sessions AS (
+      |  SELECT user_id, min(t_us) AS ls_us, max(t_us) AS le_us
+      |  FROM (SELECT user_id, t_us,
+      |          sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |        FROM flagged)
+      |  GROUP BY user_id, sid),
+      |cal AS (
+      |  SELECT user_id, min(t_us) AS rs_us, min(t_us) + 14400000000 AS re_us
+      |  FROM e GROUP BY user_id, t_us // 86400000000)
+      |SELECT s.user_id,
+      |  CAST(s.ls_us // 1000 AS BIGINT) AS s_start_ms,
+      |  CAST(s.le_us // 1000 AS BIGINT) AS s_end_ms,
+      |  CAST(c.rs_us // 1000 AS BIGINT) AS cal_start_ms,
+      |  CAST((least(s.le_us, c.re_us) - greatest(s.ls_us, c.rs_us)) // 1000
+      |    AS BIGINT) AS overlap_ms
+      |FROM sessions s JOIN cal c
+      |  ON s.user_id = c.user_id
+      |  AND s.ls_us <= c.re_us AND c.rs_us <= s.le_us""".stripMargin
+
+  /** C21 — per-sensor CUSUM drift statistics (target 50, slack 5):
+    * final positive/negative accumulators of the classic one-sided
+    * CUSUM recurrences, as identical sequential folds on both
+    * engines — bit-exact doubles, no rounding
+    * ([[TimeSeriesOps.cusum]]).
+    */
+  def c21(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.cusum(events(s, dir), col("user_id"),
+      Seq(unix_micros(col("ts")).as("t_us"), col("event_id")),
+      col("value"), target = 50.0, slack = 5.0)
+      .select(col("key").as("user_id"), col("n"),
+        col("cusum_pos"), col("cusum_neg"),
+        (col("cusum_pos") > 2000.0 || col("cusum_neg") < -2000.0).as("drift"))
+
+  val c21Sql: String =
+    """SELECT user_id, count(*) AS n,
+      |  list_reduce(list_prepend(0.0, list(value ORDER BY epoch_us(ts), event_id)),
+      |    (cs_a, cs_x) -> greatest(0.0, cs_a + (cs_x - 55.0))) AS cusum_pos,
+      |  list_reduce(list_prepend(0.0, list(value ORDER BY epoch_us(ts), event_id)),
+      |    (cs_a, cs_x) -> least(0.0, cs_a + (cs_x - 45.0))) AS cusum_neg,
+      |  list_reduce(list_prepend(0.0, list(value ORDER BY epoch_us(ts), event_id)),
+      |    (cs_a, cs_x) -> greatest(0.0, cs_a + (cs_x - 55.0))) > 2000.0
+      |  OR
+      |  list_reduce(list_prepend(0.0, list(value ORDER BY epoch_us(ts), event_id)),
+      |    (cs_a, cs_x) -> least(0.0, cs_a + (cs_x - 45.0))) < -2000.0 AS drift
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** C23 — forward as-of join (pandas `direction="forward"`): for
+    * each click, the user's EARLIEST purchase at-or-after the click —
+    * conversion attribution. Same union + ordered-fill composition as
+    * C7, run in reverse time order ([[TimeSeriesOps.asOfJoinForward]]).
+    */
+  def c23(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    TimeSeriesOps.asOfJoinForward(clicks, purchases, key = "user_id",
+        timeUs = "t_us", leftId = "click_id", rightId = "purchase_id",
+        carry = Seq("purchase_value"))
+      .select(col("click_id"), col("user_id"),
+        col("matched_purchase_id").as("purchase_id"),
+        col("matched_time_us").as("purchase_t_us"),
+        col("matched_purchase_value").as("purchase_value"))
+  }
+
+  val c23Sql: String =
+    """SELECT click_id, user_id, purchase_id, purchase_t_us, purchase_value FROM (
+      |  SELECT c.event_id AS click_id, c.user_id,
+      |         p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_t_us,
+      |         p.value AS purchase_value,
+      |         row_number() OVER (PARTITION BY c.event_id
+      |           ORDER BY epoch_us(p.ts) ASC NULLS LAST,
+      |                    p.event_id ASC NULLS LAST) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |    ON c.user_id = p.user_id AND epoch_us(p.ts) >= epoch_us(c.ts))
+      |WHERE rn = 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "c23_asof_forward" -> (c23 _),
+    "c21_cusum" -> (c21 _),
+    "c20_interval_overlap" -> (c20 _),
+    "c19_gap_report" -> (c19 _),
     "c18_range_join" -> (c18 _),
     "c17_rate_of_change" -> (c17 _),
     "c16_ewma" -> (c16 _),
@@ -426,6 +579,10 @@ object TimeSeriesQueries {
     "c8_anomaly_zscore" -> (c8 _))
 
   val oracles: Map[String, String] = Map(
+    "c23_asof_forward" -> c23Sql,
+    "c21_cusum" -> c21Sql,
+    "c20_interval_overlap" -> c20Sql,
+    "c19_gap_report" -> c19Sql,
     "c18_range_join" -> c18Sql,
     "c17_rate_of_change" -> c17Sql,
     "c16_ewma" -> c16Sql,

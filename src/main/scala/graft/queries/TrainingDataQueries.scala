@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
@@ -918,7 +919,125 @@ object TrainingDataQueries {
        |  FROM u JOIN meta m USING (doc_id))
        |GROUP BY fate""".stripMargin
 
+  /** D25 — document chunking: fixed 200-char windows with a 150-char
+    * stride (50-char overlap), one output row per chunk with offset,
+    * actual length, and an md5 content hash — the doc → context-chunk
+    * expansion every RAG/pretraining pipeline runs. Pure per-row
+    * sequence/explode: no shuffle at all, linear in output size.
+    */
+  def d25(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), col("len") - 1, lit(150))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("chunk_start"),
+        substring(col("text"), col("col") + 1, lit(200)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+
+  val d25Sql: String =
+    """SELECT doc_id,
+      |  CAST(s_i - 1 AS BIGINT) AS chunk_idx,
+      |  CAST((s_i - 1) * 150 AS BIGINT) AS chunk_start,
+      |  CAST(length(substr(text, (s_i - 1) * 150 + 1, 200)) AS BIGINT) AS chunk_len,
+      |  md5(substr(text, (s_i - 1) * 150 + 1, 200)) AS chunk_md5
+      |FROM documents,
+      |  unnest(range(1, (length(text) + 149) // 150 + 1)) AS t(s_i)""".stripMargin
+
+  /** D26 — context-window packing: documents concatenate in a
+    * deterministic global order (doc_id) and slice into fixed
+    * 2048-token packs; each document reports the pack its first token
+    * lands in and its offset there (GPT-style concat-and-chunk
+    * pretraining packing). One running-sum window — at corpus scale
+    * the order key would be the content hash, which both balances the
+    * sort and makes packing shard-stable; doc_id plays that role on
+    * the test corpus.
+    */
+  def d26(s: SparkSession, dir: String): DataFrame = {
+    // Two-level prefix sum: a running sum over one global order would
+    // plan as a single-partition window (sequential at any scale), so
+    // the cumsum is hierarchical — in-block cumsums run parallel
+    // (window partitioned by block), and only the per-block TOTALS
+    // (one row per 1000 docs) take a tiny single-partition cumsum,
+    // broadcast back as block offsets.
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("blk", expr("doc_id div 1000"))
+    val wInB = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlk = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("blk").agg(sum(col("n_tok")).as("blk_tok"))
+      .withColumn("blk_off", coalesce(sum(col("blk_tok")).over(wBlk), lit(0L)))
+      .select("blk", "blk_off")
+    toks.join(broadcast(offsets), "blk")
+      .withColumn("cum", sum(col("n_tok")).over(wInB) + col("blk_off"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("(cum - n_tok) div 2048").as("pack_id"),
+        ((col("cum") - col("n_tok")) % 2048).as("pack_off"))
+  }
+
+  val d26Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) OVER (
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM documents)
+      |SELECT doc_id, n_tok,
+      |  (cum - n_tok) // 2048 AS pack_id,
+      |  (cum - n_tok) % 2048 AS pack_off
+      |FROM c""".stripMargin
+
+  /** D27 — per-language winsorized length statistics: clip each
+    * document's char length to its language's [p05, p95] band and
+    * report raw vs clipped means — the outlier-robust corpus-stats
+    * pass that precedes length-based curation thresholds. Two-pass:
+    * per-lang percentile agg (broadcast back), then one clipped agg;
+    * exact decimal sums so the doubles are engine-stable.
+    */
+  def d27(s: SparkSession, dir: String): DataFrame = {
+    val pct = docs(s, dir).groupBy(col("lang").as("__l"))
+      .agg(expr("percentile(n_chars, 0.05)").as("p05"),
+        expr("percentile(n_chars, 0.95)").as("p95"))
+    docs(s, dir).join(broadcast(pct), col("lang") === col("__l"))
+      .withColumn("clipped",
+        least(greatest(col("n_chars").cast("double"), col("p05")), col("p95")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        round(first(col("p05")), 4).as("p05"),
+        round(first(col("p95")), 4).as("p95"),
+        round(sum(col("n_chars").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)), 4).as("mean_raw"),
+        round(sum(col("clipped").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 4).as("mean_winsor"))
+      .select("lang", "n", "p05", "p95", "mean_raw", "mean_winsor")
+
+  }
+
+  val d27Sql: String =
+    """WITH pct AS (
+      |  SELECT lang AS l,
+      |    quantile_cont(n_chars, 0.05) AS p05,
+      |    quantile_cont(n_chars, 0.95) AS p95
+      |  FROM documents GROUP BY 1)
+      |SELECT lang, count(*) AS n,
+      |  round(any_value(p05), 4) AS p05, round(any_value(p95), 4) AS p95,
+      |  round(CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+      |    AS mean_raw,
+      |  round(CAST(sum(CAST(least(greatest(CAST(n_chars AS DOUBLE), p05), p95)
+      |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS mean_winsor
+      |FROM documents JOIN pct ON lang = l
+      |GROUP BY lang""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d27_winsorize" -> (d27 _),
+    "d26_pack_sequences" -> (d26 _),
+    "d25_doc_chunk" -> (d25 _),
     "d24_curation_report" -> (d24 _),
     "d23_frame_sample" -> (d23 _),
     "d22_term_topk" -> (d22 _),
@@ -945,6 +1064,9 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d27_winsorize" -> d27Sql,
+    "d26_pack_sequences" -> d26Sql,
+    "d25_doc_chunk" -> d25Sql,
     "d24_curation_report" -> d24Sql,
     "d23_frame_sample" -> d23Sql,
     "d22_term_topk" -> d22Sql,
