@@ -480,7 +480,33 @@ object RelationalQueries {
        |    AS n_bigrams
        |FROM th""".stripMargin
 
+  /** B22 — distribution-rank window suite: ntile, percent_rank,
+    * cume_dist over per-segment spend (completes the window-function
+    * surface beyond B5's rank/lag). Doubles are exact rationals of
+    * row counts — engine-stable without rounding.
+    */
+  def b22(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
+  val b22Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "b22_rank_suite" -> (b22 _),
     "b21_sql_surface" -> (b21 _),
     "b20_range_frame" -> (b20 _),
     "b19_cube" -> (b19 _),
@@ -504,6 +530,7 @@ object RelationalQueries {
     "b12_distinct" -> (b12 _))
 
   val oracles: Map[String, String] = Map(
+    "b22_rank_suite" -> b22Sql,
     "b21_sql_surface" -> b21Sql,
     "b20_range_frame" -> b20Sql,
     "b19_cube" -> b19Sql,

@@ -1034,7 +1034,96 @@ object TrainingDataQueries {
       |FROM documents JOIN pct ON lang = l
       |GROUP BY lang""".stripMargin
 
+  /** D28 — TF-IDF keyword extraction: top-3 terms per document.
+    * Ranking uses INTEGER keys only (tf desc, df asc, term asc) — a
+    * float-score ordering could flip across engines at ulp
+    * distance; the tf·ln(N/df) score itself ships as a rounded
+    * reporting column. Two aggregations + one broadcast of the
+    * corpus doc count; df join shuffles on the term key.
+    */
+  def d28(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("rnk").cast("long").as("rnk"),
+        round(col("tf") * log(col("n_docs") / col("df")), 4).as("tfidf"))
+  }
+
+  val d28Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk,
+      |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+      |FROM (
+      |  SELECT doc_id, term, tf, df, n_docs,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf DESC, df ASC, term ASC) AS rnk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |WHERE rnk <= 3""".stripMargin
+
+  /** D29 — vocabulary-coverage quality scoring (the integer-exact
+    * stand-in for LM-perplexity filtering): per-document rare-token
+    * and out-of-vocabulary rates against corpus statistics. The
+    * top-1000 vocabulary comes from `orderBy.limit` (
+    * TakeOrderedAndProject — partial top-k on every partition, no
+    * global sort) and broadcasts; the term-frequency join shuffles
+    * on the term key. All per-milles are integer arithmetic —
+    * nothing float-ordering-sensitive anywhere.
+    */
+  def d29(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val vocab = freq.orderBy(col("cnt").desc, col("term").asc).limit(1000)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(freq, "term")
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_rare"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("n_rare * 1000 div n_tok").as("rare_pm"),
+        expr("n_oov * 1000 div n_tok").as("oov_pm"))
+      .withColumn("lm_ok",
+        col("rare_pm") < 300 && col("oov_pm") < 600)
+  }
+
+  val d29Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+      |vocab AS (
+      |  SELECT term, 1 AS in_vocab FROM freq
+      |  ORDER BY cnt DESC, term ASC LIMIT 1000)
+      |SELECT doc_id, count(*) AS n_tok,
+      |  CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) * 1000 // count(*)
+      |    AS BIGINT) AS rare_pm,
+      |  CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) * 1000 // count(*)
+      |    AS BIGINT) AS oov_pm,
+      |  (sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) * 1000 // count(*)) < 300
+      |    AND (sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) * 1000 // count(*)) < 600
+      |    AS lm_ok
+      |FROM toks JOIN freq USING (term) LEFT JOIN vocab USING (term)
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d29_lm_quality" -> (d29 _),
+    "d28_tfidf_terms" -> (d28 _),
     "d27_winsorize" -> (d27 _),
     "d26_pack_sequences" -> (d26 _),
     "d25_doc_chunk" -> (d25 _),
@@ -1064,6 +1153,8 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d29_lm_quality" -> d29Sql,
+    "d28_tfidf_terms" -> d28Sql,
     "d27_winsorize" -> d27Sql,
     "d26_pack_sequences" -> d26Sql,
     "d25_doc_chunk" -> d25Sql,

@@ -233,6 +233,74 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  // ---- rank suite (b22) --------------------------------------------
+
+  test("b22: ntile/percent_rank/cume_dist match naive definitions") {
+    val rows = RelationalQueries.b22(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    rows.groupBy(_._2).foreach { case (_, xs) =>
+      val n = xs.length
+      val sorted = xs.sortBy(x => (x._4, x._1))  // pct_rank then key
+      sorted.zipWithIndex.foreach { case ((_, _, quartile, pct, cume), i) =>
+        assert(pct == (if (n == 1) 0.0 else i.toDouble / (n - 1)))
+        assert(cume == (i + 1).toDouble / n)
+        // ntile: first n%4 buckets one row larger
+        val big = n % 4
+        val base = n / 4
+        val expect =
+          if (i < big * (base + 1)) i / (base + 1) + 1
+          else big + (i - big * (base + 1)) / base + 1
+        assert(quartile == expect)
+      }
+    }
+  }
+
+  // ---- tf-idf (d28) -------------------------------------------------
+
+  test("d28: top terms match a naive tf-idf over the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .split("\\s+").toSeq).toMap
+    val tf = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, o) => (id, t) -> o.size.toLong }
+    }
+    val dfm = tf.keys.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val want = docs.keys.flatMap { id =>
+      docs(id).distinct
+        .map(t => (t, tf((id, t)), dfm(t)))
+        .sortBy { case (t, f, d) => (-f, d, t) }
+        .take(3).zipWithIndex
+        .map { case ((t, f, d), i) => (id, t, f, d, i + 1L) }
+    }.toSet
+    val got = TrainingDataQueries.d28(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+  }
+
+  // ---- lm quality (d29) --------------------------------------------
+
+  test("d29: rare/oov rates match a naive corpus scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .split("\\s+").toSeq).toMap
+    val freq = docs.values.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val vocab = freq.toSeq.sortBy { case (t, c) => (-c, t) }.take(1000)
+      .map(_._1).toSet
+    val got = TrainingDataQueries.d29(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = docs.map { case (id, ts) =>
+      val rare = ts.count(freq(_) <= 2).toLong
+      val oov = ts.count(!vocab(_)).toLong
+      (id, ts.length.toLong, rare * 1000 / ts.length, oov * 1000 / ts.length)
+    }.toSet
+    assert(got == want)
+  }
+
   // ---- winsorize (d27) ---------------------------------------------
 
   test("d27: winsorized mean is between p05 and p95 and n sums to corpus") {
