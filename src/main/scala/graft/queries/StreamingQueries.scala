@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{Sessionizer, StreamingOps}
+import graft.streaming.{Sessionizer, StatefulEwma, StreamingOps}
 import QueryUtil._
 
 /** Group C (streaming half) — Structured Streaming variants of the
@@ -133,7 +133,32 @@ object StreamingQueries {
       |  -- ms-floored bound would admit/reject different boundary rows
       | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)""".stripMargin
 
+  /** C24 — incremental EWMA in keyed state
+    * ([[graft.streaming.StatefulEwma]]): the same recurrence as
+    * batch C16, carried across micro-batches with O(1) state per
+    * sensor. Same unrounded bit-exact oracle as C16 — the stream
+    * fold must land on identical doubles.
+    */
+  def c24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val readings = StreamingOps.readEventsStream(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"), col("value"))
+      .as[StatefulEwma.Reading]
+    StreamingOps.runToTable(
+      StatefulEwma.ewma(readings, alpha = 0.1).toDF(), s,
+      "c24_stream_ewma", "update")
+  }
+
+  val c24Sql: String =
+    """SELECT user_id, count(*) AS n,
+      |  list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+      |    (ew_a, ew_x) -> ew_x * 0.1 + ew_a * 0.9) AS ewma
+      |FROM events GROUP BY user_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "c24_stream_ewma" -> (c24 _),
     "c22_stream_join" -> (c22 _),
     "c9_stream_window" -> (c9 _),
     "c10_stream_dedup" -> (c10 _),
@@ -141,6 +166,7 @@ object StreamingQueries {
     "c12_stream_enrich" -> (c12 _))
 
   val oracles: Map[String, String] = Map(
+    "c24_stream_ewma" -> c24Sql,
     "c22_stream_join" -> c22Sql,
     "c9_stream_window" -> c9Sql,
     "c10_stream_dedup" -> c10Sql,

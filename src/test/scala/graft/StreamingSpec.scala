@@ -19,6 +19,44 @@ class StreamingSpec extends AnyFunSuite {
     val _ = name
   }
 
+  test("stateful EWMA accumulates across micro-batches, bit-equal to the batch fold") {
+    import spark.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_sewma").toString
+    val ns = 1000000L * 1000
+    // batch 1: first half of each key's series (event-time ordered
+    // across batches, the watermarked-ingest contract)
+    writeBatch(dir, "b1", Seq(
+      (1L, 1 * ns, 10L, "click", 1.5, "{}"),
+      (2L, 2 * ns, 10L, "click", 2.5, "{}"),
+      (3L, 1 * ns, 11L, "click", 10.0, "{}")))
+    val readings = spark.readStream
+      .schema(StreamingOps.eventsSchema)
+      .parquet(dir)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("value"))
+      .as[graft.streaming.StatefulEwma.Reading]
+    val q = graft.streaming.StatefulEwma.ewma(readings, alpha = 0.1).toDF()
+      .writeStream.format("memory")
+      .queryName("sewma_batches").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      writeBatch(dir, "b2", Seq(
+        (4L, 3 * ns, 10L, "click", 3.5, "{}"),
+        (5L, 2 * ns, 11L, "click", 20.0, "{}")))
+      q.processAllAvailable()
+      // memory sink in update mode appends every update — take the
+      // latest (n-max) row per key
+      val got = spark.table("sewma_batches")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, xs) => k -> xs.maxBy(_._2) }
+      def fold(vs: Seq[Double]): Double =
+        vs.tail.foldLeft(vs.head)((a, x) => x * 0.1 + a * 0.9)
+      assert(got(10L) == ((10L, 3L, fold(Seq(1.5, 2.5, 3.5)))))
+      assert(got(11L) == ((11L, 2L, fold(Seq(10.0, 20.0)))))
+    } finally q.stop()
+  }
+
   test("streaming dedup state spans micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val ns = 1000000L * 1000 // 1s in ns
