@@ -26,14 +26,20 @@ object Tables {
   /** Schema-enforced CSV read: an explicit schema (no inference
     * scan — at 100 TB an inference pass is a full extra read) with
     * malformed rows quarantined rather than failing the job.
+    *
+    * `multiLine` stays OFF by default: it is required for payloads
+    * with embedded newlines inside quoted fields, but it makes files
+    * non-splittable (one task per file) — at scale, prefer escaping
+    * newlines at write time and keep splittable reads.
     */
   def loadCsv(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,
-      header: Boolean = true): DataFrame =
+      header: Boolean = true, multiLine: Boolean = false): DataFrame =
     spark.read
       .schema(schema)
       .option("header", header.toString)
       .option("mode", "PERMISSIVE")
+      .option("multiLine", multiLine.toString)
       .csv(path)
 
   /** Schema-enforced JSON-lines read; same no-inference rule. */

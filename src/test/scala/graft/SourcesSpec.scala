@@ -46,6 +46,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.filter(col("value").isNull).count() == 1)
   }
 
+  test("CSV round-trip preserves quotes, commas, and embedded newlines") {
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "quote \" inside"),
+      (4L, "newline\ninside"),
+      (5L, "both \", and\nmore")).toDF("id", "s")
+    val sc = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_qcsv").toString
+    tricky.write.mode("overwrite").option("header", "true").csv(dir)
+    // default read (multiLine=false) splits inside quoted newlines —
+    // embedded-newline payloads NEED the multiLine flag
+    val back = Tables.loadCsv(spark, dir, sc, multiLine = true)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      tricky.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("OptimizedWriter emits ORC when asked") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     OptimizedWriter.writeOptimized(sample, dir, partitionCols = Seq(),
