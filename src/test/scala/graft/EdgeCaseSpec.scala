@@ -188,4 +188,49 @@ class EdgeCaseSpec extends AnyFunSuite {
       assert(dropped.contains(2L), s"observed $dropped")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("cusum of a single reading equals its one-step fold") {
+    val df = Seq((1L, 10L, 1L, 60.0)).toDF("k", "t", "id", "v")
+    val row = graft.operators.TimeSeriesOps.cusum(df, col("k"),
+      Seq(col("t"), col("id")), col("v"), target = 50.0, slack = 5.0)
+      .collect().head
+    assert(row.getLong(1) == 1L)
+    assert(row.getDouble(2) == 5.0)   // max(0, 0 + 60 - 55)
+    assert(row.getDouble(3) == 0.0)   // min(0, 0 + 60 - 45) = 0
+  }
+
+  test("interval overlap join on disjoint keys and windows returns nothing") {
+    val l = Seq((1L, 0L, 10L)).toDF("k", "ls", "le")
+    val r = Seq((1L, 20L, 30L), (2L, 0L, 10L)).toDF("k", "rs", "re")
+    assert(graft.operators.TimeSeriesOps.intervalOverlapJoin(
+      l, r, "k", "ls", "le", "rs", "re", bucketUs = 5L).count() == 0)
+  }
+
+  test("touching intervals (le == rs) count as overlapping, exactly once") {
+    val l = Seq((1L, 0L, 10L)).toDF("k", "ls", "le")
+    val r = Seq((1L, 10L, 30L)).toDF("k", "rs", "re")
+    assert(graft.operators.TimeSeriesOps.intervalOverlapJoin(
+      l, r, "k", "ls", "le", "rs", "re", bucketUs = 3L).count() == 1)
+  }
+
+  test("chunking a sub-stride document yields exactly one full-coverage chunk") {
+    val one = mkDocs(Seq((1L, "short text", "en")))
+    one.createOrReplaceTempView("edge_d25")
+    // same shape as d25: sequence(0, len-1, 150) over a 10-char doc
+    val rows = spark.sql(
+      """SELECT posexplode(sequence(0, length(text) - 1, 150)) AS (pos, s)
+        |FROM edge_d25""".stripMargin).collect()
+    assert(rows.length == 1 && rows.head.getInt(1) == 0)
+  }
+
+  test("tf-idf and lm-quality degrade gracefully on a single-doc corpus") {
+    val one = graft.queries.QueryUtil.spread(mkDocs(Seq((1L, "a b a c", "en"))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_one").toString
+    one.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tfidf = graft.queries.TrainingDataQueries.d28(spark, dir).collect()
+    assert(tfidf.length == 3) // 3 distinct terms, all df=1
+    assert(tfidf.forall(_.getDouble(5) == 0.0)) // ln(1/1) = 0
+    val lm = graft.queries.TrainingDataQueries.d29(spark, dir).collect()
+    assert(lm.length == 1 && lm.head.getLong(3) == 0L) // all in vocab
+  }
 }

@@ -93,4 +93,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(p) == 1)
     assert(!p.contains("Window"))
   }
+
+  test("c20: interval overlap join is a hash equi-join, never a nested loop") {
+    val p = plan("c20_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("d25: chunk expansion is scan + generate with zero shuffles") {
+    val p = plan("d25_doc_chunk")
+    assert(p.contains("Generate"))
+    // the only exchange allowed is QueryUtil.spread's round-robin
+    assert(shuffles(p) == 0)
+  }
+
+  test("d26: no corpus-wide single-partition window; block offsets broadcast") {
+    val p = plan("d26_pack_sequences")
+    // every Window over the corpus must partition by the block key;
+    // the only global-order window is over per-block totals, which
+    // arrive via the broadcast side
+    assert(p.contains("BroadcastHashJoin"))
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("blk#")))
+  }
+
+  test("d29: top-k vocabulary is TakeOrdered and broadcasts; no global sort") {
+    val p = plan("d29_lm_quality")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("b19: cube is one Expand over a single grouping shuffle") {
+    val p = plan("b19_cube")
+    assert(p.contains("Expand"))
+    assert(shuffles(p) == 1)
+  }
 }
