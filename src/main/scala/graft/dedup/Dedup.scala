@@ -61,11 +61,14 @@ object Dedup {
     * at most `maxBucket` entries per bucket regardless of how
     * degenerate the key distribution is — the skew defense for all
     * bucket-pair candidate generation. Deterministic (ids, not
-    * arrival order). Requires a numeric id.
+    * arrival order). Accepts any integral id (cast to long here —
+    * TopKAgg's heap stores LongType ids); the score is the negated
+    * id as a double, so ids above 2^53 could tie in score, but the
+    * heap's id tie-break still keeps the smallest ids.
     */
   private[graft] def cappedBucket(id: Column, maxBucket: Int): Column =
     transform(
-      graft.functions.TopKAgg.top_k(-id.cast("double"), id, maxBucket),
+      graft.functions.TopKAgg.top_k(-id.cast("double"), id.cast("long"), maxBucket),
       t => t("id"))
 
   /** One representative (minimum id) per normalized-content hash:
@@ -263,6 +266,11 @@ object Dedup {
     * distance is then computed by joining the signature table back
     * onto the distinct candidate pairs (signature evaluated once per
     * doc, shuffled bytes bounded per bucket).
+    *
+    * The signature table stays persisted after this returns — the
+    * returned plan reads it on both join sides. Like
+    * [[dupClusters]], batch callers running many corpora in one
+    * session should `spark.catalog.clearCache()` between batches.
     */
   def simhashPairs(docs: DataFrame, id: String, text: String,
       bits: Int = 30, maxDist: Int = 3,

@@ -27,14 +27,20 @@ object Session {
       // Typed aggregates run on ObjectHashAggregate, whose sort-based
       // fallback kicks in at a default of 128 distinct keys per
       // partition — far too eager for high-cardinality gram/band keys.
-      // 32768 keys is safe because every object-agg state in the
-      // engine is bounded: TopKAgg heaps (d6's df cap, the Dedup
-      // maxBucket posting-list cap) hold <= k entries, so 32k keys of
-      // state is a few MB. The one unbounded state — ewma's per-key
-      // series array (documented sensor-scale assumption) — groups by
-      // sensor key, whose cardinality is far below any threshold, and
-      // a sort-based fallback would not bound a single key's array
-      // anyway.
+      // 32768 keys bounds worst-case hash-map state (every key at a
+      // full TopKAgg cap of 512 entries ≈ 256 MB/partition) while
+      // staying far above the per-partition band-key cardinality at
+      // the tested scale factors (≈6k keys/partition at a 50k-doc
+      // sf1.0 over 32 partitions) — so the capped-bucket
+      // aggregations execute hash-based, which SkewStressSpec
+      // asserts empirically via the operator's numTasksFallBacked
+      // metric rather than on faith. Past this threshold the
+      // fallback is a graceful slow path, not a correctness change;
+      // a 1000-executor deployment with more partitions lowers
+      // keys/partition proportionally. The one unbounded agg state —
+      // chunked ewma/cusum per-(key, chunk) arrays — is bounded by
+      // the chunk width, and groups by (sensor, time-chunk) whose
+      // per-partition cardinality is modest.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "32768")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -298,27 +298,48 @@ object SensorQueries {
       |WHERE epoch_ms(ts) % 1000 < 800 OR epoch_ms(ts) % 1000 >= 500
       |GROUP BY user_id""".stripMargin
 
+  /** Materialize a round-trip aggregate and remove its scratch
+    * directory: the collect is bounded (one row per event_type), and
+    * eager evaluation is what lets the temp data be deleted before
+    * this returns — repeated harness runs leave nothing behind.
+    */
+  private def collectAndClean(s: SparkSession, agg: DataFrame,
+      scratch: java.io.File): DataFrame = {
+    val rows = agg.collect()
+    val schema = agg.schema
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(scratch)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** A14 — CSV source round-trip: readings exported to CSV and read
     * back through the schema-enforced CSV reader
     * ([[graft.sources.Tables.loadCsv]] — explicit schema, no
     * inference scan). The oracle aggregates the parquet source
     * directly, so a PASS proves the CSV write/read path is lossless
-    * (longs exact, doubles via shortest-round-trip text).
+    * (longs exact, doubles via shortest-round-trip text). The
+    * scratch directory is deleted before returning.
     */
   def a14(s: SparkSession, dir: String): DataFrame = {
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_a14_${java.lang.ProcessHandle.current().pid()}").toString
+      s"graft_a14_${java.lang.ProcessHandle.current().pid()}")
     ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
         epochMs(col("ts")).as("t_ms"), col("value"))
-      .write.mode("overwrite").option("header", "true").csv(out)
+      .write.mode("overwrite").option("header", "true").csv(out.toString)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("t_ms", LongType),
       StructField("value", DoubleType)))
-    graft.sources.Tables.loadCsv(s, out, schema)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"),
-        min(col("t_ms")).as("min_ms"), max(col("t_ms")).as("max_ms"))
+    collectAndClean(s,
+      graft.sources.Tables.loadCsv(s, out.toString, schema)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"),
+          min(col("t_ms")).as("min_ms"), max(col("t_ms")).as("max_ms")),
+      out)
   }
 
   val a14Sql: String =
@@ -334,18 +355,20 @@ object SensorQueries {
     */
   def a15(s: SparkSession, dir: String): DataFrame = {
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_a15_${java.lang.ProcessHandle.current().pid()}").toString
+      s"graft_a15_${java.lang.ProcessHandle.current().pid()}")
     ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
         epochMs(col("ts")).as("t_ms"), col("value"))
-      .write.mode("overwrite").json(out)
+      .write.mode("overwrite").json(out.toString)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("t_ms", LongType),
       StructField("value", DoubleType)))
-    graft.sources.Tables.loadJson(s, out, schema)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"),
-        min(col("t_ms")).as("min_ms"), max(col("t_ms")).as("max_ms"))
+    collectAndClean(s,
+      graft.sources.Tables.loadJson(s, out.toString, schema)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"),
+          min(col("t_ms")).as("min_ms"), max(col("t_ms")).as("max_ms")),
+      out)
   }
 
   val a15Sql: String = a14Sql

@@ -146,9 +146,17 @@ object StreamingQueries {
       .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
         col("event_id"), col("value"))
       .as[StatefulEwma.Reading]
-    StreamingOps.runToTable(
+    val updates = StreamingOps.runToTable(
       StatefulEwma.ewma(readings, alpha = 0.1).toDF(), s,
       "c24_stream_ewma", "update")
+    // The update-mode memory sink appends one row per key per
+    // micro-batch; keep only the final accumulator per key (max n)
+    // so the result does not depend on how the source glob happened
+    // to split into micro-batches.
+    updates.groupBy("user_id")
+      .agg(max(struct(col("n"), col("ewma"))).as("__last"))
+      .select(col("user_id"), col("__last.n").as("n"),
+        col("__last.ewma").as("ewma"))
   }
 
   val c24Sql: String =

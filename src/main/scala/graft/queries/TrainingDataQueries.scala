@@ -1079,22 +1079,28 @@ object TrainingDataQueries {
     * and out-of-vocabulary rates against corpus statistics. The
     * top-1000 vocabulary comes from `orderBy.limit` (
     * TakeOrderedAndProject — partial top-k on every partition, no
-    * global sort) and broadcasts; the term-frequency join shuffles
-    * on the term key. All per-milles are integer arithmetic —
-    * nothing float-ordering-sensitive anywhere.
+    * global sort) and broadcasts. The term-frequency join runs on
+    * the PRE-AGGREGATED (doc_id, term, tf) relation, not the raw
+    * exploded token stream — hot terms (stopwords) appear once per
+    * document instead of once per occurrence, so the shuffled join
+    * volume is O(distinct doc-terms), not O(total tokens), and no
+    * single term key can concentrate a corpus's worth of rows in
+    * one task (same shape as D28's tf pre-agg). All per-milles are
+    * integer arithmetic — nothing float-ordering-sensitive anywhere.
     */
   def d29(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir).select(col("doc_id"),
       explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
     val vocab = freq.orderBy(col("cnt").desc, col("term").asc).limit(1000)
       .select(col("term"), lit(1).as("in_vocab"))
-    toks.join(freq, "term")
+    tf.join(freq, "term")
       .join(broadcast(vocab), Seq("term"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"),
-        sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_rare"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(when(col("cnt") <= 2, col("tf")).otherwise(0L)).as("n_rare"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_tok"),
         expr("n_rare * 1000 div n_tok").as("rare_pm"),
         expr("n_oov * 1000 div n_tok").as("oov_pm"))

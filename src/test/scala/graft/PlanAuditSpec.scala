@@ -122,6 +122,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("d29: term joins consume the tf pre-aggregation, not raw tokens") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, LogicalPlan}
+    val lp = SparkEntry.queries("d29_lm_quality")(spark, sf)
+      .queryExecution.optimizedPlan
+    // a join input is "raw tokens" if the explode Generate is
+    // reachable without passing through an Aggregate — the skewed
+    // O(total tokens) shuffle shape d29 must never regress to
+    def rawTokens(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: Generate  => true
+      case other        => other.children.exists(rawTokens)
+    }
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    assert(joins.forall(j => !rawTokens(j.left) && !rawTokens(j.right)))
+  }
+
   test("b19: cube is one Expand over a single grouping shuffle") {
     val p = plan("b19_cube")
     assert(p.contains("Expand"))

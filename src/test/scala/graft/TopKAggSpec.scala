@@ -39,4 +39,14 @@ class TopKAggSpec extends AnyFunSuite {
       .map(r => (r.getDouble(0), r.getLong(1)))
     assert(g2 == Seq((1.0, 1L)))
   }
+
+  test("cappedBucket accepts integer ids (cast to long inside the agg)") {
+    import spark.implicits._
+    val df = Seq((1, 7), (1, 3), (1, 9), (2, 4)).toDF("bucket", "id")
+    val out = df.groupBy("bucket")
+      .agg(graft.dedup.Dedup.cappedBucket(col("id"), 2).as("ds"))
+      .orderBy("bucket").collect()
+    assert(out(0).getSeq[Long](1) == Seq(3L, 7L)) // capped at 2 smallest ids
+    assert(out(1).getSeq[Long](1) == Seq(4L))
+  }
 }
