@@ -270,13 +270,122 @@ object TimeSeriesOps {
       .drop("__bk")
   }
 
+  /** Shared level-1 shape of the chunked folds: per (key, time
+    * chunk), the chunk's values as a (t, tie)-ordered array. State
+    * per aggregation group is bounded by the rows inside one
+    * `chunkUs` window — pick the width so a key's densest chunk fits
+    * comfortably in a task (e.g. 1 day of 1 Hz readings = 86 400
+    * values); a billion-row key then spans many chunks instead of
+    * materializing in one task.
+    */
+  private def timeChunks(df: DataFrame, key: Column, tUs: Column, tie: Column,
+      value: Column, chunkUs: Long): DataFrame =
+    df.select(key.as("key"), tUs.cast("long").as("__t"), tie.as("__tie"),
+        value.as("__v"))
+      .withColumn("__chunk", expr(s"__t div $chunkUs"))
+      .groupBy(col("key"), col("__chunk"))
+      .agg(sort_array(collect_list(struct(col("__t"), col("__tie"),
+        col("__v")))).as("xs"), count(lit(1)).as("n"))
+      .select(col("key"), col("__chunk"), col("n"),
+        transform(col("xs"), x => x("__v")).as("vals"))
+
+  /** Scale-safe per-key EWMA: s_0 = x_0, s_t = α·x_t + (1−α)·s_{t−1}
+    * over the (t, tie)-ordered series, computed as a TWO-LEVEL fold
+    * so no task ever materializes a whole key's history:
+    *
+    *  1. per (key, time chunk of `chunkUs`): the chunk's sequential
+    *     fold both zero-seeded (`b₀`) and x_0-seeded (`bₓ`), plus the
+    *     decay product a = (1−α)^n computed as a fold (not `pow`, so
+    *     every engine performs the identical multiplications);
+    *  2. per key, over chunks in time order: EWMA segments are affine
+    *     maps y ↦ a·y + b, which compose associatively — the running
+    *     value folds through `acc·a_c + b₀_c`, seeded with the first
+    *     chunk's x_0-seeded fold.
+    *
+    * Empty chunks simply don't exist as groups (an absent chunk is
+    * the identity map). Both levels are deterministic folds, so the
+    * doubles are reproducible bit-for-bit by any engine that mirrors
+    * the same two-level op order — which is how the oracle checks
+    * this without rounding. Level-1 state is bounded by the densest
+    * chunk; level-2 state by the number of non-empty chunks per key
+    * (for multi-year 100 TB histories, recurse with a coarser outer
+    * chunk). [[ewma]] is the single-level form for series known to
+    * be sensor-scale.
+    */
+  def ewmaChunked(df: DataFrame, key: Column, tUs: Column, tie: Column,
+      value: Column, alpha: Double, chunkUs: Long): DataFrame = {
+    val a = lit(alpha)
+    val b = lit(1 - alpha)
+    val chunks = timeChunks(df, key, tUs, tie, value, chunkUs)
+      .select(col("key"), col("__chunk"), col("n"),
+        aggregate(col("vals"), lit(1.0), (acc, _) => acc * b).as("ca"),
+        aggregate(slice(col("vals"), lit(2), size(col("vals")) - 1),
+          element_at(col("vals"), 1), (acc, x) => x * a + acc * b).as("cbseed"),
+        aggregate(col("vals"), lit(0.0), (acc, x) => x * a + acc * b).as("cbzero"))
+    chunks
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("__chunk"), col("ca"),
+        col("cbseed"), col("cbzero")))).as("cs"), sum(col("n")).as("n"))
+      .select(col("key"), col("n"),
+        aggregate(slice(col("cs"), lit(2), size(col("cs")) - 1),
+          element_at(col("cs"), 1)("cbseed"),
+          (acc, s) => acc * s("ca") + s("cbzero")).as("ewma"))
+  }
+
+  /** Scale-safe per-key one-sided CUSUM (final accumulators), the
+    * [[ewmaChunked]] twin for the recurrences
+    * pos_t = max(0, pos_{t−1} + (x_t − target − slack)) and
+    * neg_t = min(0, neg_{t−1} + (x_t − target + slack)), both from 0.
+    *
+    * A CUSUM segment is the max-plus map s ↦ max(m, s + t): one
+    * element is (m=0, t=d); composition is
+    * (m₂, t₂)∘(m₁, t₁) = (max(m₂, m₁+t₂), t₁+t₂), so chunks fold per
+    * (key, time chunk) with the SAME per-element op as the plain
+    * recurrence (seeded m=−∞, the identity), then compose per key in
+    * chunk order; the final statistic is the map applied to 0, i.e.
+    * max(m, t). The negative side is symmetric with min/+∞. Both
+    * levels are deterministic folds — bit-reproducible doubles, same
+    * mirroring contract as [[ewmaChunked]].
+    */
+  def cusumChunked(df: DataFrame, key: Column, tUs: Column, tie: Column,
+      value: Column, target: Double, slack: Double, chunkUs: Long): DataFrame = {
+    val up = lit(target + slack)
+    val dn = lit(target - slack)
+    val nInf = lit(Double.NegativeInfinity)
+    val pInf = lit(Double.PositiveInfinity)
+    val chunks = timeChunks(df, key, tUs, tie, value, chunkUs)
+      .select(col("key"), col("__chunk"), col("n"),
+        aggregate(col("vals"), nInf,
+          (acc, x) => greatest(lit(0.0), acc + (x - up))).as("mpos"),
+        aggregate(col("vals"), lit(0.0), (acc, x) => acc + (x - up)).as("tpos"),
+        aggregate(col("vals"), pInf,
+          (acc, x) => least(lit(0.0), acc + (x - dn))).as("mneg"),
+        aggregate(col("vals"), lit(0.0), (acc, x) => acc + (x - dn)).as("tneg"))
+    chunks
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("__chunk"), col("mpos"),
+        col("tpos"), col("mneg"), col("tneg")))).as("cs"),
+        sum(col("n")).as("n"))
+      .select(col("key"), col("n"),
+        aggregate(col("cs"), struct(nInf.as("m"), lit(0.0).as("t")),
+          (acc, s) => struct(greatest(s("mpos"), acc("m") + s("tpos")).as("m"),
+            (acc("t") + s("tpos")).as("t")),
+          acc => greatest(acc("m"), acc("t"))).as("cusum_pos"),
+        aggregate(col("cs"), struct(pInf.as("m"), lit(0.0).as("t")),
+          (acc, s) => struct(least(s("mneg"), acc("m") + s("tneg")).as("m"),
+            (acc("t") + s("tneg")).as("t")),
+          acc => least(acc("m"), acc("t"))).as("cusum_neg"))
+  }
+
   /** Per-key one-sided CUSUM drift statistics over the time-ordered
     * series: pos_t = max(0, pos_{t−1} + (x_t − target − slack)),
     * neg_t = min(0, neg_{t−1} + (x_t − target + slack)), both from 0.
     * Same sequential-fold shape as [[ewma]] (one groupBy shuffle,
-    * deterministic order ⇒ bit-reproducible doubles); per-key series
-    * are assumed sensor-scale. Returns the FINAL accumulator per key
-    * — the streaming twin keeps (pos, neg) in keyed state.
+    * deterministic order ⇒ bit-reproducible doubles); the per-key
+    * array bounds this form to sensor-scale series — unbounded keys
+    * go through [[cusumChunked]] (the C21 entry point) or the
+    * streaming twin's keyed state. Returns the FINAL accumulator per
+    * key.
     */
   def cusum(df: DataFrame, key: Column, order: Seq[Column], value: Column,
       target: Double, slack: Double): DataFrame = {
@@ -301,11 +410,11 @@ object TimeSeriesOps {
     * fold (deterministic order), so results are bit-reproducible on
     * any engine that folds the same order — which is what lets the
     * oracle check it without rounding. `order` must be a total order
-    * (include a unique id as tie-break). For unbounded histories the
-    * same recurrence runs incrementally in
-    * [[graft.streaming.Sessionizer]]-style keyed state; this batch
-    * form assumes per-key series fit an array (sensor-scale, not
-    * corpus-scale).
+    * (include a unique id as tie-break). The per-key array bounds
+    * this form to series known to fit one task (sensor-scale);
+    * unbounded keys go through [[ewmaChunked]] (the C16 entry point)
+    * or the incremental keyed state of
+    * [[graft.streaming.StatefulEwma]].
     */
   def ewma(df: DataFrame, key: Column, order: Seq[Column], value: Column,
       alpha: Double): DataFrame = {

@@ -327,21 +327,42 @@ object TimeSeriesQueries {
       |    wf AS (PARTITION BY user_id ORDER BY t_us
       |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))""".stripMargin
 
-  /** C16 — per-sensor EWMA (α = 0.1) over the time-ordered series:
-    * identical sequential fold on both engines, so the doubles match
-    * bit-for-bit with no rounding ([[TimeSeriesOps.ewma]]).
+  /** C16 — per-sensor EWMA (α = 0.1) over the time-ordered series,
+    * via the two-level chunked fold ([[TimeSeriesOps.ewmaChunked]],
+    * 1-day chunks): per-task state is bounded by one day of one
+    * sensor, so a hot key with billions of readings never
+    * materializes in a single task. The oracle mirrors the identical
+    * two-level fold (per-chunk sequential folds, then the affine
+    * composition y ↦ a·y + b over chunks in order), so the doubles
+    * match bit-for-bit with no rounding.
     */
   def c16(s: SparkSession, dir: String): DataFrame =
-    TimeSeriesOps.ewma(events(s, dir), col("user_id"),
-      Seq(unix_micros(col("ts")).as("t_us"), col("event_id")),
-      col("value"), alpha = 0.1)
+    TimeSeriesOps.ewmaChunked(events(s, dir), col("user_id"),
+      unix_micros(col("ts")), col("event_id"),
+      col("value"), alpha = 0.1, chunkUs = 86400000000L)
       .select(col("key").as("user_id"), col("n"), col("ewma"))
 
   val c16Sql: String =
-    """SELECT user_id, count(*) AS n,
-      |  list_reduce(list(value ORDER BY epoch_us(ts), event_id),
-      |    (ew_a, ew_x) -> ew_x * 0.1 + ew_a * 0.9) AS ewma
-      |FROM events GROUP BY user_id""".stripMargin
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us, event_id, value FROM events),
+      |ch AS (
+      |  SELECT user_id, t_us // 86400000000 AS chunk, count(*) AS n,
+      |    list_reduce(list_prepend(1.0, list(value ORDER BY t_us, event_id)),
+      |      (ew_a, ew_x) -> ew_a * 0.9) AS ca,
+      |    list_reduce(list(value ORDER BY t_us, event_id),
+      |      (ew_a, ew_x) -> ew_x * 0.1 + ew_a * 0.9) AS cbseed,
+      |    list_reduce(list_prepend(0.0, list(value ORDER BY t_us, event_id)),
+      |      (ew_a, ew_x) -> ew_x * 0.1 + ew_a * 0.9) AS cbzero
+      |  FROM ev GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT user_id, chunk, n, ca, cbseed, cbzero,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY chunk) AS rn
+      |  FROM ch)
+      |SELECT user_id, CAST(sum(n) AS BIGINT) AS n,
+      |  list_reduce(
+      |    list([ca, CASE WHEN rn = 1 THEN cbseed ELSE cbzero END] ORDER BY chunk),
+      |    (ew_a, ew_s) -> [ew_s[1], ew_a[2] * ew_s[1] + ew_s[2]])[2] AS ewma
+      |FROM ranked GROUP BY user_id""".stripMargin
 
   /** C17 — rate of change per sensor: value delta over time delta
     * between consecutive readings (total order on (t, event_id)),
@@ -498,30 +519,53 @@ object TimeSeriesQueries {
 
   /** C21 — per-sensor CUSUM drift statistics (target 50, slack 5):
     * final positive/negative accumulators of the classic one-sided
-    * CUSUM recurrences, as identical sequential folds on both
-    * engines — bit-exact doubles, no rounding
-    * ([[TimeSeriesOps.cusum]]).
+    * CUSUM recurrences, via the two-level chunked fold
+    * ([[TimeSeriesOps.cusumChunked]], 1-day chunks — per-task state
+    * bounded by one day of one sensor). CUSUM segments are max-plus
+    * maps s ↦ max(m, s + t), which compose associatively; the oracle
+    * mirrors the identical per-chunk folds and cross-chunk
+    * composition, so the doubles are bit-exact with no rounding.
     */
   def c21(s: SparkSession, dir: String): DataFrame =
-    TimeSeriesOps.cusum(events(s, dir), col("user_id"),
-      Seq(unix_micros(col("ts")).as("t_us"), col("event_id")),
-      col("value"), target = 50.0, slack = 5.0)
+    TimeSeriesOps.cusumChunked(events(s, dir), col("user_id"),
+      unix_micros(col("ts")), col("event_id"),
+      col("value"), target = 50.0, slack = 5.0, chunkUs = 86400000000L)
       .select(col("key").as("user_id"), col("n"),
         col("cusum_pos"), col("cusum_neg"),
         (col("cusum_pos") > 2000.0 || col("cusum_neg") < -2000.0).as("drift"))
 
   val c21Sql: String =
-    """SELECT user_id, count(*) AS n,
-      |  list_reduce(list_prepend(0.0, list(value ORDER BY epoch_us(ts), event_id)),
-      |    (cs_a, cs_x) -> greatest(0.0, cs_a + (cs_x - 55.0))) AS cusum_pos,
-      |  list_reduce(list_prepend(0.0, list(value ORDER BY epoch_us(ts), event_id)),
-      |    (cs_a, cs_x) -> least(0.0, cs_a + (cs_x - 45.0))) AS cusum_neg,
-      |  list_reduce(list_prepend(0.0, list(value ORDER BY epoch_us(ts), event_id)),
-      |    (cs_a, cs_x) -> greatest(0.0, cs_a + (cs_x - 55.0))) > 2000.0
-      |  OR
-      |  list_reduce(list_prepend(0.0, list(value ORDER BY epoch_us(ts), event_id)),
-      |    (cs_a, cs_x) -> least(0.0, cs_a + (cs_x - 45.0))) < -2000.0 AS drift
-      |FROM events GROUP BY user_id""".stripMargin
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us, event_id, value FROM events),
+      |ch AS (
+      |  SELECT user_id, t_us // 86400000000 AS chunk, count(*) AS n,
+      |    list_reduce(
+      |      list_prepend(CAST('-infinity' AS DOUBLE), list(value ORDER BY t_us, event_id)),
+      |      (cs_a, cs_x) -> greatest(0.0, cs_a + (cs_x - 55.0))) AS mpos,
+      |    list_reduce(list_prepend(0.0, list(value ORDER BY t_us, event_id)),
+      |      (cs_a, cs_x) -> cs_a + (cs_x - 55.0)) AS tpos,
+      |    list_reduce(
+      |      list_prepend(CAST('infinity' AS DOUBLE), list(value ORDER BY t_us, event_id)),
+      |      (cs_a, cs_x) -> least(0.0, cs_a + (cs_x - 45.0))) AS mneg,
+      |    list_reduce(list_prepend(0.0, list(value ORDER BY t_us, event_id)),
+      |      (cs_a, cs_x) -> cs_a + (cs_x - 45.0)) AS tneg
+      |  FROM ev GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT user_id, CAST(sum(n) AS BIGINT) AS n,
+      |    list_reduce(
+      |      list_prepend([CAST('-infinity' AS DOUBLE), 0.0],
+      |        list([mpos, tpos] ORDER BY chunk)),
+      |      (cs_a, cs_s) -> [greatest(cs_s[1], cs_a[1] + cs_s[2]), cs_a[2] + cs_s[2]]) AS rp,
+      |    list_reduce(
+      |      list_prepend([CAST('infinity' AS DOUBLE), 0.0],
+      |        list([mneg, tneg] ORDER BY chunk)),
+      |      (cs_a, cs_s) -> [least(cs_s[1], cs_a[1] + cs_s[2]), cs_a[2] + cs_s[2]]) AS rneg
+      |  FROM ch GROUP BY user_id)
+      |SELECT user_id, n,
+      |  greatest(rp[1], rp[2]) AS cusum_pos,
+      |  least(rneg[1], rneg[2]) AS cusum_neg,
+      |  greatest(rp[1], rp[2]) > 2000.0 OR least(rneg[1], rneg[2]) < -2000.0 AS drift
+      |FROM agg""".stripMargin
 
   /** C23 — forward as-of join (pandas `direction="forward"`): for
     * each click, the user's EARLIEST purchase at-or-after the click —

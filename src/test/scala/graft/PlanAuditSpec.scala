@@ -88,10 +88,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("c16: EWMA is one grouping shuffle, no window sort") {
+  test("c16: chunked EWMA is two bounded grouping shuffles, no window sort") {
     val p = plan("c16_ewma")
-    assert(shuffles(p) == 1)
+    // level 1 groups by (key, chunk), level 2 by key — never a
+    // whole-key series in one aggregation group, never a Window sort
+    assert(shuffles(p) == 2)
     assert(!p.contains("Window"))
+    assert(p.linesIterator.exists(l =>
+      l.contains("ObjectHashAggregate") && l.contains("__chunk")))
   }
 
   test("c20: interval overlap join is a hash equi-join, never a nested loop") {
