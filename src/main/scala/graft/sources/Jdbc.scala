@@ -8,9 +8,12 @@ import graft.pipeline.PipelineConfig
   * (/root/reference/main_pipeline.py:137-169): parallel range
   * partitioning on the sensor key, bounded fetch size.
   *
-  * No database exists in the test environment, so only the
-  * option-building logic is exercised by tests; the `load` path is
-  * the standard Spark JDBC source.
+  * Exercised end-to-end in SourcesSpec against an embedded Derby
+  * database: the partitioned read (partitionColumn / lowerBound /
+  * upperBound / numPartitions / fetchsize) splits into the
+  * configured number of range scans and matches the parquet source
+  * bit-for-bit; the `query` pushdown path runs a server-side
+  * aggregate. The `load` path is the standard Spark JDBC source.
   */
 object Jdbc {
 

@@ -64,6 +64,64 @@ class SourcesSpec extends AnyFunSuite {
       tricky.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
+  private val derbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  private lazy val jdbcEvents = graft.queries.QueryUtil.events(spark, sf)
+    .select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("t_us"), col("value"))
+
+  /** Embedded Derby (on the Spark classpath) stands in for the
+    * reference's warehouse DB — a real in-process JDBC endpoint.
+    * Loaded once through Spark's JDBC sink (the write half of the
+    * source); evaluates lazily so every test sees the same table.
+    */
+  private lazy val derbyUrl: String = {
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft_derby").toString)
+    val url = "jdbc:derby:memory:graft_src;create=true"
+    jdbcEvents.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", "sensor_events")
+      .option("driver", derbyDriver)
+      .mode("overwrite")
+      .save()
+    url
+  }
+
+  test("partitioned JDBC read from an embedded database matches parquet bit-for-bit") {
+    // The partitioned read path (partitionColumn/lowerBound/
+    // upperBound/numPartitions/fetchsize) runs end-to-end here
+    // instead of only building options.
+    val url = derbyUrl
+    val events = jdbcEvents
+    val bounds = events.agg(min("event_id"), max("event_id")).head()
+    val opts = graft.sources.Jdbc.connectionOptions(url, "", "",
+      graft.pipeline.PipelineConfig(),
+      partitionColumn = "event_id",
+      lowerBound = bounds.getLong(0), upperBound = bounds.getLong(1)) +
+      ("driver" -> derbyDriver)
+    val back = graft.sources.Jdbc.reader(spark, opts)
+      .option("dbtable", "sensor_events").load()
+    // the range partitioning must actually split the scan
+    assert(back.rdd.getNumPartitions ==
+      graft.pipeline.PipelineConfig().jdbcNumPartitions)
+    assert(back.count() == events.count())
+    // bit-for-bit: long/double columns round-trip exactly through JDBC
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+  }
+
+  test("JDBC query-pushdown read returns the filtered aggregate") {
+    val opts = Map("url" -> derbyUrl, "driver" -> derbyDriver)
+    // Derby folds unquoted identifiers to upper case; the Spark JDBC
+    // sink created the columns quoted lower-case, so quote them here.
+    val agg = graft.sources.Jdbc.queryTable(spark, opts,
+      """SELECT "user_id", count(*) AS "n" FROM sensor_events GROUP BY "user_id"""")
+    val expect = graft.queries.QueryUtil.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(agg.count() == expect.count())
+    assert(agg.exceptAll(expect).isEmpty)
+  }
+
   test("OptimizedWriter emits ORC when asked") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     OptimizedWriter.writeOptimized(sample, dir, partitionCols = Seq(),
