@@ -23,6 +23,20 @@ case class PipelineConfig(
 
 object PipelineConfig {
 
+  /** Read the config from a JSON file. The refresh analog of the
+    * reference's Config_manager_dag → Airflow-variable push
+    * (/root/reference/main_pipeline.py:44-73): instead of an
+    * orchestrator pushing new values into a running job, the job
+    * rereads this file at each micro-batch boundary
+    * ([[SensorJob.streamWithConfigReload]]) — same operational
+    * contract (update a small config document, the next batch sees
+    * it) with no external scheduler in the loop.
+    */
+  def fromJsonFile(path: String): PipelineConfig =
+    fromJson(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
   /** Minimal JSON loader (flat string/number/bool object — the
     * shape the reference stores in Airflow variables / Secrets
     * Manager). No external JSON dependency by design.

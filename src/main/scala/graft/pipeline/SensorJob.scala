@@ -83,3 +83,38 @@ class SensorJob(spark: SparkSession, config: PipelineConfig) {
       spark.catalog.clearCache()
     }
 }
+
+object SensorJob {
+
+  /** Continuous sensor job with hot-reloadable config — the engine
+    * twin of the reference's config-refresh orchestration
+    * (Config_manager_dag.py + ConfigManager,
+    * /root/reference/main_pipeline.py:44-73). The reference has an
+    * Airflow DAG periodically pushing fresh config into variables
+    * that the next scheduled batch reads; here the config FILE is
+    * reread on the driver at every micro-batch boundary, so
+    * operators update thresholds by rewriting one small JSON
+    * document — no job restart, no scheduler.
+    *
+    * Per batch: reread config → integrity filter with the CURRENT
+    * bounds → hand the filtered frame and the config snapshot to
+    * `sink` (write, enrich, alert — caller's choice; the config
+    * carries outputDir/writeMode for sinks that want them).
+    *
+    * Scale note: the reread is one driver-side file read per
+    * micro-batch (milliseconds against a batch that processes
+    * millions of rows); the config values enter the plan as
+    * literals, so each batch's filter is codegen'd with the
+    * constants of that batch — no per-row indirection.
+    */
+  def streamWithConfigReload(stream: DataFrame, configPath: String)
+      (sink: (DataFrame, Long, PipelineConfig) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val cfg = PipelineConfig.fromJsonFile(configPath)
+        val filtered = batch.filter(SensorPipeline.integrityFilter(
+          col("value"), cfg.integrityMin, cfg.integrityMax))
+        sink(filtered, batchId, cfg)
+      }
+}
