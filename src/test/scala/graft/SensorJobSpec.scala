@@ -46,6 +46,49 @@ class SensorJobSpec extends AnyFunSuite {
     assert(byTag.values.sum == expected)
   }
 
+  test("streamWithConfigReload hot-swaps integrity bounds between micro-batches") {
+    val src = java.nio.file.Files.createTempDirectory("graft_cfg_src").toString
+    val cfgPath = java.nio.file.Files.createTempDirectory("graft_cfg")
+      .resolve("pipeline.json").toString
+    def writeCfg(min: Double, max: Double): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+        s"""{"integrityMin": $min, "integrityMax": $max}""")
+    def writeRows(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val ns = 1000000L * 1000
+    // batch 1 under bounds [0, 10]: value 50 must be dropped
+    writeCfg(0.0, 10.0)
+    writeRows(Seq(
+      (1L, 1 * ns, 10L, "click", 5.0, "{}"),
+      (2L, 2 * ns, 10L, "click", 50.0, "{}")))
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[Long], Double)] // (batchId, surviving ids, cfg max)
+    val stream = spark.readStream
+      .schema(graft.streaming.StreamingOps.eventsSchema)
+      .parquet(src)
+    val q = SensorJob.streamWithConfigReload(stream, cfgPath) {
+      (batch, batchId, cfg) =>
+        val ids = batch.select("event_id").collect().map(_.getLong(0)).toSet
+        seen.synchronized { seen += ((batchId, ids, cfg.integrityMax)) }
+    }.start()
+    try {
+      q.processAllAvailable()
+      // hot-swap: widen the bounds, no restart — batch 2 must keep 50
+      writeCfg(0.0, 100.0)
+      writeRows(Seq(
+        (3L, 3 * ns, 11L, "click", 50.0, "{}"),
+        (4L, 4 * ns, 11L, "click", 500.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = seen.synchronized { seen.sortBy(_._1).toList }
+    assert(byBatch.map(_._3) == List(10.0, 100.0)) // each batch saw its file's bounds
+    assert(byBatch.head._2 == Set(1L))        // 50.0 dropped under max=10
+    assert(byBatch(1)._2 == Set(3L))          // 50.0 kept, 500.0 dropped under max=100
+  }
+
   test("incremental cutoff drops rows before the existing watermark") {
     val (readings, tags) = sensorShaped()
     val config = PipelineConfig(sensorPatterns = Seq(".*"),
