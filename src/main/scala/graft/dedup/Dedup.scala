@@ -196,7 +196,7 @@ object Dedup {
     * rewrite; the join structure is identical.)
     */
   def dupClusters(docs: DataFrame, id: String, text: String,
-      jacPm: Int = 500): DataFrame = {
+      jacPm: Int = 500, algo: String = "minlabel"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // One window pass computes the contraction map (doc -> rep) used
@@ -211,6 +211,38 @@ object Dedup {
       .filter(col("jac_pm") >= jacPm)
       .select("d1", "d2")
     val edges = nearPairs.distinct()
+    val labels = (algo match {
+      case "minlabel" => ccMinLabel(edges)
+      case "star"     => ccSmallLargeStar(edges)
+      case other => throw new IllegalArgumentException(
+        s"unknown cc algo: $other (minlabel|star)")
+    })._1
+    // Expand contracted labels back to documents: a doc's cluster is
+    // its rep's near-dup component label, or the rep itself when the
+    // rep touches no near edge. The returned plan reads the (small)
+    // converged label table and the contraction map, which stay
+    // persisted — callers running many curation batches in one
+    // session should clearCache between batches.
+    withRep.select(col(id), col("rep"))
+      .join(labels.withColumnRenamed("n", "rep"), Seq("rep"), "left")
+      .select(col(id), coalesce(col("lbl"), col("rep")).as("cluster_id"))
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+  }
+
+  /** Min-label propagation connected components. Input: undirected
+    * edge list (d1, d2). Output: ((n, lbl) for every node touching an
+    * edge — lbl = min node id of its component, left persisted for the
+    * caller's downstream join) plus the scheduled-action count.
+    *
+    * Each action runs TWO lazy propagation rounds inside one count
+    * job, so labels travel 2 hops per action: convergence needs
+    * O(component diameter / 2) actions. Fine for real near-dup graphs
+    * (contraction keeps them shallow); adversarial deep chains should
+    * use [[ccSmallLargeStar]].
+    */
+  private[graft] def ccMinLabel(edges: DataFrame): (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val adj = edges
       .unionByName(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(lvl)
@@ -228,6 +260,7 @@ object Dedup {
           (coalesce(col("nlbl"), ls("lbl")) < ls("lbl")).as("chg"))
     }
     var changed = 1L
+    var actions = 0
     while (changed > 0) {
       // Two propagation rounds per scheduled action: both rounds run
       // lazily inside the one count job, and a zero count on the
@@ -235,22 +268,88 @@ object Dedup {
       // converged labels changes nothing).
       val next = step(step(labels).select("n", "lbl")).persist(lvl)
       changed = next.filter(col("chg")).count()
+      actions += 1
       persisted.unpersist()
       persisted = next
       labels = next.select("n", "lbl")
     }
     adj.unpersist()
-    // Expand contracted labels back to documents: a doc's cluster is
-    // its rep's near-dup component label, or the rep itself when the
-    // rep touches no near edge. The returned plan reads the (small)
-    // converged label table and the contraction map, which stay
-    // persisted — callers running many curation batches in one
-    // session should clearCache between batches.
-    withRep.select(col(id), col("rep"))
-      .join(labels.withColumnRenamed("n", "rep"), Seq("rep"), "left")
-      .select(col(id), coalesce(col("lbl"), col("rep")).as("cluster_id"))
-      .withColumn("csize",
-        count(lit(1)).over(Window.partitionBy("cluster_id")))
+    (labels, actions)
+  }
+
+  /** Alternating small-star/large-star connected components — the
+    * O(log d) round variant for adversarial deep-chain duplicate
+    * graphs (a boilerplate corpus where doc_i ~ doc_{i+1} builds a
+    * path whose diameter is the corpus length; min-label propagation
+    * would schedule O(diameter) Spark jobs, this schedules
+    * O(log diameter)). Public-algorithm shape: Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SOCC'14).
+    *
+    * Each round is two hash-partitioned groupBy+join passes over the
+    * edge list — no per-node adjacency materialization beyond a
+    * per-group MIN, so a high-degree star node costs one aggregation
+    * group, not a posting list:
+    *  - large-star: every node links its larger neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node relinks its smaller-or-equal neighbors
+    *    to that minimum.
+    * The edge set converges to the star forest (node -> component
+    * minimum); convergence is detected by an (edge count, xor of edge
+    * hashes) signature going stable — one tiny aggregate per round on
+    * data the round computed anyway.
+    *
+    * Output labels match [[ccMinLabel]] exactly: (n, lbl = component
+    * min) for every node incident to an edge, persisted for the
+    * caller's downstream join. Returns (labels, rounds).
+    */
+  private[graft] def ccSmallLargeStar(edges0: DataFrame): (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("s"), col("g")).as("s"), greatest(col("s"), col("g")).as("g"))
+      .filter(col("s") =!= col("g"))
+      .distinct()
+    // (s, g) with s < g throughout; self-loops dropped.
+    var edges = canon(edges0.select(col("d1").as("s"), col("d2").as("g")))
+      .persist(lvl)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("s").as("u"), col("g").as("v"))
+        .unionByName(e.select(col("g").as("u"), col("s").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      canon(sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("m").as("s"), col("v").as("g")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges already oriented g -> s (g > s): group at the larger end
+      val mins = e.groupBy("g").agg(min(col("s")).as("m"))
+      canon(e.join(mins, "g")
+        .select(col("m").as("s"), col("s").as("g"))
+        .unionByName(mins.select(col("m").as("s"), col("g"))))
+    }
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("s"), col("g")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var rounds = 0
+    var sig = signature(edges)
+    var converged = edges.isEmpty
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).persist(lvl)
+      rounds += 1
+      val nextSig = signature(next)
+      edges.unpersist()
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+    }
+    // Star forest: every edge is (component min, member). Roots label
+    // themselves.
+    val labels = edges.select(col("g").as("n"), col("s").as("lbl"))
+      .unionByName(edges.select(col("s").as("n"), col("s").as("lbl")))
+      .distinct()
+      .persist(lvl)
+    (labels, rounds)
   }
 
   /** SimHash near-dup pairs: signatures over word 3-gram hashes
