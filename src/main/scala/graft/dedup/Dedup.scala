@@ -232,8 +232,9 @@ object Dedup {
 
   /** Min-label propagation connected components. Input: undirected
     * edge list (d1, d2). Output: ((n, lbl) for every node touching an
-    * edge — lbl = min node id of its component, left persisted for the
-    * caller's downstream join) plus the scheduled-action count.
+    * edge — lbl = min node id of its component, left materialized by
+    * an eager localCheckpoint for the caller's downstream join) plus
+    * the scheduled-action count.
     *
     * Each action runs TWO lazy propagation rounds inside one count
     * job, so labels travel 2 hops per action: convergence needs
@@ -246,10 +247,9 @@ object Dedup {
     val adj = edges
       .unionByName(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(lvl)
-    var persisted = adj.select(col("d1").as("n")).distinct()
+    var labels = adj.select(col("d1").as("n")).distinct()
       .select(col("n"), col("n").as("lbl"))
-      .persist(lvl)
-    var labels = persisted
+      .localCheckpoint()
     // One propagation round: neighbor-min with an improvement flag.
     def step(ls: DataFrame): DataFrame = {
       val nbrMin = adj.join(ls, adj("d2") === ls("n"))
@@ -262,15 +262,17 @@ object Dedup {
     var changed = 1L
     var actions = 0
     while (changed > 0) {
-      // Two propagation rounds per scheduled action: both rounds run
-      // lazily inside the one count job, and a zero count on the
-      // second round is a fixpoint proof (a round applied to already-
-      // converged labels changes nothing).
-      val next = step(step(labels).select("n", "lbl")).persist(lvl)
+      // Two propagation rounds per scheduled action; a zero change
+      // count on the second round is a fixpoint proof (a round
+      // applied to already-converged labels changes nothing). Each
+      // step references `labels` twice, so lineage would grow
+      // geometrically over actions — the EAGER localCheckpoint
+      // truncates the plan per action (it is also the action that
+      // materializes both rounds; the change count then reads the
+      // checkpointed partitions).
+      val next = step(step(labels).select("n", "lbl")).localCheckpoint()
       changed = next.filter(col("chg")).count()
       actions += 1
-      persisted.unpersist()
-      persisted = next
       labels = next.select("n", "lbl")
     }
     adj.unpersist()
@@ -308,9 +310,16 @@ object Dedup {
       .select(least(col("s"), col("g")).as("s"), greatest(col("s"), col("g")).as("g"))
       .filter(col("s") =!= col("g"))
       .distinct()
-    // (s, g) with s < g throughout; self-loops dropped.
+    // (s, g) with s < g throughout; self-loops dropped. Each round
+    // references the previous round's edge set several times (sym
+    // doubles it, mins joins back onto it), so the logical plan would
+    // grow exponentially in the round count if rounds merely stacked;
+    // an EAGER localCheckpoint per round truncates lineage to the
+    // materialized result — O(1) plan depth per round, and the
+    // materialization doubles as the round's action (the signature
+    // aggregate then reads the checkpointed partitions).
     var edges = canon(edges0.select(col("d1").as("s"), col("d2").as("g")))
-      .persist(lvl)
+      .localCheckpoint()
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("s").as("u"), col("g").as("v"))
         .unionByName(e.select(col("g").as("u"), col("s").as("v")))
@@ -328,17 +337,18 @@ object Dedup {
         .unionByName(mins.select(col("m").as("s"), col("g"))))
     }
     def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), sum(xxhash64(col("s"), col("g")))).head()
+      // XOR, not SUM: full-range xxhash64 values overflow a long sum
+      // under ANSI arithmetic; xor is closed over Long and order-free.
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(s, g))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var rounds = 0
     var sig = signature(edges)
     var converged = edges.isEmpty
     while (!converged) {
-      val next = smallStar(largeStar(edges)).persist(lvl)
+      val next = smallStar(largeStar(edges)).localCheckpoint()
       rounds += 1
       val nextSig = signature(next)
-      edges.unpersist()
       edges = next
       converged = nextSig == sig
       sig = nextSig

@@ -659,11 +659,15 @@ object TrainingDataQueries {
 
   /** D18 — duplicate-cluster assignment: connected components over
     * the union of exact-dup and verified MinHash near-dup edges via
-    * iterative min-label propagation ([[graft.dedup.Dedup.dupClusters]]).
-    * The oracle computes the same components with a recursive CTE.
+    * alternating small-star/large-star rounds
+    * ([[graft.dedup.Dedup.dupClusters]] with `algo = "star"` — the
+    * O(log diameter)-round variant that survives adversarial
+    * deep-chain duplicate graphs; the min-label path stays
+    * cross-validated against it in PropertySpec). The oracle
+    * computes the same components with a recursive CTE.
     */
   def d18(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.dupClusters(docs(s, dir), "doc_id", "text")
+    graft.dedup.Dedup.dupClusters(docs(s, dir), "doc_id", "text", algo = "star")
 
   val d18Sql: String =
     s"""WITH RECURSIVE u AS (

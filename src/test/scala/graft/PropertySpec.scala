@@ -83,6 +83,46 @@ class PropertySpec extends AnyFunSuite {
       }
       val want = (1L to 40L).map(i => i -> find(i)).toMap
       assert(got == want, s"round $round")
+      // the small-large-star path must produce identical clusters
+      val gotStar = graft.dedup.Dedup
+        .dupClusters(docs, "doc_id", "text", algo = "star")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar == want, s"round $round (star)")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("ccSmallLargeStar labels a 256-node path in O(log n) rounds") {
+    import spark.implicits._
+    // Deep chain: the adversarial shape for min-label propagation
+    // (diameter = n). The star variant must converge in ~2*log2(n)
+    // alternating rounds and still label every node with the
+    // component minimum.
+    val n = 256
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, rounds) = graft.dedup.Dedup.ccSmallLargeStar(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n.toLong).map(_ -> 0L).toMap)
+    assert(rounds <= 2 * 8 + 2, s"rounds=$rounds for a ${n}-node path")
+    labels.unpersist()
+  }
+
+  test("ccSmallLargeStar equals ccMinLabel on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(49)
+    for (round <- 1 to 3) {
+      // mix of components: random sparse edges over 60 nodes, plus a
+      // guaranteed chain and an isolated 2-clique
+      val edges = (List.fill(45)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+          ++ List((70L, 71L), (71L, 72L), (72L, 73L), (90L, 91L)))
+        .filter { case (a, b) => a != b }
+        .toDF("d1", "d2")
+      val (star, _) = graft.dedup.Dedup.ccSmallLargeStar(edges)
+      val (minl, _) = graft.dedup.Dedup.ccMinLabel(edges)
+      val g = star.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val w = minl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(g == w, s"round $round")
+      star.unpersist(); minl.unpersist()
     }
   }
 
