@@ -304,12 +304,41 @@ object Dedup {
     * min) for every node incident to an edge, persisted for the
     * caller's downstream join. Returns (labels, rounds).
     */
+  /** Canonical star-CC edge orientation: (s, g) with s < g,
+    * self-loops dropped, deduped. */
+  private[graft] def ccCanon(e: DataFrame): DataFrame = e
+    .select(least(col("s"), col("g")).as("s"), greatest(col("s"), col("g")).as("g"))
+    .filter(col("s") =!= col("g"))
+    .distinct()
+
+  /** One large-star pass: every node links its larger neighbors to
+    * the minimum of its closed neighborhood. Exposed at object level
+    * (not nested in the loop) so the per-round physical plan is
+    * inspectable on its own — see PLANS.md's star-CC section.
+    */
+  private[graft] def ccLargeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("s").as("u"), col("g").as("v"))
+      .unionByName(e.select(col("g").as("u"), col("s").as("v")))
+    val mins = sym.groupBy("u")
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    ccCanon(sym.join(mins, "u").where(col("v") > col("u"))
+      .select(col("m").as("s"), col("v").as("g")))
+  }
+
+  /** One small-star pass: every node relinks its smaller-or-equal
+    * neighbors to its closed-neighborhood minimum. Edges arrive
+    * oriented g -> s (g > s), so grouping happens at the larger end.
+    */
+  private[graft] def ccSmallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("g").agg(min(col("s")).as("m"))
+    ccCanon(e.join(mins, "g")
+      .select(col("m").as("s"), col("s").as("g"))
+      .unionByName(mins.select(col("m").as("s"), col("g"))))
+  }
+
   private[graft] def ccSmallLargeStar(edges0: DataFrame): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def canon(e: DataFrame): DataFrame = e
-      .select(least(col("s"), col("g")).as("s"), greatest(col("s"), col("g")).as("g"))
-      .filter(col("s") =!= col("g"))
-      .distinct()
     // (s, g) with s < g throughout; self-loops dropped. Each round
     // references the previous round's edge set several times (sym
     // doubles it, mins joins back onto it), so the logical plan would
@@ -318,24 +347,8 @@ object Dedup {
     // materialized result — O(1) plan depth per round, and the
     // materialization doubles as the round's action (the signature
     // aggregate then reads the checkpointed partitions).
-    var edges = canon(edges0.select(col("d1").as("s"), col("d2").as("g")))
+    var edges = ccCanon(edges0.select(col("d1").as("s"), col("d2").as("g")))
       .localCheckpoint()
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.select(col("s").as("u"), col("g").as("v"))
-        .unionByName(e.select(col("g").as("u"), col("s").as("v")))
-      val mins = sym.groupBy("u")
-        .agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      canon(sym.join(mins, "u").where(col("v") > col("u"))
-        .select(col("m").as("s"), col("v").as("g")))
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      // edges already oriented g -> s (g > s): group at the larger end
-      val mins = e.groupBy("g").agg(min(col("s")).as("m"))
-      canon(e.join(mins, "g")
-        .select(col("m").as("s"), col("s").as("g"))
-        .unionByName(mins.select(col("m").as("s"), col("g"))))
-    }
     def signature(e: DataFrame): (Long, Long) = {
       // XOR, not SUM: full-range xxhash64 values overflow a long sum
       // under ANSI arithmetic; xor is closed over Long and order-free.
@@ -346,7 +359,7 @@ object Dedup {
     var sig = signature(edges)
     var converged = edges.isEmpty
     while (!converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = ccSmallStar(ccLargeStar(edges)).localCheckpoint()
       rounds += 1
       val nextSig = signature(next)
       edges = next
@@ -360,6 +373,169 @@ object Dedup {
       .distinct()
       .persist(lvl)
     (labels, rounds)
+  }
+
+  /** LSH band hash of one signature band: base-31 fold of the band's
+    * minhash rows seeded with the band number (so equal row values in
+    * different bands never collide). Shared by the batch path
+    * ([[minhashVerifiedPairs]]) and the persisted-index path
+    * ([[buildIndex]]/[[incremental]]) — the incremental probe must
+    * hash exactly like the index writer did.
+    */
+  private[graft] def bandKeyCols(sig: Column, numPerms: Int,
+      bands: Int): Seq[Column] = {
+    val rowsPerBand = numPerms / bands
+    (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        aggregate(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+          lit(b.toLong), (acc, x) => (acc * 31 + x) % TextHash.P)
+          .as("band_hash"))
+    }
+  }
+
+  /** Signature agreement count — the estimated-Jaccard numerator out
+    * of numPerms. Incremental verification runs on signatures alone
+    * (the index does not store shingle sets; at corpus scale they
+    * dwarf the 16-long signature and re-shipping them per batch
+    * defeats the index).
+    */
+  private[graft] def estMatches(s1: Column, s2: Column): Column =
+    size(filter(zip_with(s1, s2, (a, b) => a === b), x => x)).cast("long")
+
+  /** Build the persisted dedup index a production training-data
+    * pipeline dedups each new crawl snapshot against. Layout at
+    * `indexDir` (all parquet, overwritten):
+    *
+    *   content/ (content_hash, keeper_id) — exact-identity map
+    *   bands/   (band, band_hash, <id>)   — LSH posting lists over
+    *            content representatives, capped at the `maxBucket`
+    *            smallest ids per bucket INSIDE the aggregation
+    *            ([[cappedBucket]]) so a boilerplate-heavy corpus
+    *            cannot write an unbounded bucket
+    *   sigs/    (<id>, sig)               — MinHash signatures of
+    *            representatives, for probe-side verification
+    *
+    * Each table is one hash-partitioned pass; nothing is collected
+    * to the driver. At 100 TB the index is just three bucketed
+    * tables that later batches equi-join against.
+    */
+  def buildIndex(docs: DataFrame, id: String, text: String,
+      indexDir: String, shingleK: Int = 8, numPerms: Int = 16,
+      bands: Int = 4, maxBucket: Int = 512): Unit = {
+    exact(docs, id, text).select("content_hash", "keeper_id")
+      .write.mode("overwrite").parquet(s"$indexDir/content")
+    val reps = contentReps(docs, id, text)
+    lshBands(reps, id, text, shingleK, numPerms, bands)
+      .groupBy("band", "band_hash")
+      .agg(cappedBucket(col(id), maxBucket).as("ds"))
+      .select(col("band"), col("band_hash"), explode(col("ds")).as(id))
+      .write.mode("overwrite").parquet(s"$indexDir/bands")
+    reps.filter(length(lower(trim(col(text)))) >= shingleK)
+      .select(col(id),
+        minhashSignature(col(text), shingleK, numPerms).as("sig"))
+      .write.mode("overwrite").parquet(s"$indexDir/sigs")
+  }
+
+  /** Dedup a new document batch against a persisted corpus index
+    * ([[buildIndex]]) — the production incremental shape: the corpus
+    * already ingested is represented only by its index tables, never
+    * rescanned. Returns one row per batch document:
+    *
+    *   (<id>, fate, match_id) with fate ∈
+    *     exact_index — content hash already in the index
+    *     exact_batch — copy of a smaller-id batch document
+    *     near_index  — LSH candidate vs the index, signature
+    *                   agreement >= estMin of numPerms
+    *     near_batch  — verified near-dup of a smaller-id batch rep
+    *     kept        — none of the above (survivor to append)
+    *
+    * Precedence is that order; match_id is the matched document
+    * (index keeper / smallest verified match), NULL for kept.
+    *
+    * Batch-internal near-dup semantics are set-based (a doc is
+    * near_batch if it verifies against ANY smaller-id batch rep,
+    * whether or not that rep itself survives) — the standard
+    * order-free shape; sequential scan-order semantics would force
+    * an O(batch) dependency chain.
+    *
+    * Scale shape: every step is an equi-join — content anti-join on
+    * the 128-bit hash, band probes against pre-capped index posting
+    * lists (bucket blowup bounded at index-build time), batch-side
+    * pair generation through the same [[cappedBucket]] machinery as
+    * [[minhashVerifiedPairs]]. No broadcast of the index is assumed
+    * (it scales with the corpus, not the batch); signatures are
+    * computed once per batch and persisted for reuse across the
+    * probe and verify joins.
+    */
+  def incremental(newDocs: DataFrame, id: String, text: String,
+      indexDir: String, shingleK: Int = 8, numPerms: Int = 16,
+      bands: Int = 4, maxBucket: Int = 512, estMin: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = newDocs.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val idxContent = s.read.parquet(s"$indexDir/content")
+    val idxBands = s.read.parquet(s"$indexDir/bands")
+      .withColumnRenamed(id, "__old")
+    val idxSigs = s.read.parquet(s"$indexDir/sigs")
+      .withColumnRenamed(id, "__old").withColumnRenamed("sig", "__osig")
+    val withCh = newDocs.select(col(id), col(text))
+      .withColumn("__ch", contentHash(col(text)))
+      .persist(lvl)
+    val exactIdx = withCh
+      .join(idxContent, withCh("__ch") === idxContent("content_hash"))
+      .select(col(id), col("keeper_id").as("m1"))
+    // Batch docs whose content is NOT in the index: within-batch
+    // exact dedup (min id keeps), survivors are the near-dup reps.
+    val rest = withCh.join(
+      idxContent.select(col("content_hash").as("__ch")), Seq("__ch"), "left_anti")
+      .withColumn("__m", min(col(id)).over(Window.partitionBy("__ch")))
+    val exactBatch = rest.filter(col(id) =!= col("__m"))
+      .select(col(id), col("__m").as("m2"))
+    val reps = rest.filter(col(id) === col("__m")).select(col(id), col(text))
+    val repSigs = reps
+      .filter(length(lower(trim(col(text)))) >= shingleK)
+      .select(col(id),
+        minhashSignature(col(text), shingleK, numPerms).as("sig"))
+      .persist(lvl)
+    val repBandRows = repSigs
+      .select(col(id), explode(array(
+        bandKeyCols(col("sig"), numPerms, bands): _*)).as("bh"))
+      .select(col(id), col("bh.band").as("band"),
+        col("bh.band_hash").as("band_hash"))
+    // Probe the stored (capped) posting lists; verify on signatures.
+    val nearIdx = repBandRows
+      .join(idxBands, Seq("band", "band_hash"))
+      .select(col(id), col("__old")).distinct()
+      .join(repSigs, Seq(id))
+      .join(idxSigs, Seq("__old"))
+      .filter(estMatches(col("sig"), col("__osig")) >= estMin)
+      .groupBy(col(id)).agg(min(col("__old")).as("m3"))
+    // Batch-internal near-dup pairs: same capped-bucket pair
+    // generation as minhashVerifiedPairs, verified on signatures.
+    val batchPairs = repBandRows
+      .groupBy("band", "band_hash")
+      .agg(cappedBucket(col(id), maxBucket).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(bucketPairs(col("ds"))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+    val nearBatch = batchPairs
+      .join(repSigs.select(col(id).as("d1"), col("sig").as("s1")), "d1")
+      .join(repSigs.select(col(id).as("d2"), col("sig").as("s2")), "d2")
+      .filter(estMatches(col("s1"), col("s2")) >= estMin)
+      .groupBy(col("d2").as(id)).agg(min(col("d1")).as("m4"))
+    withCh.select(col(id))
+      .join(exactIdx, Seq(id), "left")
+      .join(exactBatch, Seq(id), "left")
+      .join(nearIdx, Seq(id), "left")
+      .join(nearBatch, Seq(id), "left")
+      .select(col(id),
+        when(col("m1").isNotNull, "exact_index")
+          .when(col("m2").isNotNull, "exact_batch")
+          .when(col("m3").isNotNull, "near_index")
+          .when(col("m4").isNotNull, "near_batch")
+          .otherwise("kept").as("fate"),
+        coalesce(col("m1"), col("m2"), col("m3"), col("m4")).as("match_id"))
   }
 
   /** SimHash near-dup pairs: signatures over word 3-gram hashes

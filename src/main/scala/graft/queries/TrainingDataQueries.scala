@@ -1131,7 +1131,100 @@ object TrainingDataQueries {
       |FROM toks JOIN freq USING (term) LEFT JOIN vocab USING (term)
       |GROUP BY doc_id""".stripMargin
 
+  /** D30 — incremental corpus dedup: the production shape where each
+    * new crawl snapshot is deduplicated against the already-ingested
+    * corpus through its persisted index
+    * ([[graft.dedup.Dedup.buildIndex]] → content/bands/sigs parquet)
+    * rather than a corpus rescan. Existing corpus = doc_id % 10 < 6;
+    * the rest arrive as the new batch. Output: one fate per batch doc
+    * (exact_index / exact_batch / near_index / near_batch / kept)
+    * with the matched doc id. The index round-trips through parquet
+    * on disk (pid-keyed scratch, overwritten per run like a10), so a
+    * PASS proves the persisted-probe path, not an in-memory join.
+    */
+  def d30(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_d30_${java.lang.ProcessHandle.current().pid()}").toString
+    graft.dedup.Dedup.buildIndex(
+      d.filter(col("doc_id") % 10 < 6), "doc_id", "text", idx)
+    graft.dedup.Dedup.incremental(
+      d.filter(col("doc_id") % 10 >= 6), "doc_id", "text", idx)
+  }
+
+  val d30Sql: String =
+    s"""WITH old_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 6),
+       |new_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 6),
+       |oldc AS (SELECT md5(lower(trim(text))) AS ch, min(doc_id) AS keeper
+       |         FROM old_docs GROUP BY 1),
+       |oldrep AS (SELECT doc_id, lower(trim(text)) AS s FROM old_docs
+       |           QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+       |             ORDER BY doc_id) = 1),
+       |oldsh AS (SELECT doc_id, ${duckShingles("s", 8)} AS h FROM oldrep
+       |          WHERE length(s) >= 8),
+       |oldsig AS (SELECT doc_id, $duckMinhashSig AS sg FROM oldsh),
+       |oldbands AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
+       |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
+       |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM oldsig)),
+       |oldbandc AS (
+       |  SELECT * FROM oldbands
+       |  QUALIFY row_number() OVER (PARTITION BY band, band_hash
+       |    ORDER BY doc_id) <= 512),
+       |newch AS (SELECT doc_id, md5(lower(trim(text))) AS ch,
+       |                 lower(trim(text)) AS s
+       |          FROM new_docs),
+       |ei AS (SELECT n.doc_id, o.keeper AS m1 FROM newch n JOIN oldc o USING (ch)),
+       |bmin AS (SELECT ch, min(doc_id) AS m FROM newch
+       |         WHERE ch NOT IN (SELECT ch FROM oldc) GROUP BY ch),
+       |eb AS (SELECT n.doc_id, b.m AS m2 FROM newch n JOIN bmin b USING (ch)
+       |       WHERE n.doc_id > b.m),
+       |reps AS (SELECT n.doc_id, n.s FROM newch n JOIN bmin b
+       |         ON n.ch = b.ch AND n.doc_id = b.m),
+       |repsh AS (SELECT doc_id, ${duckShingles("s", 8)} AS h FROM reps
+       |          WHERE length(s) >= 8),
+       |repsig AS (SELECT doc_id, $duckMinhashSig AS sg FROM repsh),
+       |repbands AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
+       |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
+       |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM repsig)),
+       |repbandc AS (
+       |  SELECT * FROM repbands
+       |  QUALIFY row_number() OVER (PARTITION BY band, band_hash
+       |    ORDER BY doc_id) <= 512),
+       |ni AS (
+       |  SELECT nid AS doc_id, min(oid) AS m3 FROM (
+       |    SELECT DISTINCT r.doc_id AS nid, o.doc_id AS oid
+       |    FROM repbands r JOIN oldbandc o USING (band, band_hash)) c
+       |  JOIN repsig rs ON c.nid = rs.doc_id
+       |  JOIN oldsig os ON c.oid = os.doc_id
+       |  WHERE len(list_filter(range(1, 17), z_i -> rs.sg[z_i] = os.sg[z_i])) >= 8
+       |  GROUP BY 1),
+       |nb AS (
+       |  SELECT d2 AS doc_id, min(d1) AS m4 FROM (
+       |    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |    FROM repbandc a JOIN repbandc b
+       |      ON a.band = b.band AND a.band_hash = b.band_hash
+       |        AND a.doc_id < b.doc_id) c
+       |  JOIN repsig r1 ON c.d1 = r1.doc_id
+       |  JOIN repsig r2 ON c.d2 = r2.doc_id
+       |  WHERE len(list_filter(range(1, 17), z_i -> r1.sg[z_i] = r2.sg[z_i])) >= 8
+       |  GROUP BY 1)
+       |SELECT n.doc_id,
+       |  CASE WHEN ei.m1 IS NOT NULL THEN 'exact_index'
+       |       WHEN eb.m2 IS NOT NULL THEN 'exact_batch'
+       |       WHEN ni.m3 IS NOT NULL THEN 'near_index'
+       |       WHEN nb.m4 IS NOT NULL THEN 'near_batch'
+       |       ELSE 'kept' END AS fate,
+       |  COALESCE(ei.m1, eb.m2, ni.m3, nb.m4) AS match_id
+       |FROM new_docs n
+       |LEFT JOIN ei USING (doc_id) LEFT JOIN eb USING (doc_id)
+       |LEFT JOIN ni USING (doc_id) LEFT JOIN nb USING (doc_id)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d30_incremental_dedup" -> (d30 _),
     "d29_lm_quality" -> (d29 _),
     "d28_tfidf_terms" -> (d28 _),
     "d27_winsorize" -> (d27 _),
@@ -1163,6 +1256,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d30_incremental_dedup" -> d30Sql,
     "d29_lm_quality" -> d29Sql,
     "d28_tfidf_terms" -> d28Sql,
     "d27_winsorize" -> d27Sql,

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Incremental corpus dedup ([[Dedup.buildIndex]]/[[Dedup.incremental]],
+  * d30): fates on a constructed two-snapshot corpus, idempotence of
+  * re-running a batch against an unchanged index, and fate
+  * completeness at sf0.001.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def freshIdx(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_inc_$tag").toString
+
+  test("constructed two-snapshot corpus lands every fate") {
+    import spark.implicits._
+    val old = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "completely different corpus text about spark partitions and shuffles"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      // one appended char: shingle set gains one tail shingle, the
+      // minhash signature is unchanged (verified by the hash-twin
+      // arithmetic), so this is a guaranteed band hit + est 16/16 —
+      // deterministic near_index, unlike a multi-word mutation whose
+      // band collision is a coin flip at J≈0.9 (the 13/15 pair below
+      // exercises the partial-agreement path at est 12/16)
+      (12L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (13L, "a wholly novel document with fresh unseen content and original words"),
+      (14L, "a wholly novel document with fresh unseen content and original words"),
+      (15L, "a wholly novel document with fresh unseen content and original words plus"), // est 12/16, 1 common band vs 13
+      (16L, "tiny"))
+      .toDF("doc_id", "text")
+    val idx = freshIdx("fates")
+    Dedup.buildIndex(old, "doc_id", "text", idx)
+    val fates = Dedup.incremental(batch, "doc_id", "text", idx)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(fates(10L) == (("exact_index", 0L)))
+    assert(fates(11L) == (("exact_index", 0L)))
+    // tail-append near-dup of an indexed doc: high Jaccard, verified
+    // on signature agreement against the stored index signature
+    assert(fates(12L) == (("near_index", 0L)))
+    assert(fates(13L) == (("kept", -1L)))
+    assert(fates(14L) == (("exact_batch", 13L)))
+    assert(fates(15L) == (("near_batch", 13L)))
+    // below shingle length: no signature, can only be exact/kept
+    assert(fates(16L) == (("kept", -1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("re-running the same batch against an unchanged index is idempotent") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val old = d.filter(col("doc_id") % 10 < 6)
+    val batch = d.filter(col("doc_id") % 10 >= 6)
+    val idx = freshIdx("idem")
+    Dedup.buildIndex(old, "doc_id", "text", idx)
+    def run() = Dedup.incremental(batch, "doc_id", "text", idx)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1)
+    val first = run()
+    spark.catalog.clearCache()
+    val second = run()
+    assert(first.sameElements(second))
+    assert(first.length == batch.count())
+    spark.catalog.clearCache()
+  }
+
+  test("fates are internally consistent at sf0.001") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val oldIds = d.filter(col("doc_id") % 10 < 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val idx = freshIdx("consist")
+    Dedup.buildIndex(d.filter(col("doc_id") % 10 < 6), "doc_id", "text", idx)
+    val rows = Dedup.incremental(
+      d.filter(col("doc_id") % 10 >= 6), "doc_id", "text", idx).collect()
+    rows.foreach { r =>
+      val (id, fate) = (r.getLong(0), r.getString(1))
+      fate match {
+        case "kept" => assert(r.isNullAt(2), s"kept doc $id has a match")
+        case "exact_index" | "near_index" =>
+          assert(oldIds.contains(r.getLong(2)),
+            s"$fate doc $id matched non-index id ${r.getLong(2)}")
+        case "exact_batch" | "near_batch" =>
+          assert(r.getLong(2) < id && !oldIds.contains(r.getLong(2)),
+            s"$fate doc $id matched ${r.getLong(2)}")
+        case other => fail(s"unknown fate $other")
+      }
+    }
+    // the testdata's duplicate structure must actually exercise the
+    // dedup fates, not just 'kept'
+    val byFate = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byFate.getOrElse("kept", 0) > 0)
+    assert(byFate.collect { case (k, v) if k != "kept" => v }.sum > 0,
+      s"no duplicates detected: $byFate")
+    spark.catalog.clearCache()
+  }
+}
