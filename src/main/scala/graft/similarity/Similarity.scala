@@ -83,10 +83,21 @@ object Similarity {
     * bucket with the query in any table (standard OR-amplification),
     * ranked like the brute-force path. Cost scales with bucket
     * occupancy, not corpus size; recall is tested against
-    * [[bruteForceTopK]] (SimilaritySpec).
+    * [[bruteForceTopK]] (SimilaritySpec, floor 0.6).
+    *
+    * Defaults (4 planes × 16 tables) are tuned on the synthetic
+    * random-unit-vector corpus — the hardest case for hyperplane
+    * LSH, since there is no cluster structure to exploit: measured
+    * recall@3 is 0.83 at sf0.001 and 0.70 at sf0.01 (parameter sweep,
+    * round 7), vs 0.50/0.43 at the old 4×4. More tables raise recall
+    * (OR-amplification) at linear candidate cost; more planes cut
+    * cost but sink recall below the floor on unclustered data
+    * (6 planes × 16 tables measured 0.47). Corpora with real cluster
+    * structure can raise `planes` for selectivity; the
+    * corpus-partitioned scale path is [[ivfTopK]] (d19).
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
-      k: Int, planes: Int = 4, tables: Int = 4, dims: Int = 64): DataFrame = {
+      k: Int, planes: Int = 4, tables: Int = 16, dims: Int = 64): DataFrame = {
     def withBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
       val bucketCols = (0 until tables).map(t =>
         struct(lit(t).as("tbl"), lshBucket(col(vecCol), t, planes, dims).as("bkt")))

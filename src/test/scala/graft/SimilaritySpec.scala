@@ -25,9 +25,12 @@ class SimilaritySpec extends AnyFunSuite {
     val approx = Similarity.annTopK(queries, emb, "vec_id", "embedding", 3)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // 8 hyperplanes over 10 clusters: same-bucket neighbors should
-    // recover a meaningful share of the true top-3
-    assert(recall >= 0.2, s"recall@3 = $recall")
+    // quality contract, not a smoke test: the 4-plane × 16-table
+    // default measured 0.83 here and 0.70 at sf0.01 on this
+    // unclustered (worst-case) corpus — round-7 sweep in the
+    // annTopK scaladoc; 0.6 leaves noise margin without letting a
+    // selectivity regression slip through
+    assert(recall >= 0.6, s"recall@3 = $recall")
     // and every approximate neighbor shares the query's bucket by
     // construction — spot-check it returns at most k rows per query
     val counts = Similarity.annTopK(queries, emb, "vec_id", "embedding", 3)
