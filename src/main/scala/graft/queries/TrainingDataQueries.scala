@@ -334,14 +334,30 @@ object TrainingDataQueries {
        |FROM bands""".stripMargin
 
   /** D8 — SimHash near-dup pairs: 30-bit signatures over word
-    * 3-gram hashes; pairs at hamming distance <= 3 via pigeonhole
-    * banding (4 bands; a pair within distance 3 must agree on at
-    * least one band — exact recall, equi-join cost). Candidates are
-    * generated among content-hash representatives with capped band
-    * buckets (see [[graft.dedup.Dedup.simhashPairs]]).
+    * 3-gram hashes; pairs at hamming distance <= 3 via
+    * generalized-pigeonhole combination banding (8 bands, any
+    * 5-of-8 agreement — exact recall, equi-join cost, ~2^19
+    * composite-key space so bucket occupancy stays flat as the
+    * corpus grows; see [[graft.dedup.Dedup.simhashCombos]]).
+    * Candidates are generated among content-hash representatives
+    * with capped band buckets
+    * (see [[graft.dedup.Dedup.simhashPairs]]).
     */
   def d8(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
+
+  /** DuckDB fragment: the 56 combination-band keys of [[d8]],
+    * generated from the SAME layout ([[graft.dedup.Dedup.simhashCombos]])
+    * the Spark side uses — the two candidate generators cannot drift.
+    */
+  private val duckSimhashComboList: String =
+    graft.dedup.Dedup.simhashCombos(30, 3).zipWithIndex.map {
+      case (segs, cid) =>
+        val key = segs.foldLeft("0::BIGINT") { case (acc, (off, w)) =>
+          s"(($acc << $w) | ((sh >> $off) & ${(1L << w) - 1}))"
+        }
+        s"{'b': $cid, 'k': $key}"
+    }.mkString(",\n    ")
 
   val d8Sql: String =
     s"""WITH u AS (
@@ -360,10 +376,9 @@ object TrainingDataQueries {
        |        CASE WHEN (sx >> sb) & 1 = 1 THEN 1 ELSE -1 END)) > 0
        |    THEN 1::BIGINT << sb ELSE 0::BIGINT END)) AS sh FROM gh),
        |banded AS (
-       |  SELECT doc_id, sh, b,
-       |    (sh >> CAST(b*30//4 AS INT)) &
-       |      ((1::BIGINT << CAST((b+1)*30//4 - b*30//4 AS INT)) - 1) AS band_bits
-       |  FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+       |  SELECT doc_id, sh, u['b'] AS b, u['k'] AS band_bits FROM (
+       |    SELECT doc_id, sh, unnest([$duckSimhashComboList]) AS u
+       |    FROM sig)),
        |bandedc AS (
        |  -- mirrors Dedup maxBucket=512
        |  SELECT * FROM banded
