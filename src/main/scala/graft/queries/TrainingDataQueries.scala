@@ -1238,7 +1238,231 @@ object TrainingDataQueries {
        |LEFT JOIN ei USING (doc_id) LEFT JOIN eb USING (doc_id)
        |LEFT JOIN ni USING (doc_id) LEFT JOIN nb USING (doc_id)""".stripMargin
 
+  /** D31 — intra-document repetition filter (the Gopher/MassiveText
+    * repetition signals, cf. Rae et al. 2021 §A1.1): fraction of
+    * duplicate word 2-grams / 3-grams within each document, plus the
+    * fraction of tokens covered by the single most frequent 2-gram.
+    * Documents over threshold on either signal are flagged, not
+    * dropped, so the fate is auditable. Shapes: the dup fractions
+    * are per-row column arithmetic over [[TextHash.word_gram_hashes]]
+    * (zero shuffle); the top-gram count is one (doc_id, gram)
+    * hash-aggregation followed by a (doc_id) max — both
+    * combiner-friendly, keyed on the document, so the shuffle volume
+    * is O(distinct grams) and no group exceeds a document's gram
+    * count. Nothing here is corpus-global: at 100 TB this is two
+    * map-side-combined aggregations, no window over the corpus.
+    */
+  def d31(s: SparkSession, dir: String): DataFrame = {
+    val g2 = TextHash.word_gram_hashes(col("text"), 2, distinct = false)
+    val g3 = TextHash.word_gram_hashes(col("text"), 3, distinct = false)
+    val base = docs(s, dir)
+      .select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"),
+        g2.as("g2"), g3.as("g3"))
+      .filter(size(col("g3")) >= 1)
+    val top2 = base
+      .select(col("doc_id"), explode(col("g2")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("top2_cnt"))
+    base
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(size(g2) - size(array_distinct(g2))) * 10000 div size(g2)")
+          .cast("long").as("dup2_pm"),
+        expr("(size(g3) - size(array_distinct(g3))) * 10000 div size(g3)")
+          .cast("long").as("dup3_pm"))
+      .join(top2, "doc_id")
+      .withColumn("top2_pm",
+        expr("top2_cnt * 2 * 10000 div n_tokens").cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("dup2_pm"), col("dup3_pm"),
+        col("top2_pm"),
+        (col("dup3_pm") <= 100 && col("top2_pm") <= 1500).as("rep_ok"))
+  }
+
+  val d31Sql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    $duckTokenHashes AS h
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, n_tokens,
+       |    list_transform(range(1, len(h)),
+       |      g_i -> (h[g_i]*31 + h[g_i+1]) % 1000000007) AS g2,
+       |    list_transform(range(1, len(h)-1),
+       |      g_i -> ((h[g_i]*31 + h[g_i+1]) % 1000000007 * 31 + h[g_i+2])
+       |        % 1000000007) AS g3
+       |  FROM th WHERE len(h) >= 3),
+       |tg AS (
+       |  SELECT doc_id, max(cnt) AS top2_cnt FROM (
+       |    SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+       |    FROM (SELECT doc_id, unnest(g2) AS g FROM g) GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT g.doc_id, g.n_tokens,
+       |  (len(g2) - len(list_distinct(g2))) * 10000 // len(g2) AS dup2_pm,
+       |  (len(g3) - len(list_distinct(g3))) * 10000 // len(g3) AS dup3_pm,
+       |  top2_cnt * 2 * 10000 // n_tokens AS top2_pm,
+       |  ((len(g3) - len(list_distinct(g3))) * 10000 // len(g3)) <= 100
+       |    AND (top2_cnt * 2 * 10000 // n_tokens) <= 1500 AS rep_ok
+       |FROM g JOIN tg USING (doc_id)""".stripMargin
+
+  /** D32 — semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space with one deterministic Lloyd iteration of
+    * k-means (k=8, seeds = the 8 lowest vec_ids), then prune
+    * near-duplicate pairs *within* each cluster (cosine >= 0.4,
+    * min-id keeper) — the cluster is a derived blocking key, so the
+    * pair join is an equi-join that never compares across clusters.
+    *
+    * Determinism at hash-compare precision: embeddings are quantized
+    * to integer milli-units (floor(x*1000), exact in both engines —
+    * the d17 quantization shape), so the Lloyd mean is an exact
+    * BIGINT sum divided once in double; every cosine is the
+    * deterministic [[graft.similarity.Similarity.dot]] fold.
+    *
+    * Scale shape: centroids are k rows — both assignment passes are
+    * broadcast joins with a map-side argmax (the d19 IVF idiom); the
+    * Lloyd mean is one (cluster, pos) hash-aggregation (k*dim
+    * groups). The within-cluster pair join is quadratic in cluster
+    * occupancy, which is the SemDeDup contract: k scales with the
+    * corpus (n/k docs per cluster held roughly constant), so the
+    * per-cluster work is bounded by design rather than by a cap.
+    */
+  def d32(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sim = graft.similarity.Similarity
+    val k = 8
+    val vq = emb(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("xi"))
+      .select(col("vec_id"), col("xi"),
+        transform(col("xi"), x => x.cast("double") / 1000.0).as("e"))
+      .withColumn("nrm", sim.norm2(col("e")))
+      .filter(col("nrm") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = vq.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("cid").asc)
+      vq.join(broadcast(cents))
+        .withColumn("cos",
+          sim.dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("cid"))
+    }
+    // One Lloyd step: exact integer component sums per (cluster, pos),
+    // one double division, centroids reassembled in pos order.
+    val cents1 = assign(seeds)
+      .join(vq.select(col("vec_id"), col("xi")), "vec_id")
+      .select(col("cid"), posexplode(col("xi")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("col")).as("sx"), count(lit(1)).as("cn"))
+      .withColumn("comp",
+        col("sx").cast("double") / col("cn").cast("double") / 1000.0)
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        t => t("comp")).as("ce"))
+      .withColumn("cnrm", sim.norm2(col("ce")))
+    val clustered = assign(cents1)
+      .join(vq.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
+    val dups = clustered.select(col("cid"),
+        col("vec_id").as("id2"), col("e").as("e2"), col("nrm").as("n2"))
+      .join(clustered.select(col("cid"), col("vec_id").as("id1"),
+        col("e").as("e1"), col("nrm").as("n1")), "cid")
+      .filter(col("id1") < col("id2"))
+      .filter(sim.dot(col("e1"), col("e2")) / (col("n1") * col("n2")) >= 0.4)
+      .groupBy(col("id2").as("vec_id")).agg(min(col("id1")).as("keeper_id"))
+    clustered.select(col("vec_id"), col("cid").as("cluster_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("keeper_id"), col("vec_id")).as("keeper_id"),
+        col("keeper_id").isNotNull.as("is_dup"))
+  }
+
+  val d32Sql: String = {
+    val assignSql = (src: String, cents: String) =>
+      s"""SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${duckDot("v.e", "c.ce")} / (v.nrm * c.cnrm) DESC,
+         |                 c.cid) AS crk
+         |    FROM $src v CROSS JOIN $cents c) WHERE crk = 1""".stripMargin
+    s"""WITH vx AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      qx -> CAST(floor(CAST(qx AS DOUBLE) * 1000) AS BIGINT)) AS xi
+       |  FROM embeddings),
+       |vn AS (
+       |  SELECT vec_id, xi,
+       |    list_transform(xi, qx -> CAST(qx AS DOUBLE) / 1000.0) AS e
+       |  FROM vx),
+       |v AS (SELECT vec_id, xi, e, sqrt(${duckDot("e", "e")}) AS nrm FROM vn
+       |      WHERE sqrt(${duckDot("e", "e")}) > 0),
+       |seeds AS (
+       |  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
+       |a0 AS (${assignSql("v", "seeds")}),
+       |comps AS (
+       |  SELECT cid, pos,
+       |    CAST(sum(comp) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0
+       |      AS comp
+       |  FROM (
+       |    SELECT a0.cid, pos, v.xi[pos] AS comp
+       |    FROM a0 JOIN v USING (vec_id)
+       |    CROSS JOIN (SELECT unnest(range(1, 65)) AS pos))
+       |  GROUP BY 1, 2),
+       |c1 AS (
+       |  SELECT cid, list(comp ORDER BY pos) AS ce FROM comps GROUP BY cid),
+       |cents1 AS (SELECT cid, ce, sqrt(${duckDot("ce", "ce")}) AS cnrm FROM c1),
+       |a1 AS (${assignSql("v", "cents1")}),
+       |cl AS (SELECT a1.vec_id, a1.cid, v.e, v.nrm FROM a1 JOIN v USING (vec_id)),
+       |dups AS (
+       |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS keeper_id
+       |  FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${duckDot("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.4
+       |  GROUP BY 1)
+       |SELECT cl.vec_id, cl.cid AS cluster_id,
+       |  coalesce(d.keeper_id, cl.vec_id) AS keeper_id,
+       |  d.keeper_id IS NOT NULL AS is_dup
+       |FROM cl LEFT JOIN dups d USING (vec_id)""".stripMargin
+  }
+
+  /** D33 — deterministic shard assignment for training-data output:
+    * shard = md5(doc_id) mod 64, position = rank of the hash within
+    * the shard — a content-addressed global shuffle that any worker
+    * can recompute (no RNG state), the standard way to both
+    * randomize example order and bound output file count. Shape: the
+    * only shuffle is the per-shard window sort; shard count is the
+    * scale knob (64 here; at 100 TB you raise nshards so a shard
+    * stays executor-sized — the sort is per-shard, never global).
+    */
+  def d33(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(64)).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  val d33Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM documents)
+      |SELECT doc_id, h % 64 AS shard,
+      |  CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id)
+      |    AS BIGINT) AS pos
+      |FROM h""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d33_shard_pack" -> (d33 _),
+    "d32_semantic_dedup" -> (d32 _),
+    "d31_repetition_filter" -> (d31 _),
     "d30_incremental_dedup" -> (d30 _),
     "d29_lm_quality" -> (d29 _),
     "d28_tfidf_terms" -> (d28 _),
@@ -1271,6 +1495,9 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d33_shard_pack" -> d33Sql,
+    "d32_semantic_dedup" -> d32Sql,
+    "d31_repetition_filter" -> d31Sql,
     "d30_incremental_dedup" -> d30Sql,
     "d29_lm_quality" -> d29Sql,
     "d28_tfidf_terms" -> d28Sql,

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.queries.TrainingDataQueries
+
+/** Round-7 training-data operators: intra-doc repetition filtering
+  * (d31), semantic dedup via seeded k-means clusters (d32), and
+  * deterministic shard assignment (d33).
+  */
+class Round7OpsSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("d31 flags a pathologically repetitive document") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d31").toString
+    Seq(
+      (0L, Seq.fill(40)("spam ham").mkString(" "), "en", "src0", 100L),
+      (1L, (1 to 80).map(i => s"w$i").mkString(" "), "en", "src0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TrainingDataQueries.d31(spark, dir)
+      .select("doc_id", "dup3_pm", "top2_pm", "rep_ok")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(0L).getBoolean(3), "repeated 2-token phrase must be flagged")
+    // "spam ham spam ham ...": every 3-gram repeats, and the top
+    // 2-gram ("spam ham") covers half the token positions
+    assert(out(0L).getLong(1) > 9000)
+    assert(out(0L).getLong(2) > 5000)
+    assert(out(1L).getBoolean(3), "all-distinct tokens must pass")
+    assert(out(1L).getLong(1) == 0L)
+  }
+
+  test("d31 agrees with a brute-force local recount") {
+    val out = TrainingDataQueries.d31(spark, sf)
+      .select("doc_id", "dup2_pm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, dup2) =>
+      val toks = docs(id).trim.toLowerCase.split("\\s+").toSeq
+      val g2 = toks.sliding(2).map(_.mkString(" ")).toSeq
+      assert(dup2 == (g2.size - g2.distinct.size) * 10000 / g2.size,
+        s"doc $id")
+    }
+  }
+
+  test("d32 output is a consistent dedup assignment") {
+    val rows = TrainingDataQueries.d32(spark, sf)
+      .select("vec_id", "cluster_id", "keeper_id", "is_dup").collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == n, "every nonzero vector gets a verdict")
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (id, keeper, dup) = (r.getLong(0), r.getLong(2), r.getBoolean(3))
+      if (dup) {
+        assert(keeper < id, s"keeper must be a lower id: $id -> $keeper")
+        assert(cluster(keeper) == cluster(id),
+          s"keeper of $id must share its cluster")
+      } else assert(keeper == id)
+    }
+    assert(rows.map(_.getLong(1)).distinct.length <= 8, "k = 8 clusters")
+  }
+
+  test("d32 duplicates really exceed the cosine threshold") {
+    val sim = graft.similarity.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long") / lit(1000.0))
+          .as("e"))
+    val dups = TrainingDataQueries.d32(spark, sf).filter(col("is_dup"))
+      .select(col("vec_id"), col("keeper_id"))
+      .join(e.select(col("vec_id"), col("e").as("e1")), "vec_id")
+      .join(e.select(col("vec_id").as("keeper_id"), col("e").as("e2")),
+        "keeper_id")
+      .withColumn("cos",
+        sim.dot(col("e1"), col("e2")) / (sim.norm2(col("e1")) * sim.norm2(col("e2"))))
+    assert(dups.filter(col("cos") < 0.4).count() == 0)
+  }
+
+  test("d33 positions are dense ranks within stable shards") {
+    val out = TrainingDataQueries.d33(spark, sf).cache()
+    try {
+      val n = spark.read.parquet(s"$sf/documents.parquet").count()
+      assert(out.count() == n)
+      assert(out.filter(col("shard") < 0 || col("shard") >= 64).count() == 0)
+      // dense 1..count positions per shard
+      val bad = out.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+          min(col("pos")).as("mn"), countDistinct(col("pos")).as("nd"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1 ||
+          col("nd") =!= col("n"))
+      assert(bad.count() == 0, "positions must be a dense 1..n per shard")
+      // deterministic: a second run is byte-identical
+      val again = TrainingDataQueries.d33(spark, sf)
+      assert(out.exceptAll(again).count() == 0 &&
+        again.exceptAll(out).count() == 0)
+    } finally out.unpersist()
+  }
+}
