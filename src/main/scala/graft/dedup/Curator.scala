@@ -74,10 +74,14 @@ object Curator {
   def fates(spark: SparkSession, docs: DataFrame,
       jacPmThreshold: Int = 500,
       minTokens: Int = 5, maxTokens: Int = 10000): DataFrame = {
+    // Used twice — as the near-dup stage's input (via uniqueDocs)
+    // and as the fate join's left side. Without the persist the
+    // content-hash window over the whole corpus runs twice.
     val flagged = docs
       .withColumn("content_hash", Dedup.contentHash(col("text")))
       .withColumn("__keep", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uniqueDocs = flagged.filter(col("doc_id") === col("__keep"))
       .drop("content_hash", "__keep")
     val nearDup = Dedup.minhashVerifiedPairs(uniqueDocs, "doc_id", "text",
