@@ -82,6 +82,38 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(dups.filter(col("cos") < 0.4).count() == 0)
   }
 
+  test("d31/d32/d33 degrade to zero rows on an empty corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r7e").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float], Long)]
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(TrainingDataQueries.d31(spark, dir).count() == 0)
+    assert(TrainingDataQueries.d32(spark, dir).count() == 0)
+    assert(TrainingDataQueries.d33(spark, dir).count() == 0)
+  }
+
+  test("d32 drops zero-norm vectors instead of dividing by zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r7z").toString
+    val vecs = Seq(
+      (0L, Array.fill(64)(0.0f), 0L),
+      (1L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f), 0L),
+      (2L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f), 0L))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = TrainingDataQueries.d32(spark, dir)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "the zero vector must be excluded, not NaN-compared")
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getBoolean(3) && r2.getLong(2) == 1L,
+      "identical unit vectors are semantic duplicates")
+  }
+
   test("d33 positions are dense ranks within stable shards") {
     val out = TrainingDataQueries.d33(spark, sf).cache()
     try {
