@@ -52,8 +52,15 @@ object Bench {
     // published in the JSON so nothing is hidden (BENCH_NOTES.md).
     val streamingKeys = Set("c9_stream_window", "c10_stream_dedup",
       "c12_stream_enrich", "c22_stream_join", "c24_stream_ewma")
+    // Guards: the baseline is only meaningful when the timed queries
+    // read a different (larger) source than the warm dir it is
+    // measured on — at sfDir == warmDir the subtraction would clamp
+    // every streaming key to ~0 — and it is wasted work when the
+    // SPARK_GRAFT_ONLY filter selects no streaming key at all.
     val streamStartup: Double =
-      if (new java.io.File(s"$warmDir/events.parquet").exists) {
+      if (warmDir != sfDir &&
+          catalog.exists { case (n, _) => streamingKeys(n) } &&
+          new java.io.File(s"$warmDir/events.parquet").exists) {
         (1 to 3).map { i =>
           val t0 = System.nanoTime()
           try graft.streaming.StreamingOps.runToTable(

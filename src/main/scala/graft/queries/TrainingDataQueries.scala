@@ -1308,7 +1308,8 @@ object TrainingDataQueries {
 
   /** D32 — semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space with one deterministic Lloyd iteration of
-    * k-means (k=8, seeds = the 8 lowest vec_ids), then prune
+    * k-means (k=8, seeds = the 8 lowest nonzero-norm vec_ids), then
+    * prune
     * near-duplicate pairs *within* each cluster (cosine >= 0.4,
     * min-id keeper) — the cluster is a derived blocking key, so the
     * pair join is an equi-join that never compares across clusters.
@@ -1328,7 +1329,6 @@ object TrainingDataQueries {
     * per-cluster work is bounded by design rather than by a cap.
     */
   def d32(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sim = graft.similarity.Similarity
     val k = 8
     val vq = emb(s, dir)
@@ -1340,18 +1340,19 @@ object TrainingDataQueries {
       .withColumn("nrm", sim.norm2(col("e")))
       .filter(col("nrm") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds = vq.filter(col("vec_id") < k)
+    val seeds = vq.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cos").desc, col("cid").asc)
+    // Map-side argmax over a struct (the ivfTopK idiom): highest
+    // cosine wins, ties to the smallest centroid id — no window
+    // shuffle/sort over the n×k expanded rows.
+    def assign(cents: DataFrame): DataFrame =
       vq.join(broadcast(cents))
-        .withColumn("cos",
-          sim.dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("cid"))
-    }
+        .select(col("vec_id"), struct(
+          (sim.dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+            .as("cos"),
+          (-col("cid")).as("negc")).as("sc"))
+        .groupBy("vec_id").agg(max(col("sc")).as("best"))
+        .select(col("vec_id"), (-col("best.negc")).as("cid"))
     // One Lloyd step: exact integer component sums per (cluster, pos),
     // one double division, centroids reassembled in pos order.
     val cents1 = assign(seeds)
@@ -1365,8 +1366,12 @@ object TrainingDataQueries {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
         t => t("comp")).as("ce"))
       .withColumn("cnrm", sim.norm2(col("ce")))
+    // Referenced three times (both sides of the pair join + the
+    // final verdict) — without the persist each reference re-runs
+    // both assignment passes and the Lloyd aggregation.
     val clustered = assign(cents1)
       .join(vq.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = clustered.select(col("cid"),
         col("vec_id").as("id2"), col("e").as("e2"), col("nrm").as("n2"))
       .join(clustered.select(col("cid"), col("vec_id").as("id1"),
@@ -1401,7 +1406,8 @@ object TrainingDataQueries {
        |v AS (SELECT vec_id, xi, e, sqrt(${duckDot("e", "e")}) AS nrm FROM vn
        |      WHERE sqrt(${duckDot("e", "e")}) > 0),
        |seeds AS (
-       |  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8),
+       |  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v
+       |  ORDER BY vec_id LIMIT 8),
        |a0 AS (${assignSql("v", "seeds")}),
        |comps AS (
        |  SELECT cid, pos,
