@@ -102,16 +102,11 @@ object Dedup {
     */
   def lshBands(docs: DataFrame, id: String, text: String,
       shingleK: Int = 8, numPerms: Int = 16, bands: Int = 4): DataFrame = {
-    val rowsPerBand = numPerms / bands
     val sig = minhashSignature(col(text), shingleK, numPerms)
     val withSig = docs.filter(length(lower(trim(col(text)))) >= shingleK)
       .select(col(id), sig.as("sig"))
-    val bandHash = (b: Int) =>
-      aggregate(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-        lit(b.toLong), (acc, x) => (acc * 31 + x) % TextHash.P)
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"), bandHash(b).as("band_hash")))
-    withSig.select(col(id), explode(array(bandCols: _*)).as("bh"))
+    withSig.select(col(id), explode(array(
+        bandKeyCols(col("sig"), numPerms, bands): _*)).as("bh"))
       .select(col(id), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
   }
 
@@ -129,7 +124,6 @@ object Dedup {
   def minhashVerifiedPairs(docs: DataFrame, id: String, text: String,
       shingleK: Int = 8, numPerms: Int = 16, bands: Int = 4,
       prededup: Boolean = true, maxBucket: Int = 512): DataFrame = {
-    val rowsPerBand = numPerms / bands
     val base = if (prededup) contentReps(docs, id, text) else docs
     // Materialized once: the signature feeds BOTH band-key candidate
     // generation and verification (and the table is joined twice) —
@@ -142,13 +136,9 @@ object Dedup {
         array_distinct(TextHash.shingle_hashes(lower(trim(col(text))), shingleK))
           .as("shset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        aggregate(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-          lit(b.toLong), (acc, x) => (acc * 31 + x) % TextHash.P).as("band_hash"))
-    }
     val cand = features
-      .select(col(id), explode(array(bandCols: _*)).as("bh"))
+      .select(col(id), explode(array(
+        bandKeyCols(col("sig"), numPerms, bands): _*)).as("bh"))
       .groupBy(col("bh.band"), col("bh.band_hash"))
       .agg(cappedBucket(col(id), maxBucket).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -161,8 +151,7 @@ object Dedup {
       .join(features.select(col(id).as("d2"), col("sig").as("sig2"),
         col("shset").as("set2")), "d2")
       .select(col("d1"), col("d2"),
-        size(filter(zip_with(col("sig1"), col("sig2"), (a, bb) => a === bb),
-          x => x)).cast("long").as("est_matches"),
+        estMatches(col("sig1"), col("sig2")).as("est_matches"),
         size(array_intersect(col("set1"), col("set2"))).cast("long").as("shared"),
         size(col("set1")).cast("long").as("n1"),
         size(col("set2")).cast("long").as("n2"))
@@ -242,14 +231,36 @@ object Dedup {
     * (contraction keeps them shallow); adversarial deep chains should
     * use [[ccSmallLargeStar]].
     */
+  /** Eager localCheckpoint plus the RDD ids it registered. Iterative
+    * CC loops use this to free a superseded round's checkpoint
+    * storage deterministically: `Dataset.unpersist` only reaches
+    * CacheManager entries, not checkpoint RDDs, and waiting for
+    * ContextCleaner GC leaves O(rounds) materialized edge/label
+    * copies live for the rest of the query (and past Bench's
+    * per-query `clearCache`). Driver loops are single-threaded here
+    * (forked sequential tests, sequential mains), so the id diff
+    * captures exactly this checkpoint's RDDs.
+    */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint()
+    (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  private def freeRdds(df: DataFrame, ids: Set[Int]): Unit = {
+    val live = df.sparkSession.sparkContext.getPersistentRDDs
+    ids.foreach(i => live.get(i).foreach(_.unpersist(blocking = false)))
+  }
+
   private[graft] def ccMinLabel(edges: DataFrame): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val adj = edges
       .unionByName(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(lvl)
-    var labels = adj.select(col("d1").as("n")).distinct()
-      .select(col("n"), col("n").as("lbl"))
-      .localCheckpoint()
+    var (labels, labelIds) = checkpointTracked(
+      adj.select(col("d1").as("n")).distinct()
+        .select(col("n"), col("n").as("lbl")))
     // One propagation round: neighbor-min with an improvement flag.
     def step(ls: DataFrame): DataFrame = {
       val nbrMin = adj.join(ls, adj("d2") === ls("n"))
@@ -270,10 +281,15 @@ object Dedup {
       // truncates the plan per action (it is also the action that
       // materializes both rounds; the change count then reads the
       // checkpointed partitions).
-      val next = step(step(labels).select("n", "lbl")).localCheckpoint()
+      val (next, nextIds) =
+        checkpointTracked(step(step(labels).select("n", "lbl")))
       changed = next.filter(col("chg")).count()
       actions += 1
+      // The superseded round's checkpoint is dead once `next` is
+      // materialized — free it now instead of leaving it to GC.
+      freeRdds(next, labelIds)
       labels = next.select("n", "lbl")
+      labelIds = nextIds
     }
     adj.unpersist()
     (labels, actions)
@@ -347,8 +363,8 @@ object Dedup {
     // materialized result — O(1) plan depth per round, and the
     // materialization doubles as the round's action (the signature
     // aggregate then reads the checkpointed partitions).
-    var edges = ccCanon(edges0.select(col("d1").as("s"), col("d2").as("g")))
-      .localCheckpoint()
+    var (edges, edgeIds) = checkpointTracked(
+      ccCanon(edges0.select(col("d1").as("s"), col("d2").as("g"))))
     def signature(e: DataFrame): (Long, Long) = {
       // XOR, not SUM: full-range xxhash64 values overflow a long sum
       // under ANSI arithmetic; xor is closed over Long and order-free.
@@ -359,10 +375,12 @@ object Dedup {
     var sig = signature(edges)
     var converged = edges.isEmpty
     while (!converged) {
-      val next = ccSmallStar(ccLargeStar(edges)).localCheckpoint()
+      val (next, nextIds) = checkpointTracked(ccSmallStar(ccLargeStar(edges)))
       rounds += 1
       val nextSig = signature(next)
+      freeRdds(next, edgeIds)
       edges = next
+      edgeIds = nextIds
       converged = nextSig == sig
       sig = nextSig
     }
@@ -486,9 +504,12 @@ object Dedup {
       .select(col(id), col("keeper_id").as("m1"))
     // Batch docs whose content is NOT in the index: within-batch
     // exact dedup (min id keeps), survivors are the near-dup reps.
+    // Materialized: exactBatch and reps both derive from it — the
+    // index anti-join and the min-id window would otherwise run twice.
     val rest = withCh.join(
       idxContent.select(col("content_hash").as("__ch")), Seq("__ch"), "left_anti")
       .withColumn("__m", min(col(id)).over(Window.partitionBy("__ch")))
+      .persist(lvl)
     val exactBatch = rest.filter(col(id) =!= col("__m"))
       .select(col(id), col("__m").as("m2"))
     val reps = rest.filter(col(id) === col("__m")).select(col(id), col(text))
