@@ -1323,10 +1323,15 @@ object TrainingDataQueries {
     * Scale shape: centroids are k rows — both assignment passes are
     * broadcast joins with a map-side argmax (the d19 IVF idiom); the
     * Lloyd mean is one (cluster, pos) hash-aggregation (k*dim
-    * groups). The within-cluster pair join is quadratic in cluster
-    * occupancy, which is the SemDeDup contract: k scales with the
-    * corpus (n/k docs per cluster held roughly constant), so the
-    * per-cluster work is bounded by design rather than by a cap.
+    * groups). SemDeDup's contract keeps clusters balanced by scaling
+    * k with the corpus, but a degenerate corpus (every embedding
+    * near-identical) still collapses into ONE cluster and an
+    * unbounded pair join goes quadratic — so the keeper-candidate
+    * side is capped to the 512 lowest ids per cluster (the d7/d8
+    * bounded-posting-list defense; WindowGroupLimit makes the rank
+    * filter a per-group top-k, not a cluster sort). Every member is
+    * still checked against those candidates: the join is
+    * O(|cluster| x 512), never O(|cluster|^2).
     */
   def d32(s: SparkSession, dir: String): DataFrame = {
     val sim = graft.similarity.Similarity
@@ -1372,9 +1377,14 @@ object TrainingDataQueries {
     val clustered = assign(cents1)
       .join(vq.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candSide = clustered
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cid").orderBy("vec_id")))
+      .filter(col("__rk") <= 512).drop("__rk")
     val dups = clustered.select(col("cid"),
         col("vec_id").as("id2"), col("e").as("e2"), col("nrm").as("n2"))
-      .join(clustered.select(col("cid"), col("vec_id").as("id1"),
+      .join(candSide.select(col("cid"), col("vec_id").as("id1"),
         col("e").as("e1"), col("nrm").as("n1")), "cid")
       .filter(col("id1") < col("id2"))
       .filter(sim.dot(col("e1"), col("e2")) / (col("n1") * col("n2")) >= 0.4)
@@ -1423,9 +1433,12 @@ object TrainingDataQueries {
        |cents1 AS (SELECT cid, ce, sqrt(${duckDot("ce", "ce")}) AS cnrm FROM c1),
        |a1 AS (${assignSql("v", "cents1")}),
        |cl AS (SELECT a1.vec_id, a1.cid, v.e, v.nrm FROM a1 JOIN v USING (vec_id)),
+       |clc AS (
+       |  SELECT * FROM cl
+       |  QUALIFY row_number() OVER (PARTITION BY cid ORDER BY vec_id) <= 512),
        |dups AS (
        |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS keeper_id
-       |  FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  FROM clc a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |  WHERE ${duckDot("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.4
        |  GROUP BY 1)
        |SELECT cl.vec_id, cl.cid AS cluster_id,

@@ -114,6 +114,25 @@ class Round7OpsSpec extends AnyFunSuite {
       "identical unit vectors are semantic duplicates")
   }
 
+  test("d32 is bounded and exact on a fully-degenerate corpus") {
+    import spark.implicits._
+    // 600 identical vectors collapse into one cluster — beyond the
+    // 512 candidate cap, so this exercises the capped pair join:
+    // every member must still pair with the min id (rank 1 is always
+    // inside the cap), never all-pairs.
+    val dir = java.nio.file.Files.createTempDirectory("graft_r7d").toString
+    (0L until 600L).map(i => (i, Array.tabulate(64)(d => (d + 1) * 0.1f), 0L))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = TrainingDataQueries.d32(spark, dir).collect()
+    assert(out.length == 600)
+    out.foreach { r =>
+      val (id, keeper, dup) = (r.getLong(0), r.getLong(2), r.getBoolean(3))
+      if (id == 0L) assert(!dup && keeper == 0L)
+      else assert(dup && keeper == 0L, s"vec $id must dedup to 0")
+    }
+  }
+
   test("d33 positions are dense ranks within stable shards") {
     val out = TrainingDataQueries.d33(spark, sf).cache()
     try {
