@@ -37,7 +37,14 @@ object Bench {
     // first-touch JIT/codegen compilation (generated-code cache is
     // keyed by source, so the sfDir pass reuses compiled classes).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+    // Canonical-path compare: trailing slashes, relative paths, or
+    // symlinks must not defeat the warmDir == sfDir guards (a raw
+    // string compare would subtract the stream-startup baseline from
+    // timings measured on the same data, clamping streaming keys to 0).
+    def canon(p: String): String =
+      try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
+    val warmIsTimed = canon(warmDir) == canon(sfDir)
+    if (new java.io.File(warmDir).isDirectory && !warmIsTimed)
       catalog.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
         spark.catalog.clearCache()
@@ -58,7 +65,7 @@ object Bench {
     // every streaming key to ~0 — and it is wasted work when the
     // SPARK_GRAFT_ONLY filter selects no streaming key at all.
     val streamStartup: Double =
-      if (warmDir != sfDir &&
+      if (!warmIsTimed &&
           catalog.exists { case (n, _) => streamingKeys(n) } &&
           new java.io.File(s"$warmDir/events.parquet").exists) {
         (1 to 3).map { i =>
@@ -110,7 +117,12 @@ object Bench {
     println(json)
     // Persist the complete per-query map: stdout capture can truncate
     // (round-3's file lost the tail of the 90-key line), a file can't.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    // The default filename carries the SF-dir basename (BENCH_sf0.1
+    // .json, BENCH_sf1.0.json, ...) so a run at one SF can never
+    // silently clobber the committed baseline of another — the exact
+    // gotcha BENCH_NOTES.md documents from rounds 6 and 7.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_${new java.io.File(canon(sfDir)).getName}.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

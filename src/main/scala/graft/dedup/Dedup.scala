@@ -245,7 +245,19 @@ object Dedup {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val cp = df.localCheckpoint()
-    (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+    // Keep only the checkpoint's own RDDs: the eager checkpoint
+    // action can also be the FIRST materialization of an upstream
+    // persisted dataset (e.g. ccMinLabel's adj), whose cache buffer
+    // RDD then registers inside this diff window — freeing that id
+    // later would silently evict the cache and turn every subsequent
+    // round into a full recompute of the upstream plan. Checkpoint
+    // RDDs are distinguishable at this point: the eager checkpoint
+    // has materialized, so isCheckpointed is true for them and false
+    // for plain cache buffers.
+    val after = sc.getPersistentRDDs
+    val ids = (after.keySet -- before)
+      .filter(id => after.get(id).exists(_.isCheckpointed)).toSet
+    (cp, ids)
   }
 
   private def freeRdds(df: DataFrame, ids: Set[Int]): Unit = {

@@ -11,9 +11,11 @@ import graft.functions.TextHash
   * Scale design: the brute-force path broadcasts the (small) query
   * set against the corpus — one scan, no shuffle of the corpus; the
   * ANN path buckets vectors by random-hyperplane sign bits so the
-  * pair join is an equi-join on bucket id. Dot products run on
-  * double-cast arrays with a left-fold so results are reproducible
-  * across engines (no SIMD reassociation surprises in the contract).
+  * pair join is an equi-join on bucket id. Dot products are a
+  * left-fold in double precision (float elements widened per
+  * element by [[graft.functions.VecDot]]) so results are
+  * reproducible across engines (no SIMD reassociation surprises in
+  * the contract).
   */
 object Similarity {
 
@@ -42,10 +44,14 @@ object Similarity {
       vec: String, k: Int): DataFrame = {
     // zero-norm vectors excluded: 0/0 cosine is NaN and engines
     // disagree on NaN ordering/comparison
-    val q = queries.select(col(id).as("q_id"), toDouble(col(vec)).as("q_vec"))
+    // raw (possibly float) arrays go straight into VecDot, which
+    // widens per element — same values as a toDouble pre-pass, minus
+    // the interpreted ArrayTransform it would inline into every
+    // consumer (see VecDot's scaladoc)
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_vec"))
       .withColumn("q_norm", norm2(col("q_vec")))
       .filter(col("q_norm") > 0)
-    val c = corpus.select(col(id).as("n_id"), toDouble(col(vec)).as("n_vec"))
+    val c = corpus.select(col(id).as("n_id"), col(vec).as("n_vec"))
       .withColumn("n_norm", norm2(col("n_vec")))
       .filter(col("n_norm") > 0)
     val scored = c.crossJoin(broadcast(q))
@@ -60,11 +66,23 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * in [-0.5, 0.5), reproducible anywhere.
+    * in [-0.5, 0.5), reproducible anywhere (canonical formula in
+    * [[graft.functions.LshPlanes]], shared with the native kernel).
     */
   def planeWeight(plane: Int, dim: Int, dims: Int): Double =
-    ((plane.toLong * dims + dim + 1) * 2654435761L % TextHash.P).toDouble /
-      TextHash.P - 0.5
+    graft.functions.LshPlanes.planeWeight(plane, dim, dims)
+
+  /** All `tables` hyperplane bucket ids of a vector at once, as an
+    * Array[Long] column — one native kernel evaluation per row (see
+    * [[graft.functions.HyperplaneBuckets]] for why this is not a
+    * composition of [[lshBucket]] columns).
+    */
+  def hyperplaneBuckets(vec: Column, planes: Int, tables: Int,
+      dims: Int): Column =
+    org.apache.spark.sql.graftshims.SparkShims.column(
+      graft.functions.HyperplaneBuckets(
+        org.apache.spark.sql.graftshims.SparkShims.expression(vec),
+        planes, tables, dims))
 
   /** Random-hyperplane bucket id for one hash table: one sign bit
     * per plane; `table` offsets the plane family so tables are
@@ -78,46 +96,131 @@ object Similarity {
       when(dot(vec, weights) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Multi-table LSH approximate top-k: `tables` independent
-    * hyperplane families; candidates are corpus vectors sharing a
-    * bucket with the query in any table (standard OR-amplification),
-    * ranked like the brute-force path. Cost scales with bucket
-    * occupancy, not corpus size; recall is tested against
-    * [[bruteForceTopK]] (SimilaritySpec, floor 0.6).
+  /** XOR masks for a Hamming ball of the given radius over `planes`
+    * sign bits: the identity mask, every 1-bit flip, and (radius 2)
+    * every 2-bit flip — 1 + P + P(P-1)/2 masks. Multi-probe LSH
+    * probes `bucket ^ mask` for each mask, trading a polynomial (in
+    * P) number of probes for the exponential table count plain
+    * OR-amplification would need at the same recall.
+    */
+  def probeMasks(planes: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= 2, s"probe radius 0..2, got $radius")
+    val r1 = if (radius >= 1) (0 until planes).map(i => 1L << i) else Seq.empty
+    val r2 = if (radius >= 2)
+      for { i <- 0 until planes; j <- (i + 1) until planes }
+        yield (1L << i) | (1L << j)
+    else Seq.empty
+    0L +: (r1 ++ r2)
+  }
+
+  /** Plane count that keeps expected bucket occupancy near
+    * `targetOccupancy` as the corpus grows: P = ceil(log2(N/target)),
+    * clamped to [4, 18]. Hyperplane sign bits split a random corpus
+    * roughly in half per plane, so occupancy ~ N / 2^P — growing P
+    * with log N is what makes the candidate set sublinear in N
+    * (probes grow as P², occupancy stays flat).
+    */
+  def adaptivePlanes(corpusSize: Long, targetOccupancy: Int = 32): Int = {
+    val raw = math.ceil(math.log(
+      math.max(corpusSize, 1L).toDouble / math.max(targetOccupancy, 1)) /
+      math.log(2.0)).toInt
+    math.min(18, math.max(4, raw))
+  }
+
+  /** Candidate pairs for multi-probe LSH: the corpus is hashed once
+    * per table (one bucket row per vector per table); each query
+    * probes its own bucket plus every bucket within Hamming distance
+    * `probeRadius`, as an exploded (tbl, bkt) equi-join with the
+    * query side broadcast. Exposed separately from [[annTopK]] so the
+    * sublinearity contract — candidates per query grow ~P²·occupancy,
+    * not ~N — is directly measurable (SimilaritySpec asserts it at
+    * two corpus sizes).
+    */
+  /** Pre-dedup (tbl, bkt) matches with both vectors attached — the
+    * shared probe join behind [[annCandidates]] and [[annTopK]].
+    * Callers score or project BEFORE deduplicating so the dedup
+    * shuffle never carries the 64-double vectors.
+    */
+  private def annMatches(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, planes: Int, tables: Int, probeRadius: Int,
+      dims: Int): DataFrame = {
+    val masks = probeMasks(planes, probeRadius)
+    // all table buckets in one kernel call per vector, then
+    // posexplode: pos IS the table id
+    val c = corpus
+      .select(col(id).as("n_id"), col(vec).as("n_vec"))
+      .select(col("n_id"), col("n_vec"),
+        posexplode(hyperplaneBuckets(col("n_vec"), planes, tables, dims)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkt")
+    // exact buckets computed once, then XOR'd per mask — the probe
+    // fan-out is arithmetic on a computed column, not tables × masks
+    // re-hashes of the vector
+    val q0 = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+      hyperplaneBuckets(col(vec), planes, tables, dims).as("_bs"))
+    val probeCols = for { t <- 0 until tables; m <- masks }
+      yield struct(lit(t).as("tbl"),
+        col("_bs").getItem(t).bitwiseXOR(lit(m)).as("bkt"))
+    val q = q0
+      .select(col("q_id"), col("q_vec"), explode(array(probeCols: _*)).as("tb"))
+      .select(col("q_id"), col("q_vec"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    c.join(broadcast(q), Seq("tbl", "bkt"))
+      .filter(col("n_id") =!= col("q_id"))
+  }
+
+  def annCandidates(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, planes: Int, tables: Int, probeRadius: Int,
+      dims: Int = 64): DataFrame =
+    annMatches(queries, corpus, id, vec, planes, tables, probeRadius, dims)
+      .select("q_id", "n_id")
+      .dropDuplicates("q_id", "n_id")
+
+  /** Multi-probe LSH approximate top-k — the scale-honest ANN entry.
     *
-    * Defaults (4 planes × 16 tables) are tuned on the synthetic
-    * random-unit-vector corpus — the hardest case for hyperplane
-    * LSH, since there is no cluster structure to exploit: measured
-    * recall@3 is 0.83 at sf0.001 and 0.70 at sf0.01 (parameter sweep,
-    * round 7), vs 0.50/0.43 at the old 4×4. More tables raise recall
-    * (OR-amplification) at linear candidate cost; more planes cut
-    * cost but sink recall below the floor on unclustered data
-    * (6 planes × 16 tables measured 0.47). Corpora with real cluster
-    * structure can raise `planes` for selectivity; the
-    * corpus-partitioned scale path is [[ivfTopK]] (d19).
+    * Round 7's 4-plane × 16-table OR-amplification reached recall
+    * 0.70 only by letting each query's candidate set approach O(N):
+    * 16 buckets per table means ~N/16 candidates per table, OR'd
+    * across 16 tables. This version holds occupancy flat instead:
+    * `planes` grows with log₂(corpus) (default adaptive, see
+    * [[adaptivePlanes]]) so buckets stay ~`targetOccupancy` deep, and
+    * recall is recovered by probing the full Hamming-≤2 ball around
+    * the query's bucket (multi-probe: Lv et al., VLDB'07) across a
+    * small number of tables. Candidates per query ≈
+    * tables · (1 + P + P(P−1)/2) · occupancy — polylog in N, vs the
+    * old linear — and the probe fan-out lives on the broadcast query
+    * side; the corpus is still hashed exactly `tables` times.
+    *
+    * Measured on the synthetic unclustered corpus (worst case for
+    * hyperplane LSH — no cluster structure to exploit; round-8
+    * AnnSweep): recall@3 at the defaults is 1.00 at N=500 (P=4),
+    * 0.97 at N=2000 (P=6), 0.80 at N=20000 (P=10), while the
+    * candidate fraction of the corpus falls 0.95 → 0.79 → 0.31.
+    * Recall on unclustered data declines slowly as N grows — that is
+    * hyperplane LSH's information-theoretic limit when there is no
+    * neighbor gap, not a tuning artifact (the r7 config only avoided
+    * it by scanning ~the whole corpus); clustered corpora hold
+    * recall higher at the same selectivity. `planes = 0` means
+    * adaptive; pass an explicit plane count to pin selectivity. The
+    * corpus-partitioned alternative is [[ivfTopK]] (d19).
+    *
+    * Note: adaptive sizing runs one `corpus.count()` (parquet
+    * metadata-only when the corpus is a plain scan) before planning.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
-      k: Int, planes: Int = 4, tables: Int = 16, dims: Int = 64): DataFrame = {
-    def withBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-      val bucketCols = (0 until tables).map(t =>
-        struct(lit(t).as("tbl"), lshBucket(col(vecCol), t, planes, dims).as("bkt")))
-      df.select(col(idCol), col(vecCol),
-        explode(array(bucketCols: _*)).as("tb"))
-        .select(col(idCol), col(vecCol),
-          col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    }
-    val q = withBuckets(
-      queries.select(col(id).as("q_id"), toDouble(col(vec)).as("q_vec")),
-      "q_id", "q_vec")
-    val c = withBuckets(
-      corpus.select(col(id).as("n_id"), toDouble(col(vec)).as("n_vec")),
-      "n_id", "n_vec")
-    val cand = c.join(broadcast(q), Seq("tbl", "bkt"))
-      .filter(col("n_id") =!= col("q_id"))
-      .select("q_id", "q_vec", "n_id", "n_vec")
+      k: Int, planes: Int = 0, tables: Int = 8, probeRadius: Int = 2,
+      targetOccupancy: Int = 32, dims: Int = 64): DataFrame = {
+    val p = if (planes > 0) planes
+      else adaptivePlanes(corpus.count(), targetOccupancy)
+    // cosine is scored on the pre-dedup matches (a duplicate match
+    // re-scores one 64-dim dot — cheap) so the dedup shuffle moves
+    // (q_id, n_id, cos) triples, not 0.5 KB vector payloads; the
+    // duplicates then collapse with dropDuplicates (cos is
+    // deterministic per pair, so any survivor is identical).
+    val scored = annMatches(queries, corpus, id, vec, p, tables,
+        probeRadius, dims)
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cos"))
       .dropDuplicates("q_id", "n_id")
-    val scored = cand.select(col("q_id"), col("n_id"),
-      cosine(col("q_vec"), col("n_vec")).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

@@ -14,13 +14,24 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Try a list of candidate paths in order, like the reference's
-    * DataLoader.try_load (main_pipeline.py:108-120), returning the
-    * first that reads.
+    * DataLoader.try_load (main_pipeline.py:108-120, local path first
+    * then S3, degrading gracefully), returning the first that reads.
+    * With a schema, the read is schema-enforced (no footer-inference
+    * dependency on column order; missing columns fail the candidate,
+    * moving on to the next path).
     */
-  def tryLoad(spark: SparkSession, paths: Seq[String]): Option[DataFrame] =
+  def tryLoad(spark: SparkSession, paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] =
     paths.iterator.flatMap { p =>
-      try Some(spark.read.parquet(p))
-      catch { case _: Exception => None }
+      try {
+        val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+        val df = reader.parquet(p)
+        // force resolution so a missing/corrupt candidate fails HERE
+        // (and falls through), not at first action downstream
+        df.schema
+        Some(df)
+      } catch { case _: Exception => None }
     }.nextOption()
 
   /** Schema-enforced CSV read: an explicit schema (no inference

@@ -17,6 +17,23 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** Input selector: the same downstream plan (watermarks, windows,
+    * enrichment, sinks) runs unchanged on a file-backed stream
+    * (local/tests) or a Kafka topic (production IoT ingestion) —
+    * swapping the source is a config change, not a code change.
+    */
+  sealed trait SensorSource
+  final case class FileSource(dir: String, glob: String = "events.parquet")
+      extends SensorSource
+  final case class KafkaSource(cfg: graft.sources.KafkaStream.KafkaConfig)
+      extends SensorSource
+
+  def readSensorSource(s: SparkSession, src: SensorSource): DataFrame =
+    src match {
+      case FileSource(dir, glob) => readEventsStream(s, dir, glob)
+      case KafkaSource(cfg) => graft.sources.KafkaStream.readSensorStream(s, cfg)
+    }
+
   /** Explicit source schema — file stream sources require one. `ts`
     * arrives as nanosecond INT64 (see QueryUtil.events) and is
     * normalized to a µs TimestampType column for event-time ops.

@@ -107,6 +107,33 @@ class PropertySpec extends AnyFunSuite {
     labels.unpersist()
   }
 
+  test("CC checkpoint freeing never evicts a caller's cache buffer") {
+    import spark.implicits._
+    // Regression (r8): the CC loop frees superseded checkpoint RDDs
+    // by diffing getPersistentRDDs around the eager localCheckpoint.
+    // When that checkpoint is ALSO the first materialization of an
+    // upstream persisted dataset, the upstream cache buffer RDD
+    // registers inside the diff window — and the old id-diff would
+    // unpersist it on the first freeRdds call, silently recomputing
+    // the upstream plan every later round. The tracked set must be
+    // restricted to (materialized) checkpoint RDDs.
+    val sc = spark.sparkContext
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("d1", "d2").persist()
+    try {
+      val before = sc.getPersistentRDDs.keySet
+      val (labels, _) = graft.dedup.Dedup.ccMinLabel(edges)
+      labels.count()
+      val after = sc.getPersistentRDDs
+      // the caller's cache buffer (registered mid-loop, NOT a
+      // checkpoint) must still be live
+      val survivingBuffers = (after.keySet -- before)
+        .filter(id => after.get(id).exists(r => !r.isCheckpointed))
+      assert(survivingBuffers.nonEmpty,
+        "caller's cache buffer RDD was evicted by the CC checkpoint freeing")
+      labels.unpersist()
+    } finally edges.unpersist()
+  }
+
   test("ccSmallLargeStar equals ccMinLabel on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(49)

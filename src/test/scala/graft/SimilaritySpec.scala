@@ -25,17 +25,41 @@ class SimilaritySpec extends AnyFunSuite {
     val approx = Similarity.annTopK(queries, emb, "vec_id", "embedding", 3)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // quality contract, not a smoke test: the 4-plane × 16-table
-    // default measured 0.83 here and 0.70 at sf0.01 on this
-    // unclustered (worst-case) corpus — round-7 sweep in the
-    // annTopK scaladoc; 0.6 leaves noise margin without letting a
-    // selectivity regression slip through
+    // quality contract, not a smoke test: multi-probe defaults
+    // (adaptive planes, 4 tables, Hamming-≤2 probes) measured well
+    // above this on the unclustered (worst-case) corpus — round-8
+    // sweep in the annTopK scaladoc; 0.6 leaves noise margin without
+    // letting a selectivity regression slip through
     assert(recall >= 0.6, s"recall@3 = $recall")
-    // and every approximate neighbor shares the query's bucket by
+    // and every approximate neighbor shares a probed bucket by
     // construction — spot-check it returns at most k rows per query
     val counts = Similarity.annTopK(queries, emb, "vec_id", "embedding", 3)
       .groupBy("q_id").count().select("count").collect().map(_.getLong(0))
     assert(counts.forall(_ <= 3))
+  }
+
+  test("ANN LSH candidate set is sublinear in corpus size") {
+    // The scale contract: with adaptive planes the per-query
+    // candidate count grows ~P²·occupancy (polylog), not ~N. Measure
+    // the candidate fraction of the corpus at two sizes (500 → 2000
+    // vectors): if candidates grew linearly the fraction would stay
+    // flat; multi-probe must make it strictly fall, with margin.
+    def avgCandPerQuery(sfDir: String): (Double, Long) = {
+      val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n = corpus.count()
+      val queries = corpus.filter(col("vec_id") < 10)
+      val planes = Similarity.adaptivePlanes(n)
+      val cands = Similarity.annCandidates(queries, corpus, "vec_id",
+        "embedding", planes, tables = 8, probeRadius = 2).count()
+      (cands.toDouble / 10, n)
+    }
+    val (candSmall, nSmall) = avgCandPerQuery("/root/testdata/sf0.01")
+    val (candLarge, nLarge) = avgCandPerQuery("/root/testdata/sf0.1")
+    val fracSmall = candSmall / nSmall
+    val fracLarge = candLarge / nLarge
+    assert(fracLarge < fracSmall * 0.85,
+      s"candidate fraction did not shrink: $fracSmall ($nSmall rows) -> " +
+        s"$fracLarge ($nLarge rows)")
   }
 
   test("near-dup pairs are symmetric-free and above threshold") {

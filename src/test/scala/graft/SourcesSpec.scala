@@ -19,6 +19,24 @@ class SourcesSpec extends AnyFunSuite {
     graft.queries.QueryUtil.events(spark, sf)
       .select("event_id", "user_id", "value").limit(200)
 
+  test("tryLoad falls through missing paths to the first readable one") {
+    // the reference's DataLoader.try_load shape: preferred path
+    // missing -> fall back; nothing readable -> None, not an exception
+    val dir = java.nio.file.Files.createTempDirectory("graft_tryload").toString
+    sample.write.mode("overwrite").parquet(s"$dir/good")
+    val hit = Tables.tryLoad(spark,
+      Seq(s"$dir/missing_primary", s"$dir/good", s"$dir/also_missing"))
+    assert(hit.isDefined)
+    assert(hit.get.count() == 200)
+    // schema-enforced variant: read columns in declared order
+    val enforced = Tables.tryLoad(spark,
+      Seq(s"$dir/missing_primary", s"$dir/good"),
+      Some(StructType(Seq(StructField("value", DoubleType),
+        StructField("event_id", LongType)))))
+    assert(enforced.get.columns.toSeq == Seq("value", "event_id"))
+    assert(Tables.tryLoad(spark, Seq(s"$dir/nope1", s"$dir/nope2")).isEmpty)
+  }
+
   test("CSV round-trip with explicit schema (no inference pass)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     sample.write.mode("overwrite").option("header", "true").csv(dir)

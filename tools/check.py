@@ -122,7 +122,12 @@ def main():
             rel = con.sql(spark_q)
             got_cols, got_types = rel.columns, [str(t) for t in rel.types]
             nrows = con.sql(f"SELECT count(*) FROM ({spark_q})").fetchone()[0]
-            if nrows > big:
+            # Count BOTH sides cheaply before choosing a compare mode:
+            # a small Spark result against a badly-wrong huge oracle
+            # result would otherwise fetchall() the oracle side into
+            # Python — the exact blowup hash mode exists to avoid.
+            o_rows = con.sql(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+            if nrows > big or o_rows > big:
                 rel = con.sql(sql)
                 want_cols = rel.columns
                 want_types = [str(t) for t in rel.types]

@@ -32,8 +32,13 @@ def main():
         floored = b / max(s, 0.15)
         rows.append((floored, k, s, b))
     rows.sort(reverse=True)
-    print(f"total: {small_tot:.1f}s -> {big_tot:.1f}s "
-          f"({big_tot / small_tot:.2f}x on {ratio:.0f}x data)")
+    # degrade instead of crashing when a JSON lacks 'value' or the
+    # small total is zero (e.g. a filtered single-query run)
+    if small_tot and big_tot:
+        print(f"total: {small_tot:.1f}s -> {big_tot:.1f}s "
+              f"({big_tot / small_tot:.2f}x on {ratio:.0f}x data)")
+    else:
+        print(f"total: n/a (small={small_tot} big={big_tot})")
     print(f"{'query':28s} {'small':>8s} {'big':>8s} {'ratio':>7s}")
     for fl, k, s, b in rows:
         flag = " <-- SUPER-LINEAR" if fl > ratio else ""
