@@ -1306,13 +1306,29 @@ object TrainingDataQueries {
        |    AND (top2_cnt * 2 * 10000 // n_tokens) <= 1500 AS rep_ok
        |FROM g JOIN tg USING (doc_id)""".stripMargin
 
+  /** SemDeDup cluster-count default: k ≈ ceil(√N), clamped to
+    * [8, 65536]. SemDeDup's contract requires k to grow with the
+    * corpus (fixed k means cluster size — and therefore both pair-
+    * join cost and the share of dups past the candidate cap — grows
+    * linearly); √N keeps expected cluster size at √N too, and the
+    * 65536 ceiling bounds the broadcast centroid table (~32 MB at
+    * dim 64) — past that, swap the broadcast argmax for the d19 IVF
+    * coarse-quantizer join.
+    */
+  private[graft] def semdedupK(n: Long): Int =
+    math.min(65536L, math.max(8L,
+      math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toLong)).toInt
+
   /** D32 — semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space with one deterministic Lloyd iteration of
-    * k-means (k=8, seeds = the 8 lowest nonzero-norm vec_ids), then
-    * prune
-    * near-duplicate pairs *within* each cluster (cosine >= 0.4,
-    * min-id keeper) — the cluster is a derived blocking key, so the
-    * pair join is an equi-join that never compares across clusters.
+    * k-means (k = [[semdedupK]](N) by default; seeds = the k
+    * vec_ids with the lowest md5(vec_id) — a content-hash-stable
+    * sample with uniform spread over ids, unlike lowest-k which
+    * biases seeds toward whatever the low id range happens to
+    * contain), then prune near-duplicate pairs *within* each cluster
+    * (cosine >= 0.4, min-id keeper) — the cluster is a derived
+    * blocking key, so the pair join is an equi-join that never
+    * compares across clusters.
     *
     * Determinism at hash-compare precision: embeddings are quantized
     * to integer milli-units (floor(x*1000), exact in both engines —
@@ -1323,20 +1339,26 @@ object TrainingDataQueries {
     * Scale shape: centroids are k rows — both assignment passes are
     * broadcast joins with a map-side argmax (the d19 IVF idiom); the
     * Lloyd mean is one (cluster, pos) hash-aggregation (k*dim
-    * groups). SemDeDup's contract keeps clusters balanced by scaling
-    * k with the corpus, but a degenerate corpus (every embedding
-    * near-identical) still collapses into ONE cluster and an
-    * unbounded pair join goes quadratic — so the keeper-candidate
-    * side is capped to the 512 lowest ids per cluster (the d7/d8
-    * bounded-posting-list defense; WindowGroupLimit makes the rank
-    * filter a per-group top-k, not a cluster sort). Every member is
-    * still checked against those candidates: the join is
-    * O(|cluster| x 512), never O(|cluster|^2).
+    * groups). A degenerate corpus (every embedding near-identical)
+    * still collapses into ONE cluster and an unbounded pair join
+    * goes quadratic — so the keeper-candidate side is capped to the
+    * `cap` (512) lowest ids per cluster (the d7/d8 bounded-posting-
+    * list defense; WindowGroupLimit makes the rank filter a
+    * per-group top-k, not a cluster sort), making the join
+    * O(|cluster| × cap), never O(|cluster|²).
+    *
+    * RECALL BOUND of the cap: duplicates are only *detected* against
+    * the cap lowest ids of the cluster — a pair BOTH of whose
+    * members rank past `cap` within their cluster is never compared
+    * and both survive (characterized in Round7OpsSpec). With the
+    * adaptive k this is a no-op whenever expected cluster size √N ≤
+    * cap (N ≤ ~260k at cap 512); beyond that, scale k (or cap) up —
+    * the cap is a worst-case cost bound, not a tuning default.
     */
-  def d32(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def semanticDedupImpl(embeddings: DataFrame, k: Int = 0,
+      cap: Int = 512): DataFrame = {
     val sim = graft.similarity.Similarity
-    val k = 8
-    val vq = emb(s, dir)
+    val vq = embeddings
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1000).cast("long")).as("xi"))
@@ -1345,7 +1367,10 @@ object TrainingDataQueries {
       .withColumn("nrm", sim.norm2(col("e")))
       .filter(col("nrm") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds = vq.orderBy("vec_id").limit(k)
+    // k <= 0 → adaptive (the count also materializes the persist)
+    val kk = if (k >= 1) k else semdedupK(vq.count())
+    val seeds = vq
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(kk)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
     // Map-side argmax over a struct (the ivfTopK idiom): highest
     // cosine wins, ties to the smallest centroid id — no window
@@ -1381,7 +1406,7 @@ object TrainingDataQueries {
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("cid").orderBy("vec_id")))
-      .filter(col("__rk") <= 512).drop("__rk")
+      .filter(col("__rk") <= cap).drop("__rk")
     val dups = clustered.select(col("cid"),
         col("vec_id").as("id2"), col("e").as("e2"), col("nrm").as("n2"))
       .join(candSide.select(col("cid"), col("vec_id").as("id1"),
@@ -1395,6 +1420,9 @@ object TrainingDataQueries {
         coalesce(col("keeper_id"), col("vec_id")).as("keeper_id"),
         col("keeper_id").isNotNull.as("is_dup"))
   }
+
+  def d32(s: SparkSession, dir: String): DataFrame =
+    semanticDedupImpl(emb(s, dir))
 
   val d32Sql: String = {
     val assignSql = (src: String, cents: String) =>
@@ -1417,7 +1445,9 @@ object TrainingDataQueries {
        |      WHERE sqrt(${duckDot("e", "e")}) > 0),
        |seeds AS (
        |  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v
-       |  ORDER BY vec_id LIMIT 8),
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT (SELECT LEAST(65536, GREATEST(8,
+       |    CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM v)),
        |a0 AS (${assignSql("v", "seeds")}),
        |comps AS (
        |  SELECT cid, pos,

@@ -62,7 +62,8 @@ class Round7OpsSpec extends AnyFunSuite {
           s"keeper of $id must share its cluster")
       } else assert(keeper == id)
     }
-    assert(rows.map(_.getLong(1)).distinct.length <= 8, "k = 8 clusters")
+    assert(rows.map(_.getLong(1)).distinct.length <=
+      TrainingDataQueries.semdedupK(n), "at most the adaptive k clusters")
   }
 
   test("d32 duplicates really exceed the cosine threshold") {
@@ -131,6 +132,48 @@ class Round7OpsSpec extends AnyFunSuite {
       if (id == 0L) assert(!dup && keeper == 0L)
       else assert(dup && keeper == 0L, s"vec $id must dedup to 0")
     }
+  }
+
+  test("semdedupK scales with sqrt(N) inside broadcast-safe bounds") {
+    val k = TrainingDataQueries.semdedupK _
+    assert(k(0) == 8 && k(100) == 10 && k(10000) == 100)
+    assert(k(1L << 40) == 65536, "ceiling bounds the broadcast table")
+    val pts = Seq(1L, 500L, 2000L, 20000L, 1000000L, 1L << 40)
+    assert(pts.map(k) == pts.map(k).sorted, "k must be monotone in N")
+  }
+
+  test("d32 candidate cap's recall bound: pairs past the cap are missed, raising cap recovers them") {
+    import spark.implicits._
+    // The documented bound (scaladoc on semanticDedupImpl): dups are
+    // only detected against the `cap` lowest ids of a cluster. Build
+    // the adversarial witness — 512 mutually-orthogonal background
+    // vectors (ids 0..511) plus a true duplicate pair at ids
+    // 512/513 — and force one cluster (k=1) so the pair ranks past
+    // the cap on BOTH sides.
+    def oneHot(pos: Int): Array[Float] =
+      Array.tabulate(600)(d => if (d == pos) 1.0f else 0.0f)
+    val rows = (0L until 512L).map(i => (i, oneHot(i.toInt), 0L)) ++
+      Seq((512L, oneHot(599), 0L), (513L, oneHot(599), 0L))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val capped = TrainingDataQueries.semanticDedupImpl(df, k = 1, cap = 512)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!capped(512L) && !capped(513L),
+      "both members past the cap: the pair is (by design) never compared")
+    assert((0L until 512L).forall(i => !capped(i)),
+      "orthogonal backgrounds are not dups")
+    // the bound is the cap, not the algorithm: a cap covering the
+    // cluster finds the pair again
+    val uncapped = TrainingDataQueries.semanticDedupImpl(df, k = 1, cap = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .map(t => t._1 -> t).toMap
+    assert(!uncapped(512L)._3 && uncapped(513L)._3 &&
+      uncapped(513L)._2 == 512L)
+    // (On real corpora the adaptive k — not the cap — is the lever:
+    // expected cluster size √N stays under the cap until N ~ 260k,
+    // per the semdedupK scaladoc. This witness corpus is mutually
+    // orthogonal, so no k can split it into meaningful clusters —
+    // every assignment ties at cosine 0 and collapses to one
+    // cluster, which is exactly why it exhibits the worst case.)
   }
 
   test("d33 positions are dense ranks within stable shards") {
