@@ -1486,17 +1486,28 @@ object TrainingDataQueries {
     * scale knob (64 here; at 100 TB you raise nshards so a shard
     * stays executor-sized — the sort is per-shard, never global).
     */
-  def d33(s: SparkSession, dir: String): DataFrame = {
+  /** The d33 engine with the shard count exposed — the documented
+    * scale knob. Because the hash is computed per document and the
+    * shard is just `h mod nshards`, re-sharding the same corpus at a
+    * different count is a stable permutation: with nshards' = m ·
+    * nshards, shard(nshards) = shard(nshards') mod nshards for every
+    * document (proven in ScaleOpsSpec), so raising the knob splits
+    * shards without reshuffling content across unrelated shards.
+    */
+  private[graft] def shardPack(documents: DataFrame, nshards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
       .cast("long")
     val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
-    docs(s, dir)
+    documents
       .select(col("doc_id"), h.as("h"))
-      .withColumn("shard", pmod(col("h"), lit(64)).cast("long"))
+      .withColumn("shard", pmod(col("h"), lit(nshards)).cast("long"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select("doc_id", "shard", "pos")
   }
+
+  def d33(s: SparkSession, dir: String): DataFrame =
+    shardPack(docs(s, dir), 64)
 
   val d33Sql: String =
     """WITH h AS (
