@@ -248,7 +248,9 @@ object Similarity {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Zero-norm vectors are excluded up front: 0/0 cosine is NaN,
     // whose ordering is engine-divergent (same guard as d17).
-    val v = corpus.select(col(id).as("vid"), toDouble(col(vec)).as("v"))
+    // Vectors keep their source element type (float halves the
+    // persisted bytes; VecDot widens per element — same arithmetic).
+    val v = corpus.select(col(id).as("vid"), col(vec).as("v"))
       .withColumn("nrm", norm2(col("v")))
       .filter(col("nrm") > 0)
       .persist(lvl)
@@ -263,7 +265,7 @@ object Similarity {
       .groupBy("vid").agg(max(col("sc")).as("best"))
       .select(col("vid"), (-col("best.negc")).as("cid"))
     val lists = v.join(assign, "vid")
-    val q = queries.select(col(id).as("q_id"), toDouble(col(vec)).as("qv"))
+    val q = queries.select(col(id).as("q_id"), col(vec).as("qv"))
       .withColumn("qnrm", norm2(col("qv")))
       .filter(col("qnrm") > 0)
     val probes = q.crossJoin(broadcast(cents))
@@ -290,9 +292,11 @@ object Similarity {
   def nearDupPairs(vectors: DataFrame, id: String, vec: String,
       blockKey: String, minCos: Double): DataFrame = {
     // norms precomputed per vector (not per pair) and the table
-    // materialized so the self-join probes cached rows
+    // materialized so the self-join probes cached rows; vectors stay
+    // in their source element type (float halves the cached bytes —
+    // VecDot widens per element, same arithmetic as a double cast)
     val v = vectors.select(col(id), col(blockKey).as("blk"),
-        toDouble(col(vec)).as("v"))
+        col(vec).as("v"))
       .withColumn("nrm", norm2(col("v")))
       .filter(col("nrm") > 0) // NaN cosine guard, as in ivfTopK/d17
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
