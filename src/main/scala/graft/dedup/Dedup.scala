@@ -120,6 +120,16 @@ object Dedup {
     * duplicate-heavy corpus into single band buckets. `maxBucket`
     * caps each band bucket's posting list at the smallest ids
     * (bounded agg state; see [[cappedBucket]]).
+    *
+    * Banding selectivity is corpus-dependent: the default (4 bands ×
+    * 4 perms) is tuned for corpora whose unrelated documents share
+    * little; when baseline Jaccard is high (narrow vocabulary,
+    * templated text), band collisions over-generate candidates and
+    * the verify join dominates. Raise perms-per-band to buy
+    * selectivity at a small, quantified recall cost — measured at
+    * the 100× gate (GATE_SF1.md round-8 addendum): numPerms=24,
+    * bands=4 cut candidates 3.5× and total time 5× while keeping
+    * 98.0% of true (jac ≥ 0.5) edges.
     */
   def minhashVerifiedPairs(docs: DataFrame, id: String, text: String,
       shingleK: Int = 8, numPerms: Int = 16, bands: Int = 4,
@@ -129,11 +139,16 @@ object Dedup {
     // generation and verification (and the table is joined twice) —
     // without the persist the O(perms·|text|) signature expression
     // would re-run per use.
+    // shingle sets sorted ONCE per document (amortized over every
+    // candidate pair the doc appears in) so per-pair verification is
+    // a native merge walk, not a boxed hash-set build — see
+    // SortedIntersectCount for the 100×-gate numbers behind this.
     val features = base
       .filter(length(lower(trim(col(text)))) >= shingleK)
       .select(col(id),
         minhashSignature(col(text), shingleK, numPerms).as("sig"),
-        array_distinct(TextHash.shingle_hashes(lower(trim(col(text))), shingleK))
+        array_sort(array_distinct(
+          TextHash.shingle_hashes(lower(trim(col(text))), shingleK)))
           .as("shset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = features
@@ -152,7 +167,7 @@ object Dedup {
         col("shset").as("set2")), "d2")
       .select(col("d1"), col("d2"),
         estMatches(col("sig1"), col("sig2")).as("est_matches"),
-        size(array_intersect(col("set1"), col("set2"))).cast("long").as("shared"),
+        TextHash.sorted_intersect_count(col("set1"), col("set2")).as("shared"),
         size(col("set1")).cast("long").as("n1"),
         size(col("set2")).cast("long").as("n2"))
       .withColumn("jac_pm", expr("shared * 1000 div (n1 + n2 - shared)"))

@@ -84,6 +84,12 @@ object TextHash {
   def word_gram_hashes(text: Column, n: Int, distinct: Boolean): Column =
     SparkShims.column(WordGramHashes(expr(text), n, distinct))
 
+  /** |a ∩ b| for two SORTED distinct long arrays — see
+    * [[SortedIntersectCount]].
+    */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    SparkShims.column(SortedIntersectCount(expr(a), expr(b)))
+
   /** Word-token poly hashes of lower(trim(text)) split on \s+ —
     * the single-pass twin of
     * transform(split(trim(lower(text)), "\\s+"), poly_hash).
@@ -198,6 +204,69 @@ case class WordGramHashes(child: Expression, n: Int, distinct: Boolean)
 
   override protected def withNewChildInternal(c: Expression): WordGramHashes =
     copy(child = c)
+}
+
+/** Intersection size of two SORTED distinct long arrays, as a
+  * single primitive merge walk — O(n1+n2) with zero allocation.
+  *
+  * The builtin `size(array_intersect(a, b))` builds a boxed hash set
+  * per PAIR; on the LSH verification path that pair count is the
+  * candidate volume (24.7M at the 100× dedup gate), and the alloc
+  * churn dominated the whole d18 run (278 s of a 422 s query —
+  * GATE_SF1.md round-8 addendum). Sorting the per-document set once
+  * (array_sort at feature-build time, amortized over every pair the
+  * doc appears in) turns each pair check into this branch-predictable
+  * merge. Caller contract: both inputs sorted ascending + distinct —
+  * the count is wrong otherwise (callers build them with
+  * array_sort(array_distinct(...))).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1L; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      code"""
+        |int $n = $a.numElements();
+        |int $m = $b.numElements();
+        |int $i = 0; int $j = 0; long $c = 0L;
+        |while ($i < $n && $j < $m) {
+        |  long $xv = $a.getLong($i);
+        |  long $yv = $b.getLong($j);
+        |  if ($xv == $yv) { $c++; $i++; $j++; }
+        |  else if ($xv < $yv) { $i++; } else { $j++; }
+        |}
+        |${ev.value} = $c;
+      """.stripMargin.toString
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
 }
 
 /** Base-31 polynomial string hash mod 1e9+7; whole-stage codegen. */

@@ -225,8 +225,10 @@ object TrainingDataQueries {
     // Materialized: reused by candidate generation (twice, via the
     // self-join) and by exact verification — and gram hashing must
     // not re-run per joined row.
+    // sorted once per doc so pair verification is the native merge
+    // walk (SortedIntersectCount), not a per-pair boxed hash set
     val grams = docs(s, dir)
-      .select(col("doc_id"), gramH.as("gs"))
+      .select(col("doc_id"), array_sort(gramH).as("gs"))
       .filter(size(col("gs")) >= 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Rare-gram posting lists with the df cap enforced INSIDE the
@@ -251,7 +253,7 @@ object TrainingDataQueries {
       .join(grams.select(col("doc_id").as("d1"), col("gs").as("gs1")), "d1")
       .join(grams.select(col("doc_id").as("d2"), col("gs").as("gs2")), "d2")
       .select(col("d1"), col("d2"),
-        size(array_intersect(col("gs1"), col("gs2"))).cast("long").as("shared"),
+        TextHash.sorted_intersect_count(col("gs1"), col("gs2")).as("shared"),
         size(col("gs1")).cast("long").as("n1"),
         size(col("gs2")).cast("long").as("n2"))
       .withColumn("jac_pm", expr("shared * 1000 div (n1 + n2 - shared)"))

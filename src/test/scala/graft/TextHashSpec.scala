@@ -71,4 +71,23 @@ class TextHashSpec extends AnyFunSuite {
     assert((got & 1L) == 1L)
     assert((got & 2L) == 0L)
   }
+
+  test("SortedIntersectCount equals set intersection on random sorted inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(50)
+    val cases = (1 to 40).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b, (a.toSet & b.toSet).size.toLong)
+    }
+    val got = cases.toDF("a", "b", "want")
+      .select(TextHash.sorted_intersect_count(col("a"), col("b")).as("got"),
+        col("want"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // empty sides
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+      .select(TextHash.sorted_intersect_count(col("a"), col("b"))).head().getLong(0)
+    assert(e == 0L)
+  }
 }
