@@ -64,6 +64,43 @@ object Media {
     }
   }
 
+  case class ThumbRow(doc_id: Long, n_bytes: Long, thumb: Array[Double])
+
+  /** STUB — stands in for a real resize/downsample kernel (image
+    * thumbnail, audio downmix). Splits the payload's code points
+    * into `segments` contiguous spans with floor boundaries
+    * (span i = [i·n/segments, (i+1)·n/segments)) and emits each
+    * span's mean — the real kernel would average pixel blocks the
+    * same way. Code points (not raw bytes) keep the fake
+    * engine-portable, like [[decodeBytes]]. Caller must ensure
+    * n >= segments so every span is non-empty.
+    */
+  def thumbBytes(bytes: Array[Byte], segments: Int): Array[Double] = {
+    val cps = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .codePoints().toArray
+    val n = cps.length
+    Array.tabulate(segments) { i =>
+      val lo = i * n / segments
+      val hi = (i + 1) * n / segments
+      var s = 0L; var j = lo
+      while (j < hi) { s += cps(j); j += 1 }
+      s.toDouble / math.max(1, hi - lo)
+    }
+  }
+
+  /** Batched thumbnail pass — same per-partition shape as
+    * [[decodeStub]]: a real pipeline initializes the resize kernel
+    * once per partition and streams payloads through it.
+    */
+  def thumbStub(media: Dataset[MediaRow], segments: Int = 4)(
+      implicit spark: SparkSession): Dataset[ThumbRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition kernel init would go here
+      rows.map(r => ThumbRow(r.doc_id, r.n_bytes, thumbBytes(r.payload, segments)))
+    }
+  }
+
   /** Deterministic frame sampling: treat the payload as a sequence of
     * fixed-width frames, emit one row per `stride`-th frame with its
     * timestamp and a stub per-frame feature (hash of the frame

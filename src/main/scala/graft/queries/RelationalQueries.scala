@@ -505,7 +505,35 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY o_orderpriority
       |  ORDER BY o_totalprice, o_orderkey)""".stripMargin
 
+  /** B23 — GROUPING SETS with independent (non-hierarchical) sets:
+    * per-status and per-priority subtotals in ONE pass — the shape
+    * neither ROLLUP (B8) nor CUBE (B19) can express (no pair cell,
+    * no grand total). Plans as a single Expand + hash aggregate:
+    * each input row is expanded once per set, so the whole report is
+    * one shuffle regardless of how many sets are requested — at
+    * 100 TB this replaces N separate groupBy jobs (N full scans)
+    * with one scan.
+    */
+  def b23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("gid"), col("n"), col("sum_price"))
+
+  val b23Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "b23_grouping_sets" -> (b23 _),
     "b22_rank_suite" -> (b22 _),
     "b21_sql_surface" -> (b21 _),
     "b20_range_frame" -> (b20 _),
@@ -530,6 +558,7 @@ object RelationalQueries {
     "b12_distinct" -> (b12 _))
 
   val oracles: Map[String, String] = Map(
+    "b23_grouping_sets" -> b23Sql,
     "b22_rank_suite" -> b22Sql,
     "b21_sql_surface" -> b21Sql,
     "b20_range_frame" -> b20Sql,

@@ -1521,7 +1521,132 @@ object TrainingDataQueries {
       |    AS BIGINT) AS pos
       |FROM h""".stripMargin
 
+  /** D34 — boilerplate n-gram report (C4/RefinedWeb-style cleaning
+    * signal): corpus-frequent word 3-grams (document frequency >=
+    * minDf) and each document's coverage by them, as exact
+    * per-milles. Shape for 100 TB: the df aggregation is a
+    * combiner-friendly count on the gram key (distinct grams per
+    * doc, so partial aggregation collapses each partition's
+    * postings before the shuffle); the surviving frequent-gram set
+    * is tiny by construction — boilerplate is heavy-tailed — so the
+    * coverage pass is a broadcast semi-join, never a second
+    * shuffle of the corpus. minDf=5 is the sandbox default; real
+    * corpora set it as a fraction of corpus size (e.g. 0.1% of
+    * docs) — the plan shape is identical.
+    */
+  def d34(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"),
+        TextHash.word_gram_hashes(col("text"), 3, distinct = true).as("gs"))
+      .filter(size(col("gs")) >= 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eg = grams.select(col("doc_id"), explode(col("gs")).as("g"))
+    val freq = eg.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5)
+    val perDoc = eg.join(broadcast(freq.select("g")), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_frequent"))
+    grams.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_frequent", coalesce(col("n_frequent"), lit(0L)))
+      .withColumn("bp_pm", expr("n_frequent * 1000 div n_grams"))
+  }
+
+  val d34Sql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, $duckTokenHashes AS h FROM documents
+       |  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
+       |grams AS (SELECT doc_id, $duckGramHashes AS gs FROM th),
+       |eg AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+       |freq AS (SELECT g FROM eg GROUP BY g HAVING count(*) >= 5),
+       |nf AS (
+       |  SELECT doc_id, count(*) AS n_frequent
+       |  FROM eg JOIN freq USING (g) GROUP BY 1)
+       |SELECT gr.doc_id, CAST(len(gr.gs) AS BIGINT) AS n_grams,
+       |  coalesce(nf.n_frequent, CAST(0 AS BIGINT)) AS n_frequent,
+       |  coalesce(nf.n_frequent, CAST(0 AS BIGINT)) * 1000
+       |    // CAST(len(gr.gs) AS BIGINT) AS bp_pm
+       |FROM grams gr LEFT JOIN nf USING (doc_id)""".stripMargin
+
+  /** D35 — normalization dedup (Dolma-style "fuzzy-exact"): dedup
+    * after aggressive text canonicalization — lowercase, strip
+    * non-alphanumerics to spaces, collapse whitespace runs — so
+    * near-copies differing only in punctuation/casing/spacing
+    * collapse to one 128-bit key. Sits between D1 (byte-exact) and
+    * D7 (MinHash): still a single hash-partitioned shuffle (the
+    * window over norm_hash), no candidate generation at all, which
+    * is why production pipelines run it before the expensive
+    * similarity passes.
+    */
+  def d35(s: SparkSession, dir: String): DataFrame = {
+    val normed = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    val w = Window.partitionBy("norm_hash")
+    docs(s, dir)
+      .select(col("doc_id"), md5(normed.cast("binary")).as("norm_hash"))
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("keeper_id"))
+  }
+
+  val d35Sql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+      |  FROM documents)
+      |SELECT doc_id, norm_hash,
+      |  min(doc_id) OVER (PARTITION BY norm_hash) AS keeper_id,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY norm_hash) AS is_dup
+      |FROM n""".stripMargin
+
+  /** D36 — media thumbnail pass: metadata prune → batched
+    * per-partition "resize" ([[graft.multimodal.Media.thumbStub]],
+    * a deterministic stand-in for a pixel-block downsample — see
+    * Media.scala for the stub contract). The 100 TB-relevant part
+    * is real: the n_chars predicate prunes on typed METADATA before
+    * any payload byte is touched (parquet row-group stats skip whole
+    * groups of binary payloads), and the kernel runs per-partition
+    * so codec/GPU init amortizes. The length(text) guard keeps every
+    * segment span provably non-empty even where metadata disagrees
+    * with the payload.
+    */
+  def d36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val pruned = docs(s, dir)
+      .filter(col("n_chars") >= 4 && length(col("text")) >= 4)
+    val payloads = graft.multimodal.Media.asPayloads(pruned, "doc_id", "text")
+    graft.multimodal.Media
+      .thumbStub(payloads.as[graft.multimodal.Media.MediaRow], segments = 4)
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        element_at(col("thumb"), 1).as("t1"),
+        element_at(col("thumb"), 2).as("t2"),
+        element_at(col("thumb"), 3).as("t3"),
+        element_at(col("thumb"), 4).as("t4"))
+  }
+
+  val d36Sql: String =
+    """WITH codes AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |    list_transform(range(1, length(text)+1),
+      |      tb_i -> CAST(unicode(text[tb_i]) AS BIGINT)) AS cs,
+      |    CAST(length(text) AS BIGINT) AS n
+      |  FROM documents WHERE n_chars >= 4 AND length(text) >= 4)
+      |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+      |  CAST(list_sum(cs[1 : CAST(n//4 AS INTEGER)]) AS DOUBLE)
+      |    / (n//4) AS t1,
+      |  CAST(list_sum(cs[CAST(n//4+1 AS INTEGER) : CAST(n*2//4 AS INTEGER)]) AS DOUBLE)
+      |    / (n*2//4 - n//4) AS t2,
+      |  CAST(list_sum(cs[CAST(n*2//4+1 AS INTEGER) : CAST(n*3//4 AS INTEGER)]) AS DOUBLE)
+      |    / (n*3//4 - n*2//4) AS t3,
+      |  CAST(list_sum(cs[CAST(n*3//4+1 AS INTEGER) : CAST(n AS INTEGER)]) AS DOUBLE)
+      |    / (n - n*3//4) AS t4
+      |FROM codes""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d36_media_thumb" -> (d36 _),
+    "d35_norm_dedup" -> (d35 _),
+    "d34_boilerplate_ngrams" -> (d34 _),
     "d33_shard_pack" -> (d33 _),
     "d32_semantic_dedup" -> (d32 _),
     "d31_repetition_filter" -> (d31 _),
@@ -1557,6 +1682,9 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d36_media_thumb" -> d36Sql,
+    "d35_norm_dedup" -> d35Sql,
+    "d34_boilerplate_ngrams" -> d34Sql,
     "d33_shard_pack" -> d33Sql,
     "d32_semantic_dedup" -> d32Sql,
     "d31_repetition_filter" -> d31Sql,
