@@ -26,12 +26,16 @@ object Curator {
       minTokens: Int = 5, maxTokens: Int = 10000): DataFrame = {
     // 1. exact dedup: keep the min-id row per content hash with a
     // window filter — one shuffle over the corpus, no agg+join pair.
+    // Persisted: the survivors feed the banding tuner's sample jobs,
+    // the near-dup candidate pipeline, AND the final anti-join — all
+    // of which would otherwise re-run the content-hash window.
     val uniqueDocs = docs
       .withColumn("content_hash", Dedup.contentHash(col("text")))
       .withColumn("__keep", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
       .filter(col("doc_id") === col("__keep"))
       .drop("content_hash", "__keep")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 2. near-dup drop among survivors (stage 1 already dedup'd —
     // skip minhashVerifiedPairs' internal prefilter)

@@ -34,6 +34,189 @@ import graft.functions.TextHash
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Sentinel for `numPerms` meaning "choose banding selectivity from
+    * a sampled estimate" — see [[chooseBanding]]. The default for
+    * every MinHash entry point: broad-vocabulary corpora resolve to
+    * the classic 16 perms / 4 bands, narrow-vocabulary (templated)
+    * corpora escalate perms-per-band before paying the measured 5×
+    * false-positive-candidate cliff (GATE_SF1.md round-8 addendum).
+    */
+  val AutoPerms: Int = -1
+
+  /** One banding candidate's sampled selectivity: distinct colliding
+    * sample pairs at this signature width, how many of them were
+    * WASTED (exact Jaccard below the caller's near-dup bar — band
+    * collisions that cost verification but can never become edges),
+    * and the corpus-extrapolated wasted-candidates:documents ratio.
+    */
+  case class BandingStat(numPerms: Int, sampleCandidates: Long,
+      sampleWasted: Long, predictedWasteRatio: Double)
+
+  /** A resolved banding choice plus the evidence it rests on —
+    * returned by [[chooseBanding]] and logged by every auto-tuned
+    * entry point, so the candidate-blowup telemetry is surfaced
+    * before a production run pays for it.
+    */
+  case class BandingChoice(numPerms: Int, bands: Int, corpusDocs: Long,
+      estReps: Long, sampledReps: Long, stats: Seq[BandingStat]) {
+    def stat(p: Int): BandingStat = stats.find(_.numPerms == p)
+      .getOrElse(BandingStat(p, 0L, 0L, 0.0))
+  }
+
+  /** Choose MinHash banding selectivity from a bounded deterministic
+    * sample — the auto-tuner behind [[AutoPerms]].
+    *
+    * Why selectivity must be data-driven: a band of r permutation
+    * rows collides for an unrelated pair with probability ≈ j^r
+    * where j is the pair's baseline Jaccard. Natural corpora sit at
+    * j ≈ 0 and the classic 4-perm bands are already selective;
+    * templated/narrow-vocabulary corpora push j high enough that
+    * unrelated documents collide at ~1000:1 false-positive ratio
+    * (measured: 24.7M candidates for 25k real edges at the 100×
+    * gate octave, GATE_SF1.md) and the verify join dominates end to
+    * end. Raising perms-per-band restores selectivity at a small,
+    * measured recall cost (98.0% of jac ≥ 0.5 edges kept at 6
+    * perms/band on that corpus).
+    *
+    * What distinguishes waste from work: REAL near-duplicate pairs
+    * also collide — a duplicate-heavy corpus legitimately emits
+    * super-linearly many candidates, and a tuner that counted raw
+    * collisions would de-tune recall exactly where dedup matters
+    * most. So the estimate verifies each sampled colliding pair's
+    * exact shingle Jaccard (the sample carries shingle sets) and
+    * counts only sub-`wasteJacPm` collisions as waste.
+    *
+    * Mechanics (three bounded jobs, no full-corpus pass beyond a
+    * count and a top-k scan):
+    *  1. one `count` of shingle-eligible documents;
+    *  2. a deterministic `sampleSize`-document sample — the smallest
+    *     `xxhash64(id)` documents (order-stable across runs and
+    *     partitionings), exact-deduped within the sample so the
+    *     duplicate fraction is estimated rather than double-counted;
+    *  3. one job over the sample computing, for EVERY candidate
+    *     width at once, the distinct band-colliding pairs (same
+    *     capped-bucket machinery as the real pipeline) and their
+    *     exact Jaccard. Candidate widths share one signature: the
+    *     permutation constants depend only on the row index
+    *     ([[graft.functions.TextHash.minA]]), so the p-perm
+    *     signature is the p-prefix of the widest one.
+    *
+    * Extrapolation: sampled wasted pairs scale with the square of
+    * the rep count (pair counting over an s-of-N uniform sample),
+    * so predictedWasteRatio(p) = wasted_s(p) · estReps / s². The
+    * smallest width whose predicted wasted-candidates:documents
+    * ratio meets `wasteTarget` wins; if none does, the widest
+    * candidate wins and a warning is logged — the surfaced form of
+    * the d18 cliff. Widths beyond 24 (6 perms/band) are deliberately
+    * NOT in the default ladder: the next step trades real recall
+    * (95.6% at 8 perms/band on the gate corpus) for selectivity a
+    * user should opt into explicitly.
+    *
+    * Determinism: the sample is hash-ordered, the signature is
+    * seed-fixed, and the decision is a pure function of the sampled
+    * aggregate — the same corpus always resolves to the same
+    * banding, which is what keeps auto-tuned operators
+    * oracle-checkable.
+    */
+  def chooseBanding(docs: DataFrame, id: String, text: String,
+      shingleK: Int = 8, bands: Int = 4,
+      permCandidates: Seq[Int] = Seq(16, 20, 24),
+      wasteTarget: Double = 8.0, wasteJacPm: Int = 500,
+      sampleSize: Int = 2048, maxBucket: Int = 512): BandingChoice = {
+    require(permCandidates.nonEmpty && bands >= 1 &&
+      permCandidates.forall(p => p >= bands && p % bands == 0),
+      s"permCandidates must be positive multiples of bands=$bands: $permCandidates")
+    require(sampleSize >= 2, s"sampleSize too small: $sampleSize")
+    val perms = permCandidates.distinct.sorted
+    val filtered = docs
+      .filter(length(lower(trim(col(text)))) >= shingleK)
+      .select(col(id).cast("long").as("__bid"), col(text).as("__bt"))
+    val nDocs = filtered.count()
+    if (nDocs < 2)
+      return BandingChoice(perms.head, bands, nDocs, nDocs, nDocs,
+        perms.map(BandingStat(_, 0L, 0L, 0.0)))
+    val maxP = perms.last
+    val feats = filtered
+      .orderBy(xxhash64(col("__bid")), col("__bid"))
+      .limit(sampleSize)
+      .withColumn("__ch", contentHash(col("__bt")))
+      .dropDuplicates("__ch")
+      .select(col("__bid"),
+        minhashSignature(col("__bt"), shingleK, maxP).as("__sig"),
+        array_sort(array_distinct(
+          TextHash.shingle_hashes(lower(trim(col("__bt"))), shingleK)))
+          .as("__set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sReps = feats.count()
+      val sRaw = math.min(nDocs, sampleSize.toLong)
+      val estReps = math.max(1L,
+        math.round(nDocs.toDouble * sReps / math.max(1L, sRaw)))
+      // All candidate widths in one pass: tag each band key with its
+      // width, reuse the pipeline's capped-bucket pair generation,
+      // verify each distinct pair's exact Jaccard once per width.
+      val keyed = feats.select(col("__bid"), explode(array(
+        perms.flatMap(p => bandKeyCols(col("__sig"), p, bands).map(bh =>
+          struct(lit(p).as("p"), bh.as("bh")))): _*)).as("k"))
+      val agg = keyed
+        .groupBy(col("k.p").as("p"), col("k.bh.band"), col("k.bh.band_hash"))
+        .agg(cappedBucket(col("__bid"), maxBucket).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(col("p"), explode(bucketPairs(col("ds"))).as("pr"))
+        .select(col("p"), col("pr.d1").as("d1"), col("pr.d2").as("d2"))
+        .distinct()
+        .join(broadcast(feats.select(col("__bid").as("d1"), col("__set").as("s1"))), "d1")
+        .join(broadcast(feats.select(col("__bid").as("d2"), col("__set").as("s2"))), "d2")
+        .select(col("p"),
+          TextHash.sorted_intersect_count(col("s1"), col("s2")).as("shared"),
+          size(col("s1")).cast("long").as("n1"),
+          size(col("s2")).cast("long").as("n2"))
+        .withColumn("jac_pm", expr("shared * 1000 div (n1 + n2 - shared)"))
+        .groupBy("p")
+        .agg(count(lit(1)).as("cand"),
+          sum(when(col("jac_pm") < wasteJacPm, 1L).otherwise(0L)).as("waste"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val stats = perms.map { p =>
+        val (cand, waste) = agg.getOrElse(p, (0L, 0L))
+        BandingStat(p, cand, waste,
+          waste.toDouble * estReps / (sReps.toDouble * sReps))
+      }
+      // Smallest width that meets the target wins (narrower = cheaper
+      // signatures and better recall); when none does, take the
+      // least-wasteful candidate — NOT blindly the widest: band
+      // collision probability is a product over the specific rows a
+      // band holds, so on structured corpora a wider banding can
+      // measure WORSE than a narrower one (observed in BandingSpec's
+      // templated corpus: 20 perms beat 24).
+      val chosen = stats.find(_.predictedWasteRatio <= wasteTarget)
+        .getOrElse(stats.minBy(s => (s.predictedWasteRatio, s.numPerms)))
+        .numPerms
+      val choice = BandingChoice(chosen, bands, nDocs, estReps, sReps, stats)
+      val detail = stats.map(s =>
+        f"p=${s.numPerms} waste=${s.sampleWasted}/${s.sampleCandidates} ratio=${s.predictedWasteRatio}%.2f")
+        .mkString(", ")
+      if (choice.stat(chosen).predictedWasteRatio > wasteTarget)
+        log.warn(s"MinHash banding: even widest candidate numPerms=$chosen " +
+          s"predicts wasted-candidate:doc ratio ${"%.1f".format(choice.stat(chosen).predictedWasteRatio)} " +
+          s"> target $wasteTarget on ~$estReps reps ($detail); expect a " +
+          "verification-dominated run — consider wider permCandidates or a pre-filter")
+      else
+        log.info(s"MinHash banding auto-tuned: numPerms=$chosen bands=$bands " +
+          s"over ~$estReps reps ($detail)")
+      choice
+    } finally feats.unpersist()
+  }
+
+  /** Resolve an [[AutoPerms]] sentinel to a concrete width. */
+  private[graft] def resolvePerms(docs: DataFrame, id: String, text: String,
+      shingleK: Int, numPerms: Int, bands: Int, maxBucket: Int): Int =
+    if (numPerms != AutoPerms) numPerms
+    else chooseBanding(docs, id, text, shingleK, bands,
+      maxBucket = maxBucket).numPerms
+
   /** Normalized content identity key: 128-bit MD5 of the lower-cased,
     * trimmed text. Exact-dedup decisions DROP documents, so the key
     * must make collisions negligible at corpus scale — the ~2^30 poly
@@ -98,10 +281,18 @@ object Dedup {
     TextHash.minhash_sig(TextHash.shingle_hashes(lower(trim(text)), shingleK), numPerms)
 
   /** LSH band rows: one (band, band_hash) per band per doc. Docs
-    * agreeing on any band are near-dup candidates.
+    * agreeing on any band are near-dup candidates. `numPerms`
+    * defaults to [[AutoPerms]] (sampled selectivity choice,
+    * [[chooseBanding]]).
     */
   def lshBands(docs: DataFrame, id: String, text: String,
-      shingleK: Int = 8, numPerms: Int = 16, bands: Int = 4): DataFrame = {
+      shingleK: Int = 8, numPerms: Int = AutoPerms, bands: Int = 4): DataFrame = {
+    val np = resolvePerms(docs, id, text, shingleK, numPerms, bands, 512)
+    lshBandsResolved(docs, id, text, shingleK, np, bands)
+  }
+
+  private def lshBandsResolved(docs: DataFrame, id: String, text: String,
+      shingleK: Int, numPerms: Int, bands: Int): DataFrame = {
     val sig = minhashSignature(col(text), shingleK, numPerms)
     val withSig = docs.filter(length(lower(trim(col(text)))) >= shingleK)
       .select(col(id), sig.as("sig"))
@@ -121,19 +312,25 @@ object Dedup {
     * caps each band bucket's posting list at the smallest ids
     * (bounded agg state; see [[cappedBucket]]).
     *
-    * Banding selectivity is corpus-dependent: the default (4 bands ×
-    * 4 perms) is tuned for corpora whose unrelated documents share
-    * little; when baseline Jaccard is high (narrow vocabulary,
-    * templated text), band collisions over-generate candidates and
-    * the verify join dominates. Raise perms-per-band to buy
-    * selectivity at a small, quantified recall cost — measured at
+    * Banding selectivity is corpus-dependent: classic 4-perm bands
+    * are tuned for corpora whose unrelated documents share little;
+    * when baseline Jaccard is high (narrow vocabulary, templated
+    * text), band collisions over-generate candidates and the verify
+    * join dominates. The [[AutoPerms]] default chooses perms-per-band
+    * from a sampled waste estimate ([[chooseBanding]]) — measured at
     * the 100× gate (GATE_SF1.md round-8 addendum): numPerms=24,
     * bands=4 cut candidates 3.5× and total time 5× while keeping
-    * 98.0% of true (jac ≥ 0.5) edges.
+    * 98.0% of true (jac ≥ 0.5) edges on the narrow-vocab corpus,
+    * while broad-vocab corpora resolve to the classic 16.
     */
   def minhashVerifiedPairs(docs: DataFrame, id: String, text: String,
-      shingleK: Int = 8, numPerms: Int = 16, bands: Int = 4,
+      shingleK: Int = 8, numPerms: Int = AutoPerms, bands: Int = 4,
       prededup: Boolean = true, maxBucket: Int = 512): DataFrame = {
+    // Tune on the RAW input, not the rep frame: chooseBanding exact-
+    // dedups within its sample anyway, and sampling the rep frame
+    // would pay the contentReps window over the full corpus twice
+    // more (tuner count + sample scan) before the query proper runs.
+    val np = resolvePerms(docs, id, text, shingleK, numPerms, bands, maxBucket)
     val base = if (prededup) contentReps(docs, id, text) else docs
     // Materialized once: the signature feeds BOTH band-key candidate
     // generation and verification (and the table is joined twice) —
@@ -146,14 +343,14 @@ object Dedup {
     val features = base
       .filter(length(lower(trim(col(text)))) >= shingleK)
       .select(col(id),
-        minhashSignature(col(text), shingleK, numPerms).as("sig"),
+        minhashSignature(col(text), shingleK, np).as("sig"),
         array_sort(array_distinct(
           TextHash.shingle_hashes(lower(trim(col(text))), shingleK)))
           .as("shset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = features
       .select(col(id), explode(array(
-        bandKeyCols(col("sig"), numPerms, bands): _*)).as("bh"))
+        bandKeyCols(col("sig"), np, bands): _*)).as("bh"))
       .groupBy(col("bh.band"), col("bh.band_hash"))
       .agg(cappedBucket(col(id), maxBucket).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -460,25 +657,54 @@ object Dedup {
     *   sigs/    (<id>, sig)               — MinHash signatures of
     *            representatives, for probe-side verification
     *
+    *   meta/    (shingle_k, num_perms, bands, max_bucket) — the
+    *            banding parameters the index was written with.
+    *            Probing MUST hash exactly like the writer did, so
+    *            [[incremental]] reads its parameters from here; an
+    *            auto-tuned build ([[AutoPerms]], the default)
+    *            resolves once at build time and the choice travels
+    *            with the index.
+    *
     * Each table is one hash-partitioned pass; nothing is collected
     * to the driver. At 100 TB the index is just three bucketed
-    * tables that later batches equi-join against.
+    * tables (plus one meta row) that later batches equi-join against.
     */
   def buildIndex(docs: DataFrame, id: String, text: String,
-      indexDir: String, shingleK: Int = 8, numPerms: Int = 16,
+      indexDir: String, shingleK: Int = 8, numPerms: Int = AutoPerms,
       bands: Int = 4, maxBucket: Int = 512): Unit = {
+    val np = resolvePerms(docs, id, text, shingleK, numPerms, bands, maxBucket)
+    val s = docs.sparkSession
+    import s.implicits._
+    Seq((shingleK, np, bands, maxBucket))
+      .toDF("shingle_k", "num_perms", "bands", "max_bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
     exact(docs, id, text).select("content_hash", "keeper_id")
       .write.mode("overwrite").parquet(s"$indexDir/content")
     val reps = contentReps(docs, id, text)
-    lshBands(reps, id, text, shingleK, numPerms, bands)
+    lshBandsResolved(reps, id, text, shingleK, np, bands)
       .groupBy("band", "band_hash")
       .agg(cappedBucket(col(id), maxBucket).as("ds"))
       .select(col("band"), col("band_hash"), explode(col("ds")).as(id))
       .write.mode("overwrite").parquet(s"$indexDir/bands")
     reps.filter(length(lower(trim(col(text)))) >= shingleK)
       .select(col(id),
-        minhashSignature(col(text), shingleK, numPerms).as("sig"))
+        minhashSignature(col(text), shingleK, np).as("sig"))
       .write.mode("overwrite").parquet(s"$indexDir/sigs")
+  }
+
+  /** The banding parameters a persisted index was written with
+    * ([[buildIndex]]'s meta table), or None for a pre-meta index.
+    */
+  private[graft] def readIndexMeta(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[(Int, Int, Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val r = s.read.parquet(s"$indexDir/meta")
+        .select("shingle_k", "num_perms", "bands", "max_bucket").head()
+      Some((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    }
   }
 
   /** Dedup a new document batch against a persisted corpus index
@@ -511,10 +737,42 @@ object Dedup {
     * (it scales with the corpus, not the batch); signatures are
     * computed once per batch and persisted for reuse across the
     * probe and verify joins.
+    *
+    * Banding parameters come from the index's meta table (the probe
+    * must hash exactly like the writer did): [[AutoPerms]] — the
+    * default — adopts the stored parameters, and EXPLICIT parameters
+    * that contradict a stored meta throw rather than silently probe
+    * with mismatched hashes (every band key would miss, reporting
+    * `kept` for every near-duplicate). A pre-meta index falls back
+    * to the legacy 16/4 layout. `estMin < 0` (default) resolves to
+    * half the resolved signature width — the same agreement
+    * fraction at every selectivity.
     */
   def incremental(newDocs: DataFrame, id: String, text: String,
-      indexDir: String, shingleK: Int = 8, numPerms: Int = 16,
-      bands: Int = 4, maxBucket: Int = 512, estMin: Int = 8): DataFrame = {
+      indexDir: String, shingleK: Int = 8, numPerms: Int = AutoPerms,
+      bands: Int = 4, maxBucket: Int = 512, estMin: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = newDocs.sparkSession
+    val meta = readIndexMeta(s, indexDir)
+    val (shK, np, nb, mb) = meta match {
+      case Some((mShK, mNp, mNb, mMb)) =>
+        if (numPerms != AutoPerms &&
+            (mShK, mNp, mNb) != (shingleK, numPerms, bands))
+          throw new IllegalArgumentException(
+            s"index at $indexDir was built with shingleK=$mShK numPerms=$mNp " +
+              s"bands=$mNb but caller passed shingleK=$shingleK " +
+              s"numPerms=$numPerms bands=$bands — probes would never match")
+        (mShK, mNp, mNb, mMb)
+      case None =>
+        (shingleK, if (numPerms == AutoPerms) 16 else numPerms, bands, maxBucket)
+    }
+    val em = if (estMin < 0) np / 2 else estMin
+    incrementalResolved(newDocs, id, text, indexDir, shK, np, nb, mb, em)
+  }
+
+  private def incrementalResolved(newDocs: DataFrame, id: String, text: String,
+      indexDir: String, shingleK: Int, numPerms: Int,
+      bands: Int, maxBucket: Int, estMin: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = newDocs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
