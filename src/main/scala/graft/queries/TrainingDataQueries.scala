@@ -1321,6 +1321,23 @@ object TrainingDataQueries {
     math.min(65536L, math.max(8L,
       math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toLong)).toInt
 
+  /** SemDeDup candidate-cap default: max(512, 2·⌈√N⌉), clamped to
+    * 65536. With the adaptive k ≈ √N, expected cluster size is √N
+    * and the measured max cluster runs ~1.2× that (GATE_SF1.md:
+    * 531 vs √200000 ≈ 447) — so a FIXED 512 cap starts silently
+    * missing within-cluster pairs right at N ≈ 260k, exactly where
+    * the r8 gate measured it binding. Scaling the cap at 2·√N keeps
+    * a ~1.7× margin over the observed max cluster while preserving
+    * the worst-case join bound the cap exists for: a degenerate
+    * single-cluster corpus costs O(N · 2√N) = O(N^1.5), never
+    * O(N²). The 65536 ceiling matches [[semdedupK]]'s (both bind
+    * near N ≈ 4·10⁹, where the coarse quantizer should move to the
+    * d19 IVF join anyway).
+    */
+  private[graft] def semdedupCap(n: Long): Int =
+    math.min(65536L, math.max(512L,
+      2L * math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toLong)).toInt
+
   /** D32 — semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space with one deterministic Lloyd iteration of
     * k-means (k = [[semdedupK]](N) by default; seeds = the k
@@ -1352,13 +1369,15 @@ object TrainingDataQueries {
     * RECALL BOUND of the cap: duplicates are only *detected* against
     * the cap lowest ids of the cluster — a pair BOTH of whose
     * members rank past `cap` within their cluster is never compared
-    * and both survive (characterized in Round7OpsSpec). With the
-    * adaptive k this is a no-op whenever expected cluster size √N ≤
-    * cap (N ≤ ~260k at cap 512); beyond that, scale k (or cap) up —
-    * the cap is a worst-case cost bound, not a tuning default.
+    * and both survive (characterized in Round7OpsSpec). `cap <= 0`
+    * (default) resolves to [[semdedupCap]](N) = max(512, 2·⌈√N⌉):
+    * with the adaptive k the expected cluster is √N deep, so the
+    * scaled cap keeps detection complete past the fixed-512
+    * boundary at N ≈ 260k while still bounding a degenerate
+    * single-cluster corpus at O(N^1.5) join cost.
     */
   private[graft] def semanticDedupImpl(embeddings: DataFrame, k: Int = 0,
-      cap: Int = 512): DataFrame = {
+      cap: Int = 0): DataFrame = {
     val sim = graft.similarity.Similarity
     val vq = embeddings
       .select(col("vec_id"),
@@ -1369,8 +1388,11 @@ object TrainingDataQueries {
       .withColumn("nrm", sim.norm2(col("e")))
       .filter(col("nrm") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // k <= 0 → adaptive (the count also materializes the persist)
-    val kk = if (k >= 1) k else semdedupK(vq.count())
+    // One count resolves both adaptive knobs (and materializes the
+    // persist before the multi-reference pair join below).
+    val n = vq.count()
+    val kk = if (k >= 1) k else semdedupK(n)
+    val cp = if (cap >= 1) cap else semdedupCap(n)
     val seeds = vq
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(kk)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
@@ -1408,7 +1430,7 @@ object TrainingDataQueries {
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("cid").orderBy("vec_id")))
-      .filter(col("__rk") <= cap).drop("__rk")
+      .filter(col("__rk") <= cp).drop("__rk")
     val dups = clustered.select(col("cid"),
         col("vec_id").as("id2"), col("e").as("e2"), col("nrm").as("n2"))
       .join(candSide.select(col("cid"), col("vec_id").as("id1"),
@@ -1530,19 +1552,40 @@ object TrainingDataQueries {
     * postings before the shuffle); the surviving frequent-gram set
     * is tiny by construction — boilerplate is heavy-tailed — so the
     * coverage pass is a broadcast semi-join, never a second
-    * shuffle of the corpus. minDf=5 is the sandbox default; real
-    * corpora set it as a fraction of corpus size (e.g. 0.1% of
-    * docs) — the plan shape is identical.
+    * shuffle of the corpus.
     */
-  def d34(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir)
+  def d34(s: SparkSession, dir: String): DataFrame =
+    boilerplateNgrams(docs(s, dir), Left(5L))
+
+  /** The d34 engine with the frequency threshold exposed. `minDf` is
+    * either an absolute document frequency (`Left(5)` — the sandbox
+    * default, right for fixed small corpora) or a corpus FRACTION
+    * (`Right(0.001)` = grams in ≥ 0.1% of gram-bearing docs): at
+    * 100 TB an absolute df is meaningless — 5 docs out of 10¹⁰ is
+    * noise, not boilerplate — so production corpora scale the bar
+    * with corpus size. The fraction form resolves against one count
+    * of the (persisted) gram table — the same count that
+    * materializes the persist the two downstream passes share; the
+    * plan shape is identical for both forms.
+    */
+  private[graft] def boilerplateNgrams(documents: DataFrame,
+      minDf: Either[Long, Double]): DataFrame = {
+    val grams = documents
       .select(col("doc_id"),
         TextHash.word_gram_hashes(col("text"), 3, distinct = true).as("gs"))
       .filter(size(col("gs")) >= 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thresh: Long = minDf match {
+      case Left(abs) =>
+        require(abs >= 1, s"absolute minDf must be >= 1, got $abs"); abs
+      case Right(frac) =>
+        require(frac > 0.0 && frac <= 1.0,
+          s"fractional minDf must be in (0, 1], got $frac")
+        math.max(1L, math.ceil(frac * grams.count()).toLong)
+    }
     val eg = grams.select(col("doc_id"), explode(col("gs")).as("g"))
     val freq = eg.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 5)
+      .filter(col("df") >= thresh)
     val perDoc = eg.join(broadcast(freq.select("g")), Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_frequent"))
     grams.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
@@ -1607,7 +1650,11 @@ object TrainingDataQueries {
     * groups of binary payloads), and the kernel runs per-partition
     * so codec/GPU init amortizes. The length(text) guard keeps every
     * segment span provably non-empty even where metadata disagrees
-    * with the payload.
+    * with the payload: Spark's length() counts CODE POINTS
+    * (UTF8String.numChars), the same unit [[graft.multimodal.Media
+    * .thumbBytes]] segments by and DuckDB's length() divides by —
+    * astral characters cannot open a gap between the guard and the
+    * span widths (pinned by Round8OpsSpec's astral-char test).
     */
   def d36(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

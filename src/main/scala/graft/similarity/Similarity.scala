@@ -136,10 +136,16 @@ object Similarity {
     * not ~N — is directly measurable (SimilaritySpec asserts it at
     * two corpus sizes).
     */
-  /** Pre-dedup (tbl, bkt) matches with both vectors attached — the
-    * shared probe join behind [[annCandidates]] and [[annTopK]].
-    * Callers score or project BEFORE deduplicating so the dedup
-    * shuffle never carries the 64-double vectors.
+  /** Pre-dedup (tbl, bkt) matches with the CORPUS vector attached —
+    * the shared probe join behind [[annCandidates]] and [[annTopK]].
+    * The broadcast probe rows carry (q_id, tbl, bkt) ONLY: at the
+    * adaptive P=10 each query expands to tables × (1+P+P(P−1)/2)
+    * probe rows, so duplicating the query vector into the fan-out
+    * would inflate the broadcast by two orders of magnitude over the
+    * vector payload itself — callers that score re-attach q_vec by a
+    * second, fan-out-free broadcast join on q_id. Callers score or
+    * project BEFORE deduplicating so the dedup shuffle never carries
+    * the 64-double vectors.
     */
   private def annMatches(queries: DataFrame, corpus: DataFrame, id: String,
       vec: String, planes: Int, tables: Int, probeRadius: Int,
@@ -155,15 +161,14 @@ object Similarity {
     // exact buckets computed once, then XOR'd per mask — the probe
     // fan-out is arithmetic on a computed column, not tables × masks
     // re-hashes of the vector
-    val q0 = queries.select(col(id).as("q_id"), col(vec).as("q_vec"),
+    val q0 = queries.select(col(id).as("q_id"),
       hyperplaneBuckets(col(vec), planes, tables, dims).as("_bs"))
     val probeCols = for { t <- 0 until tables; m <- masks }
       yield struct(lit(t).as("tbl"),
         col("_bs").getItem(t).bitwiseXOR(lit(m)).as("bkt"))
     val q = q0
-      .select(col("q_id"), col("q_vec"), explode(array(probeCols: _*)).as("tb"))
-      .select(col("q_id"), col("q_vec"),
-        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      .select(col("q_id"), explode(array(probeCols: _*)).as("tb"))
+      .select(col("q_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     c.join(broadcast(q), Seq("tbl", "bkt"))
       .filter(col("n_id") =!= col("q_id"))
   }
@@ -215,9 +220,13 @@ object Similarity {
     // re-scores one 64-dim dot — cheap) so the dedup shuffle moves
     // (q_id, n_id, cos) triples, not 0.5 KB vector payloads; the
     // duplicates then collapse with dropDuplicates (cos is
-    // deterministic per pair, so any survivor is identical).
+    // deterministic per pair, so any survivor is identical). q_vec
+    // arrives by its own broadcast join on q_id — one vector per
+    // query in the broadcast, independent of the probe fan-out.
     val scored = annMatches(queries, corpus, id, vec, p, tables,
         probeRadius, dims)
+      .join(broadcast(queries.select(col(id).as("q_id"),
+        col(vec).as("q_vec"))), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         cosine(col("q_vec"), col("n_vec")).as("cos"))
       .dropDuplicates("q_id", "n_id")

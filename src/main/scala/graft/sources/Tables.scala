@@ -17,20 +17,31 @@ object Tables {
     * DataLoader.try_load (main_pipeline.py:108-120, local path first
     * then S3, degrading gracefully), returning the first that reads.
     * With a schema, the read is schema-enforced (no footer-inference
-    * dependency on column order; missing columns fail the candidate,
-    * moving on to the next path).
+    * dependency on column order), and each candidate's FOOTER is
+    * inspected before acceptance: a user-supplied schema skips
+    * footer inference, so without the explicit check a candidate
+    * missing requested columns (or with a corrupt footer) would be
+    * returned as the hit and only surface as nulls — or a task
+    * failure — at first action downstream. Field-name matching is
+    * case-insensitive, mirroring Spark's default resolution.
     */
   def tryLoad(spark: SparkSession, paths: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType] = None)
       : Option[DataFrame] =
     paths.iterator.flatMap { p =>
       try {
-        val reader = schema.fold(spark.read)(s => spark.read.schema(s))
-        val df = reader.parquet(p)
-        // force resolution so a missing/corrupt candidate fails HERE
-        // (and falls through), not at first action downstream
-        df.schema
-        Some(df)
+        // Footer inference runs for every candidate — missing paths
+        // and corrupt footers fail HERE (and fall through to the
+        // next candidate), not at first action downstream.
+        val actual = spark.read.parquet(p).schema
+        schema match {
+          case None => Some(spark.read.parquet(p))
+          case Some(s) =>
+            val have = actual.fieldNames.map(_.toLowerCase).toSet
+            if (s.fieldNames.forall(f => have(f.toLowerCase)))
+              Some(spark.read.schema(s).parquet(p))
+            else None
+        }
       } catch { case _: Exception => None }
     }.nextOption()
 

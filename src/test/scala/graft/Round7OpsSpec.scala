@@ -142,6 +142,21 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(pts.map(k) == pts.map(k).sorted, "k must be monotone in N")
   }
 
+  test("semdedupCap scales past the fixed-512 boundary, stays join-bounded") {
+    val c = TrainingDataQueries.semdedupCap _
+    // fixed floor while 2*sqrt(N) fits under it
+    assert(c(0) == 512 && c(2000) == 512 && c(65536) == 512)
+    // past the floor: 2 * ceil(sqrt(N)) — at the r8 gate's 200k
+    // vectors this is 896, a ~1.7x margin over the measured max
+    // cluster (531) that the old fixed 512 was silently under
+    assert(c(65537) > 512)
+    assert(c(200000) == 896)
+    assert(c(200000) > 531, "must cover the measured 100x-gate max cluster")
+    assert(c(1L << 62) == 65536, "ceiling matches semdedupK's")
+    val pts = Seq(1L, 65536L, 200000L, 1000000L, 1L << 40)
+    assert(pts.map(c) == pts.map(c).sorted, "cap must be monotone in N")
+  }
+
   test("d32 candidate cap's recall bound: pairs past the cap are missed, raising cap recovers them") {
     import spark.implicits._
     // The documented bound (scaladoc on semanticDedupImpl): dups are

@@ -116,6 +116,50 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d34 fractional minDf resolves against the corpus and matches its absolute twin") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = TrainingDataQueries.boilerplateNgrams(docs, Left(1L))
+      .count() // gram-bearing docs = rows of any run
+    // a fraction that ceils to exactly df=5 must be bit-identical to
+    // the absolute default
+    val frac = 4.5 / n
+    assert(math.ceil(frac * n).toLong == 5L)
+    val abs = TrainingDataQueries.boilerplateNgrams(docs, Left(5L))
+      .orderBy("doc_id").collect()
+    val rel = TrainingDataQueries.boilerplateNgrams(docs, Right(frac))
+      .orderBy("doc_id").collect()
+    assert(abs.sameElements(rel))
+    // threshold 1 makes every gram frequent: full coverage everywhere
+    val all = TrainingDataQueries.boilerplateNgrams(docs, Right(1e-9))
+    assert(all.filter(col("n_frequent") =!= col("n_grams")).count() == 0)
+    intercept[IllegalArgumentException] {
+      TrainingDataQueries.boilerplateNgrams(docs, Right(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingDataQueries.boilerplateNgrams(docs, Left(0L))
+    }
+  }
+
+  test("d36 guard counts code points, not UTF-16 units (astral chars)") {
+    // U+1D11E is 2 UTF-16 units / 1 code point. Spark's length() is
+    // UTF8String.numChars — code points — matching DuckDB's length()
+    // and Media.thumbBytes' segmentation, so a 2-astral-char text
+    // (4 UTF-16 units, 2 code points) must be EXCLUDED by the
+    // length >= 4 guard on both engines; 4 astral chars pass and
+    // every span is non-empty.
+    val g = new String(Character.toChars(0x1D11E))
+    import spark.implicits._
+    val probe = Seq((1L, g * 2), (2L, g * 4)).toDF("doc_id", "text")
+    val kept = probe.filter(length(col("text")) >= 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L),
+      s"length() must count code points; kept=$kept")
+    val thumb = graft.multimodal.Media.thumbBytes(
+      (g * 4).getBytes(java.nio.charset.StandardCharsets.UTF_8), 4)
+    assert(thumb.forall(_ == 0x1D11E.toDouble),
+      "every span non-empty at exactly n == segments")
+  }
+
   test("d36 segment boundaries partition the code points exactly") {
     // floor-boundary spans are disjoint, ordered, and cover [0, n)
     Seq(4, 5, 7, 63, 64, 1000).foreach { n =>

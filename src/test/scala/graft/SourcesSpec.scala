@@ -37,6 +37,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(Tables.tryLoad(spark, Seq(s"$dir/nope1", s"$dir/nope2")).isEmpty)
   }
 
+  test("tryLoad rejects candidates whose footer lacks requested columns") {
+    // A user-supplied schema skips footer inference, so without an
+    // explicit footer check a column-incomplete candidate would be
+    // accepted and yield nulls at first action. It must instead fail
+    // the candidate and fall through to a complete one.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tryload2").toString
+    sample.select("event_id").write.mode("overwrite").parquet(s"$dir/partial")
+    sample.write.mode("overwrite").parquet(s"$dir/full")
+    val want = StructType(Seq(StructField("event_id", LongType),
+      StructField("value", DoubleType)))
+    val hit = Tables.tryLoad(spark,
+      Seq(s"$dir/partial", s"$dir/full"), Some(want))
+    assert(hit.isDefined)
+    assert(hit.get.filter(col("value").isNull).count() == 0,
+      "must have fallen through to the complete candidate")
+    assert(Tables.tryLoad(spark, Seq(s"$dir/partial"), Some(want)).isEmpty)
+  }
+
   test("CSV round-trip with explicit schema (no inference pass)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     sample.write.mode("overwrite").option("header", "true").csv(dir)
