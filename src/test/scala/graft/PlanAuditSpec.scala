@@ -148,4 +148,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Expand"))
     assert(shuffles(p) == 1)
   }
+
+  test("b23: grouping sets are one Expand over a single grouping shuffle") {
+    val p = plan("b23_grouping_sets")
+    assert(p.linesIterator.count(_.contains("Expand")) == 1)
+    assert(shuffles(p) == 1)
+  }
+
+  test("d34: coverage pass is a broadcast semi-join, never a corpus re-shuffle") {
+    val p = plan("d34_boilerplate_ngrams")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      "frequent-gram set must broadcast into a semi-join")
+    assert(!p.contains("SortMergeJoin"))
+    // df aggregation is combiner-friendly: partial before the shuffle
+    assert(p.contains("partial_count"))
+  }
+
+  test("d35: normalization dedup is a single hash shuffle, no candidate stage") {
+    val p = plan("d35_norm_dedup")
+    assert(shuffles(p) == 1, "one window shuffle on norm_hash, nothing else")
+    assert(!p.contains("Join"), "no candidate generation exists in this plan")
+  }
+
+  test("d36: n_chars metadata predicate reaches the parquet scan") {
+    val p = plan("d36_media_thumb")
+    assert(p.contains("GreaterThanOrEqual(n_chars,4)"),
+      "row-group pruning on typed metadata must precede any payload read")
+  }
+
+  test("d11: corpus hashed once per table; probe fan-out and q_vec broadcast separately") {
+    val p = plan("d11_ann_lsh")
+    // hyperplaneBuckets evaluates exactly twice in the whole plan:
+    // once on the corpus side (posexplode over the tables array),
+    // once on the broadcast query side (probe masks are XOR
+    // arithmetic on that one evaluation, not re-hashes)
+    assert(p.linesIterator.count(_.contains("hyperplanebuckets(")) == 2,
+      "corpus must not be re-hashed per probe mask")
+    // the probe rows broadcast carries (tbl, bkt) keys — and the
+    // query vector arrives by its own q_id-keyed broadcast join, so
+    // the mask fan-out never duplicates vector payloads
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin [tbl") && l.contains("bkt")))
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin [q_id")))
+    // dedup happens after scoring: the (q_id, n_id) aggregate moves
+    // cos doubles, not 64-double vectors
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(q_id") && l.contains("n_id") &&
+        !l.contains("vec")))
+  }
 }
