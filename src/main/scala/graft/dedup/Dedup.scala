@@ -467,8 +467,8 @@ object Dedup {
     // has materialized, so isCheckpointed is true for them and false
     // for plain cache buffers.
     val after = sc.getPersistentRDDs
-    val ids = (after.keySet -- before)
-      .filter(id => after.get(id).exists(_.isCheckpointed)).toSet
+    val ids = after.keySet.toSet.diff(before.toSet)
+      .filter(id => after.get(id).exists(_.isCheckpointed))
     (cp, ids)
   }
 

@@ -127,6 +127,21 @@ object Similarity {
     math.min(18, math.max(4, raw))
   }
 
+  /** Table count that holds the recall contract as planes grow: the
+    * Hamming-≤2 probe ball covers (1+P+P(P−1)/2)/2^P of bucket
+    * space, a fraction that shrinks as adaptive P grows with log N —
+    * per-table recall falls with it, and recall across tables is
+    * 1−(1−r₁)^T. Doubling T to 16 once P reaches 12 (N ≈ 2^12·32 =
+    * 131k at the default occupancy) buys back what the deeper
+    * hashing costs, bounded: measured at N=200k unclustered
+    * (AnnSweep r9), defaults-with-8-tables recall@3 = 0.47 vs 0.60
+    * at 16 tables (candidate fraction 0.20 → 0.235). One doubling
+    * is the whole ladder — beyond N ~ 10⁶ unclustered, hyperplane
+    * LSH's recall keeps sliding at any affordable T and the routing
+    * answer is [[ivfTopK]] (d19), not more tables.
+    */
+  def adaptiveTables(planes: Int): Int = if (planes >= 12) 16 else 8
+
   /** Candidate pairs for multi-probe LSH: the corpus is hashed once
     * per table (one bucket row per vector per table); each query
     * probes its own bucket plus every bucket within Hamming distance
@@ -160,15 +175,20 @@ object Similarity {
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkt")
     // exact buckets computed once, then XOR'd per mask — the probe
     // fan-out is arithmetic on a computed column, not tables × masks
-    // re-hashes of the vector
+    // re-hashes of the vector. Two SMALL generates (tables, then a
+    // literal mask array) instead of one tables×masks struct-array
+    // literal: at the adaptive P=13 the latter is a 736-element
+    // expression tree whose generated consume method overflows
+    // janino's method-size limit and silently drops the stage to
+    // interpreted execution.
     val q0 = queries.select(col(id).as("q_id"),
       hyperplaneBuckets(col(vec), planes, tables, dims).as("_bs"))
-    val probeCols = for { t <- 0 until tables; m <- masks }
-      yield struct(lit(t).as("tbl"),
-        col("_bs").getItem(t).bitwiseXOR(lit(m)).as("bkt"))
     val q = q0
-      .select(col("q_id"), explode(array(probeCols: _*)).as("tb"))
-      .select(col("q_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      .select(col("q_id"), posexplode(col("_bs")))
+      .select(col("q_id"), col("pos").as("tbl"), col("col").as("b0"),
+        explode(typedLit(masks.toArray)).as("m"))
+      .select(col("q_id"), col("tbl"),
+        col("b0").bitwiseXOR(col("m")).as("bkt"))
     c.join(broadcast(q), Seq("tbl", "bkt"))
       .filter(col("n_id") =!= col("q_id"))
   }
@@ -196,26 +216,30 @@ object Similarity {
     * side; the corpus is still hashed exactly `tables` times.
     *
     * Measured on the synthetic unclustered corpus (worst case for
-    * hyperplane LSH — no cluster structure to exploit; round-8
-    * AnnSweep): recall@3 at the defaults is 1.00 at N=500 (P=4),
-    * 0.97 at N=2000 (P=6), 0.80 at N=20000 (P=10), while the
-    * candidate fraction of the corpus falls 0.95 → 0.79 → 0.31.
-    * Recall on unclustered data declines slowly as N grows — that is
+    * hyperplane LSH — no cluster structure to exploit; round-9
+    * AnnSweep, four octaves): recall@3 at the adaptive defaults is
+    * 1.00 at N=500 (P=4, T=8), 0.97 at N=2000 (P=6, T=8), 0.80 at
+    * N=20000 (P=10, T=8), 0.60 at N=200000 (P=13, T=16 — the
+    * [[adaptiveTables]] doubling), while the candidate fraction of
+    * the corpus falls 0.98 → 0.79 → 0.31 → 0.235. Recall on
+    * unclustered data declines slowly as N grows — that is
     * hyperplane LSH's information-theoretic limit when there is no
     * neighbor gap, not a tuning artifact (the r7 config only avoided
     * it by scanning ~the whole corpus); clustered corpora hold
-    * recall higher at the same selectivity. `planes = 0` means
-    * adaptive; pass an explicit plane count to pin selectivity. The
-    * corpus-partitioned alternative is [[ivfTopK]] (d19).
+    * recall higher at the same selectivity. `planes = 0` /
+    * `tables = 0` mean adaptive; pass explicit values to pin
+    * selectivity. Past N ~ 10⁶ unclustered the corpus-partitioned
+    * [[ivfTopK]] (d19) is the contract-holding path.
     *
     * Note: adaptive sizing runs one `corpus.count()` (parquet
     * metadata-only when the corpus is a plain scan) before planning.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
-      k: Int, planes: Int = 0, tables: Int = 8, probeRadius: Int = 2,
+      k: Int, planes: Int = 0, tables: Int = 0, probeRadius: Int = 2,
       targetOccupancy: Int = 32, dims: Int = 64): DataFrame = {
     val p = if (planes > 0) planes
       else adaptivePlanes(corpus.count(), targetOccupancy)
+    val t = if (tables > 0) tables else adaptiveTables(p)
     // cosine is scored on the pre-dedup matches (a duplicate match
     // re-scores one 64-dim dot — cheap) so the dedup shuffle moves
     // (q_id, n_id, cos) triples, not 0.5 KB vector payloads; the
@@ -223,7 +247,7 @@ object Similarity {
     // deterministic per pair, so any survivor is identical). q_vec
     // arrives by its own broadcast join on q_id — one vector per
     // query in the broadcast, independent of the probe fan-out.
-    val scored = annMatches(queries, corpus, id, vec, p, tables,
+    val scored = annMatches(queries, corpus, id, vec, p, t,
         probeRadius, dims)
       .join(broadcast(queries.select(col(id).as("q_id"),
         col(vec).as("q_vec"))), Seq("q_id"))

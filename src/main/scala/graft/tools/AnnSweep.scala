@@ -33,8 +33,12 @@ object AnnSweep {
         .select("q_id", "n_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val adaptive = Similarity.adaptivePlanes(n)
+      // the 16-table rows measure the bounded recall-recovery arm
+      // for large-N unclustered corpora (recall ~ 1-(1-r1)^tables)
       val configs: Seq[(Int, Int, Int)] = Seq(
-        (adaptive, 8, 2), (adaptive, 4, 2), (adaptive + 1, 8, 2))
+        (adaptive, Similarity.adaptiveTables(adaptive), 2), // the defaults
+        (adaptive, 8, 2), (adaptive, 4, 2), (adaptive + 1, 8, 2),
+        (adaptive, 16, 2), (adaptive - 1, 16, 2)).distinct
       configs.foreach { case (p, t, r) =>
         val cand = Similarity.annCandidates(queries, corpus, "vec_id",
           "embedding", p, t, r)

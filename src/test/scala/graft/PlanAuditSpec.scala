@@ -179,12 +179,19 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("d11: corpus hashed once per table; probe fan-out and q_vec broadcast separately") {
     val p = plan("d11_ann_lsh")
-    // hyperplaneBuckets evaluates exactly twice in the whole plan:
-    // once on the corpus side (posexplode over the tables array),
-    // once on the broadcast query side (probe masks are XOR
-    // arithmetic on that one evaluation, not re-hashes)
-    assert(p.linesIterator.count(_.contains("hyperplanebuckets(")) == 2,
-      "corpus must not be re-hashed per probe mask")
+    // hyperplaneBuckets evaluates at exactly two sites in the whole
+    // plan: once on the corpus side (the posexplode Generate over
+    // the tables array), once on the broadcast query side (a Project
+    // whose probe masks are XOR arithmetic on that one evaluation,
+    // not re-hashes). Filter/FileScan lines may echo the expression
+    // as posexplode's pushed size()>0 predicate — those are not
+    // evaluation sites of the per-row hash.
+    assert(p.linesIterator.count(l =>
+      l.contains("Generate") && l.contains("hyperplanebuckets(")) == 1,
+      "corpus must be hashed in exactly one Generate")
+    assert(p.linesIterator.count(l =>
+      l.contains("Project") && l.contains("hyperplanebuckets(")) == 1,
+      "query side must hash once, masks applied as arithmetic")
     // the probe rows broadcast carries (tbl, bkt) keys — and the
     // query vector arrives by its own q_id-keyed broadcast join, so
     // the mask fan-out never duplicates vector payloads
