@@ -23,7 +23,8 @@ object Curator {
 
   def curate(spark: SparkSession, docs: DataFrame,
       jacPmThreshold: Int = 500,
-      minTokens: Int = 5, maxTokens: Int = 10000): DataFrame = {
+      minTokens: Int = 5, maxTokens: Int = 10000,
+      numPerms: Int = Dedup.AutoPerms): DataFrame = {
     // 1. exact dedup: keep the min-id row per content hash with a
     // window filter — one shuffle over the corpus, no agg+join pair.
     // Persisted: the survivors feed the banding tuner's sample jobs,
@@ -40,7 +41,7 @@ object Curator {
     // 2. near-dup drop among survivors (stage 1 already dedup'd —
     // skip minhashVerifiedPairs' internal prefilter)
     val nearDup = Dedup.minhashVerifiedPairs(uniqueDocs, "doc_id", "text",
-        prededup = false)
+        numPerms = numPerms, prededup = false)
       .filter(col("jac_pm") >= jacPmThreshold)
       .select(col("d2").as("doc_id")).distinct()
     val deduped = uniqueDocs.join(nearDup, Seq("doc_id"), "left_anti")
@@ -77,7 +78,8 @@ object Curator {
     */
   def fates(spark: SparkSession, docs: DataFrame,
       jacPmThreshold: Int = 500,
-      minTokens: Int = 5, maxTokens: Int = 10000): DataFrame = {
+      minTokens: Int = 5, maxTokens: Int = 10000,
+      numPerms: Int = Dedup.AutoPerms): DataFrame = {
     // Used twice — as the near-dup stage's input (via uniqueDocs)
     // and as the fate join's left side. Without the persist the
     // content-hash window over the whole corpus runs twice.
@@ -89,7 +91,7 @@ object Curator {
     val uniqueDocs = flagged.filter(col("doc_id") === col("__keep"))
       .drop("content_hash", "__keep")
     val nearDup = Dedup.minhashVerifiedPairs(uniqueDocs, "doc_id", "text",
-        prededup = false)
+        numPerms = numPerms, prededup = false)
       .filter(col("jac_pm") >= jacPmThreshold)
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("__near", lit(true))

@@ -397,7 +397,8 @@ object Dedup {
     * rewrite; the join structure is identical.)
     */
   def dupClusters(docs: DataFrame, id: String, text: String,
-      jacPm: Int = 500, algo: String = "minlabel"): DataFrame = {
+      jacPm: Int = 500, algo: String = "minlabel",
+      numPerms: Int = AutoPerms): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // One window pass computes the contraction map (doc -> rep) used
@@ -408,7 +409,8 @@ object Dedup {
       .withColumn("rep", min(col(id)).over(Window.partitionBy("__h")))
       .persist(lvl)
     val nearPairs = minhashVerifiedPairs(
-        withRep.filter(col(id) === col("rep")), id, text, prededup = false)
+        withRep.filter(col(id) === col("rep")), id, text,
+        numPerms = numPerms, prededup = false)
       .filter(col("jac_pm") >= jacPm)
       .select("d1", "d2")
     val edges = nearPairs.distinct()

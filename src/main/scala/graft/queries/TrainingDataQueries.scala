@@ -285,9 +285,31 @@ object TrainingDataQueries {
        |    // (len(g1.gs) + len(g2.gs) - len(list_intersect(g1.gs, g2.gs))) >= 100
        |""".stripMargin
 
-  /** DuckDB fragment: 16-perm MinHash signature from shingle hashes `h`. */
-  private val duckMinhashSig =
-    """list_transform(range(0, 16), mh_j ->
+  /** Banding width shared by the BANDING-DEPENDENT catalog entries
+    * (d7/d13/d14/d18/d24/d30) and their DuckDB oracles. A static SQL
+    * oracle cannot run the sampled auto-tuner, so the two sides meet
+    * through one knob: with `GRAFT_BANDING_PERMS` unset (the driver's
+    * posture) the Spark queries run the [[graft.dedup.Dedup
+    * .AutoPerms]] default and the oracle is generated at 16 — the
+    * width the tuner deterministically resolves on every driver
+    * corpus (pinned by BandingSpec); setting the env pins BOTH sides
+    * to that width, which is how the sf1.0 gate verifies the
+    * ESCALATED pipeline like-for-like (the 50k-doc gate corpus shares
+    * the narrow-vocab generator, so the tuner rightly escalates to 24
+    * there — see GATE_SF1.md round-9).
+    */
+  private[graft] val catalogPerms: Int =
+    sys.env.get("GRAFT_BANDING_PERMS").map(_.trim.toInt).getOrElse(0)
+  private def queryPerms: Int =
+    if (catalogPerms > 0) catalogPerms else graft.dedup.Dedup.AutoPerms
+  private def oraclePerms: Int = if (catalogPerms > 0) catalogPerms else 16
+  /** Rows per band at the oracle width (4 bands throughout). */
+  private def oracleRpb: Int = oraclePerms / 4
+
+  /** DuckDB fragment: MinHash signature (at [[oraclePerms]] width)
+    * from shingle hashes `h`. */
+  private def duckMinhashSig =
+    s"""list_transform(range(0, $oraclePerms), mh_j ->
       |  list_min(list_transform(h, mh_x ->
       |    (((mh_j+1)*2654435761 % 1000000007) * mh_x
       |      + (mh_j+1)*40503 % 1000000007) % 1000000007)))""".stripMargin
@@ -299,10 +321,10 @@ object TrainingDataQueries {
     * `sig(doc_id, sg, ...)` CTE in scope; defines `bands`, `bandc`,
     * `cand`.
     */
-  private val duckBandCand =
-    """bands AS (
+  private def duckBandCand =
+    s"""bands AS (
       |  SELECT doc_id, band,
-      |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
+      |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*$oracleRpb+1:band*$oracleRpb+$oracleRpb]),
       |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
       |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM sig)),
       |bandc AS (
@@ -315,12 +337,15 @@ object TrainingDataQueries {
       |    ON a.band = b.band AND a.band_hash = b.band_hash
       |      AND a.doc_id < b.doc_id)""".stripMargin
 
-  /** D7 — MinHash-LSH band index: 16 permutations over 8-char
-    * shingles, 4 bands of 4 — each doc emits 4 (band, band_hash)
-    * keys; equal keys are the near-dup candidate join.
+  /** D7 — MinHash-LSH band index: auto-tuned permutation count
+    * ([[graft.dedup.Dedup.AutoPerms]]; [[catalogPerms]] pins it for
+    * gate runs) over 8-char shingles, 4 bands — each doc emits 4
+    * (band, band_hash) keys; equal keys are the near-dup candidate
+    * join.
     */
   def d7(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.lshBands(docs(s, dir), "doc_id", "text")
+    graft.dedup.Dedup.lshBands(docs(s, dir), "doc_id", "text",
+        numPerms = queryPerms)
       .select(col("doc_id"), col("band").cast("long").as("band"), col("band_hash"))
 
   val d7Sql: String =
@@ -331,7 +356,7 @@ object TrainingDataQueries {
        |sig AS (SELECT doc_id, $duckMinhashSig AS sg FROM sh),
        |bands AS (SELECT doc_id, unnest([0,1,2,3]) AS band, sg FROM sig)
        |SELECT doc_id, CAST(band AS BIGINT) AS band,
-       |  list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
+       |  list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*$oracleRpb+1:band*$oracleRpb+$oracleRpb]),
        |    (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
        |FROM bands""".stripMargin
 
@@ -506,7 +531,8 @@ object TrainingDataQueries {
     * (integer per-mille).
     */
   def d13(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.minhashVerifiedPairs(docs(s, dir), "doc_id", "text")
+    graft.dedup.Dedup.minhashVerifiedPairs(docs(s, dir), "doc_id", "text",
+        numPerms = queryPerms)
       .select("d1", "d2", "est_matches", "shared", "jac_pm")
 
   val d13Sql: String =
@@ -522,7 +548,7 @@ object TrainingDataQueries {
        |        list_distinct(h) AS shset FROM sh),
        |$duckBandCand
        |SELECT d1, d2,
-       |  CAST(len(list_filter(range(1, 17), vf_i -> s1.sg[vf_i] = s2.sg[vf_i]))
+       |  CAST(len(list_filter(range(1, ${oraclePerms + 1}), vf_i -> s1.sg[vf_i] = s2.sg[vf_i]))
        |    AS BIGINT) AS est_matches,
        |  CAST(len(list_intersect(s1.shset, s2.shset)) AS BIGINT) AS shared,
        |  CAST(len(list_intersect(s1.shset, s2.shset)) AS BIGINT) * 1000
@@ -537,7 +563,7 @@ object TrainingDataQueries {
     * [[graft.dedup.Curator]].
     */
   def d14(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Curator.curate(s, docs(s, dir))
+    graft.dedup.Curator.curate(s, docs(s, dir), numPerms = queryPerms)
 
   val d14Sql: String =
     s"""WITH keepers AS (
@@ -684,7 +710,8 @@ object TrainingDataQueries {
     * computes the same components with a recursive CTE.
     */
   def d18(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.dupClusters(docs(s, dir), "doc_id", "text", algo = "star")
+    graft.dedup.Dedup.dupClusters(docs(s, dir), "doc_id", "text",
+      algo = "star", numPerms = queryPerms)
 
   val d18Sql: String =
     s"""WITH RECURSIVE u AS (
@@ -900,7 +927,7 @@ object TrainingDataQueries {
     * row count by construction (asserted in Round2OpsSpec).
     */
   def d24(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Curator.fates(s, docs(s, dir))
+    graft.dedup.Curator.fates(s, docs(s, dir), numPerms = queryPerms)
 
   val d24Sql: String =
     s"""WITH u AS (
@@ -1164,7 +1191,9 @@ object TrainingDataQueries {
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_d30_${java.lang.ProcessHandle.current().pid()}").toString
     graft.dedup.Dedup.buildIndex(
-      d.filter(col("doc_id") % 10 < 6), "doc_id", "text", idx)
+      d.filter(col("doc_id") % 10 < 6), "doc_id", "text", idx,
+      numPerms = queryPerms)
+    // incremental adopts the index meta, so the banding travels
     graft.dedup.Dedup.incremental(
       d.filter(col("doc_id") % 10 >= 6), "doc_id", "text", idx)
   }
@@ -1182,7 +1211,7 @@ object TrainingDataQueries {
        |oldsig AS (SELECT doc_id, $duckMinhashSig AS sg FROM oldsh),
        |oldbands AS (
        |  SELECT doc_id, band,
-       |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
+       |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*$oracleRpb+1:band*$oracleRpb+$oracleRpb]),
        |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
        |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM oldsig)),
        |oldbandc AS (
@@ -1204,7 +1233,7 @@ object TrainingDataQueries {
        |repsig AS (SELECT doc_id, $duckMinhashSig AS sg FROM repsh),
        |repbands AS (
        |  SELECT doc_id, band,
-       |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*4+1:band*4+4]),
+       |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*$oracleRpb+1:band*$oracleRpb+$oracleRpb]),
        |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
        |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM repsig)),
        |repbandc AS (
@@ -1217,7 +1246,7 @@ object TrainingDataQueries {
        |    FROM repbands r JOIN oldbandc o USING (band, band_hash)) c
        |  JOIN repsig rs ON c.nid = rs.doc_id
        |  JOIN oldsig os ON c.oid = os.doc_id
-       |  WHERE len(list_filter(range(1, 17), z_i -> rs.sg[z_i] = os.sg[z_i])) >= 8
+       |  WHERE len(list_filter(range(1, ${oraclePerms + 1}), z_i -> rs.sg[z_i] = os.sg[z_i])) >= ${oraclePerms / 2}
        |  GROUP BY 1),
        |nb AS (
        |  SELECT d2 AS doc_id, min(d1) AS m4 FROM (
@@ -1227,7 +1256,7 @@ object TrainingDataQueries {
        |        AND a.doc_id < b.doc_id) c
        |  JOIN repsig r1 ON c.d1 = r1.doc_id
        |  JOIN repsig r2 ON c.d2 = r2.doc_id
-       |  WHERE len(list_filter(range(1, 17), z_i -> r1.sg[z_i] = r2.sg[z_i])) >= 8
+       |  WHERE len(list_filter(range(1, ${oraclePerms + 1}), z_i -> r1.sg[z_i] = r2.sg[z_i])) >= ${oraclePerms / 2}
        |  GROUP BY 1)
        |SELECT n.doc_id,
        |  CASE WHEN ei.m1 IS NOT NULL THEN 'exact_index'
