@@ -120,6 +120,20 @@ object Dedup {
     * banding, which is what keeps auto-tuned operators
     * oracle-checkable.
     */
+  /** Session-scoped memo for [[chooseBanding]]: the decision is a
+    * pure, deterministic function of the (immutable within a
+    * session) input data and the tuning parameters, and one batch
+    * session routinely tunes the SAME corpus many times — d7/d13
+    * both tune the raw documents scan, a curation pipeline tunes
+    * per stage — so each (session, canonical plan, params) pays the
+    * three sampling jobs once. Keyed on `Dataset.semanticHash` (plan
+    * canonicalization: different paths/filters → different keys) and
+    * the session UUID (no cross-session reuse — a restarted session
+    * re-reads possibly-changed files).
+    */
+  private val bandingMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Seq[Any]), BandingChoice]
+
   def chooseBanding(docs: DataFrame, id: String, text: String,
       shingleK: Int = 8, bands: Int = 4,
       permCandidates: Seq[Int] = Seq(16, 20, 24),
@@ -129,6 +143,12 @@ object Dedup {
       permCandidates.forall(p => p >= bands && p % bands == 0),
       s"permCandidates must be positive multiples of bands=$bands: $permCandidates")
     require(sampleSize >= 2, s"sampleSize too small: $sampleSize")
+    val memoKey = (System.identityHashCode(docs.sparkSession).toString,
+      docs.semanticHash(),
+      Seq(id, text, shingleK, bands, permCandidates, wasteTarget,
+        wasteJacPm, sampleSize, maxBucket))
+    val memoized = bandingMemo.get(memoKey)
+    if (memoized != null) return memoized
     val perms = permCandidates.distinct.sorted
     val filtered = docs
       .filter(length(lower(trim(col(text)))) >= shingleK)
@@ -206,6 +226,7 @@ object Dedup {
       else
         log.info(s"MinHash banding auto-tuned: numPerms=$chosen bands=$bands " +
           s"over ~$estReps reps ($detail)")
+      bandingMemo.put(memoKey, choice)
       choice
     } finally feats.unpersist()
   }
