@@ -88,13 +88,16 @@ object Dedup {
     * exact shingle Jaccard (the sample carries shingle sets) and
     * counts only sub-`wasteJacPm` collisions as waste.
     *
-    * Mechanics (three bounded jobs, no full-corpus pass beyond a
-    * count and a top-k scan):
-    *  1. one `count` of shingle-eligible documents;
-    *  2. a deterministic `sampleSize`-document sample — the smallest
-    *     `xxhash64(id)` documents (order-stable across runs and
-    *     partitionings), exact-deduped within the sample so the
-    *     duplicate fraction is estimated rather than double-counted;
+    * Mechanics (three bounded jobs, ONE full-corpus data pass):
+    *  1. one unfiltered `count` of the input — metadata-only on a
+    *     plain parquet scan, so at 100 TB it reads footers, not
+    *     text;
+    *  2. a deterministic hash-mod sample (`xxhash64(id) % m == 0`,
+    *     m sized from the count for ~2·sampleSize rows —
+    *     order-stable across runs and partitionings; the one pass
+    *     that reads data), shingle-eligibility-filtered and
+    *     exact-deduped within the sample so both the eligible and
+    *     the duplicate fraction are estimated rather than assumed;
     *  3. one job over the sample computing, for EVERY candidate
     *     width at once, the distinct band-colliding pairs (same
     *     capped-bucket machinery as the real pipeline) and their
@@ -104,7 +107,7 @@ object Dedup {
     *     signature is the p-prefix of the widest one.
     *
     * Extrapolation: sampled wasted pairs scale with the square of
-    * the rep count (pair counting over an s-of-N uniform sample),
+    * the rep count (pair counting over a uniform hash sample),
     * so predictedWasteRatio(p) = wasted_s(p) · estReps / s². The
     * smallest width whose predicted wasted-candidates:documents
     * ratio meets `wasteTarget` wins; if none does, the widest
@@ -150,17 +153,23 @@ object Dedup {
     val memoized = bandingMemo.get(memoKey)
     if (memoized != null) return memoized
     val perms = permCandidates.distinct.sorted
-    val filtered = docs
-      .filter(length(lower(trim(col(text)))) >= shingleK)
-      .select(col(id).cast("long").as("__bid"), col(text).as("__bt"))
-    val nDocs = filtered.count()
-    if (nDocs < 2)
-      return BandingChoice(perms.head, bands, nDocs, nDocs, nDocs,
+    // Metadata-only on a plain scan: no predicate, so parquet
+    // answers from footers without reading text.
+    val nRaw = docs.count()
+    if (nRaw < 2)
+      return BandingChoice(perms.head, bands, nRaw, nRaw, nRaw,
         perms.map(BandingStat(_, 0L, 0L, 0.0)))
+    // Deterministic ~2*sampleSize-row hash-mod sample: the single
+    // data-reading pass. Oversampled 2x so the post-filter eligible
+    // count still lands near sampleSize.
+    val modulus = math.max(1L, nRaw / (2L * sampleSize))
+    val sampled = docs
+      .select(col(id).cast("long").as("__bid"), col(text).as("__bt"))
+      .filter(pmod(xxhash64(col("__bid")), lit(modulus)) === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxP = perms.last
-    val feats = filtered
-      .orderBy(xxhash64(col("__bid")), col("__bid"))
-      .limit(sampleSize)
+    val feats = sampled
+      .filter(length(lower(trim(col("__bt")))) >= shingleK)
       .withColumn("__ch", contentHash(col("__bt")))
       .dropDuplicates("__ch")
       .select(col("__bid"),
@@ -170,10 +179,15 @@ object Dedup {
           .as("__set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val sRaw = sampled.count()
       val sReps = feats.count()
-      val sRaw = math.min(nDocs, sampleSize.toLong)
+      if (sReps < 2)
+        return BandingChoice(perms.head, bands, nRaw, 0L, sReps,
+          perms.map(BandingStat(_, 0L, 0L, 0.0)))
+      // eligible-rep estimate: raw corpus scaled by the sample's
+      // joint eligibility+dedup survival rate
       val estReps = math.max(1L,
-        math.round(nDocs.toDouble * sReps / math.max(1L, sRaw)))
+        math.round(nRaw.toDouble * sReps / math.max(1L, sRaw)))
       // All candidate widths in one pass: tag each band key with its
       // width, reuse the pipeline's capped-bucket pair generation,
       // verify each distinct pair's exact Jaccard once per width.
@@ -214,7 +228,7 @@ object Dedup {
       val chosen = stats.find(_.predictedWasteRatio <= wasteTarget)
         .getOrElse(stats.minBy(s => (s.predictedWasteRatio, s.numPerms)))
         .numPerms
-      val choice = BandingChoice(chosen, bands, nDocs, estReps, sReps, stats)
+      val choice = BandingChoice(chosen, bands, nRaw, estReps, sReps, stats)
       val detail = stats.map(s =>
         f"p=${s.numPerms} waste=${s.sampleWasted}/${s.sampleCandidates} ratio=${s.predictedWasteRatio}%.2f")
         .mkString(", ")
@@ -228,7 +242,10 @@ object Dedup {
           s"over ~$estReps reps ($detail)")
       bandingMemo.put(memoKey, choice)
       choice
-    } finally feats.unpersist()
+    } finally {
+      feats.unpersist()
+      sampled.unpersist()
+    }
   }
 
   /** Resolve an [[AutoPerms]] sentinel to a concrete width. */

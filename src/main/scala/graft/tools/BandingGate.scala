@@ -20,7 +20,9 @@ import graft.dedup.Dedup
   */
 object BandingGate {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("data/sf10_docs")
+    val tuneOnly = args.contains("--tune-only")
+    val dir = args.filterNot(_ == "--tune-only")
+      .headOption.getOrElse("data/sf10_docs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.engine.Session
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt,
@@ -45,6 +47,7 @@ object BandingGate {
       f"[banding-gate]   p=${s.numPerms}%2d waste=${s.sampleWasted}/${s.sampleCandidates} predictedRatio=${s.predictedWasteRatio}%.1f"))
     println(s"[banding-gate] chosen numPerms = ${choice.numPerms} " +
       s"(corpus ${choice.corpusDocs} docs, ~${choice.estReps} reps)")
+    if (tuneOnly) { spark.stop(); return }
 
     def edges(numPerms: Int): Set[(Long, Long)] =
       Dedup.minhashVerifiedPairs(docs, "doc_id", "text", numPerms = numPerms)
