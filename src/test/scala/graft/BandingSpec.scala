@@ -113,6 +113,18 @@ class BandingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("probes would never match"))
   }
 
+  test("auto path degrades cleanly on empty and single-doc corpora") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val one = Seq((1L, "just one document of text here")).toDF("doc_id", "text")
+    // tuner early-returns the narrowest width without running jobs
+    assert(Dedup.chooseBanding(empty, "doc_id", "text").numPerms == 16)
+    assert(Dedup.chooseBanding(one, "doc_id", "text").numPerms == 16)
+    // and the auto pipeline runs end-to-end producing zero pairs
+    assert(Dedup.minhashVerifiedPairs(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashVerifiedPairs(one, "doc_id", "text").count() == 0)
+  }
+
   test("estMin default scales with the resolved signature width") {
     // A pre-meta (legacy) index path: explicit 24-perm build with the
     // meta removed must fall back to legacy 16 — wrong on purpose —
