@@ -90,8 +90,11 @@ object Dedup {
     *
     * Mechanics (three bounded jobs, ONE full-corpus data pass):
     *  1. one unfiltered `count` of the input — metadata-only on a
-    *     plain parquet scan, so at 100 TB it reads footers, not
-    *     text;
+    *     PLAIN parquet scan (footers, not text, at 100 TB), but a
+    *     full computation pass when `docs` is a derived frame (a
+    *     window-filtered survivor set, a join output). Callers that
+    *     tune derived frames and already know the row count should
+    *     pass `knownCount` to skip this job entirely;
     *  2. a deterministic hash-mod sample (`xxhash64(id) % m == 0`,
     *     m sized from the count for ~2·sampleSize rows —
     *     order-stable across runs and partitionings; the one pass
@@ -137,35 +140,75 @@ object Dedup {
   private val bandingMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Seq[Any]), BandingChoice]
 
+  /** Tuner telemetry, cumulative over the JVM: how many times
+    * [[chooseBanding]] actually ran its sampling jobs vs answered
+    * from the memo, and the wall-clock those runs cost. Lets a bench
+    * harness attribute "query time" vs "one-off tuning time" per key
+    * from the artifact alone (BENCH_NOTES.md) — a tuner pre-pass
+    * leaking into steady-state timings shows up as `runs` deltas
+    * where only `memoHits` should move.
+    */
+  case class TunerStats(runs: Long, memoHits: Long, nanos: Long) {
+    def -(o: TunerStats): TunerStats =
+      TunerStats(runs - o.runs, memoHits - o.memoHits, nanos - o.nanos)
+  }
+  private val tunerRuns = new java.util.concurrent.atomic.AtomicLong
+  private val tunerMemoHits = new java.util.concurrent.atomic.AtomicLong
+  private val tunerNanos = new java.util.concurrent.atomic.AtomicLong
+  def tunerStats: TunerStats =
+    TunerStats(tunerRuns.get, tunerMemoHits.get, tunerNanos.get)
+
   def chooseBanding(docs: DataFrame, id: String, text: String,
       shingleK: Int = 8, bands: Int = 4,
       permCandidates: Seq[Int] = Seq(16, 20, 24),
       wasteTarget: Double = 8.0, wasteJacPm: Int = 500,
-      sampleSize: Int = 2048, maxBucket: Int = 512): BandingChoice = {
+      sampleSize: Int = 2048, maxBucket: Int = 512,
+      knownCount: Option[Long] = None): BandingChoice = {
     require(permCandidates.nonEmpty && bands >= 1 &&
       permCandidates.forall(p => p >= bands && p % bands == 0),
       s"permCandidates must be positive multiples of bands=$bands: $permCandidates")
     require(sampleSize >= 2, s"sampleSize too small: $sampleSize")
+    // knownCount is deliberately NOT in the memo key: it is a claim
+    // about the same immutable data the plan hash already identifies,
+    // so a count-passing caller and a counting caller must share one
+    // memo entry rather than re-tune.
     val memoKey = (System.identityHashCode(docs.sparkSession).toString,
       docs.semanticHash(),
       Seq(id, text, shingleK, bands, permCandidates, wasteTarget,
         wasteJacPm, sampleSize, maxBucket))
     val memoized = bandingMemo.get(memoKey)
-    if (memoized != null) return memoized
+    if (memoized != null) { tunerMemoHits.incrementAndGet(); return memoized }
+    val t0 = System.nanoTime()
+    def record(choice: BandingChoice): BandingChoice = {
+      bandingMemo.put(memoKey, choice)
+      tunerRuns.incrementAndGet()
+      tunerNanos.addAndGet(System.nanoTime() - t0)
+      choice
+    }
     val perms = permCandidates.distinct.sorted
-    // Metadata-only on a plain scan: no predicate, so parquet
-    // answers from footers without reading text.
-    val nRaw = docs.count()
+    // Metadata-only on a plain scan (parquet answers from footers);
+    // a full computation pass on derived frames — which is why
+    // callers holding an already-materialized count pass knownCount.
+    val nRaw = knownCount.getOrElse(docs.count())
+    // Degenerate corpora memoize too: without record() here, every
+    // call on a <2-row (or all-ineligible) frame would re-run the
+    // count/sample jobs that just proved there is nothing to tune.
     if (nRaw < 2)
-      return BandingChoice(perms.head, bands, nRaw, nRaw, nRaw,
-        perms.map(BandingStat(_, 0L, 0L, 0.0)))
+      return record(BandingChoice(perms.head, bands, nRaw, nRaw, nRaw,
+        perms.map(BandingStat(_, 0L, 0L, 0.0))))
     // Deterministic ~2*sampleSize-row hash-mod sample: the single
     // data-reading pass. Oversampled 2x so the post-filter eligible
-    // count still lands near sampleSize.
+    // count still lands near sampleSize. The sample key AND the
+    // tuner's internal pair id are xxhash64 of the RAW id — never a
+    // cast: a long cast on string ids (UUIDs, URLs) is all-null, and
+    // a null-keyed sample would silently tune nothing. The tuner
+    // only needs a deterministic pair identity, which a 64-bit hash
+    // of any id type provides (collision odds over a ~4k sample are
+    // negligible, and the sample is content-deduped anyway).
     val modulus = math.max(1L, nRaw / (2L * sampleSize))
     val sampled = docs
-      .select(col(id).cast("long").as("__bid"), col(text).as("__bt"))
-      .filter(pmod(xxhash64(col("__bid")), lit(modulus)) === 0)
+      .select(xxhash64(col(id)).as("__bid"), col(text).as("__bt"))
+      .filter(pmod(col("__bid"), lit(modulus)) === 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxP = perms.last
     val feats = sampled
@@ -182,8 +225,8 @@ object Dedup {
       val sRaw = sampled.count()
       val sReps = feats.count()
       if (sReps < 2)
-        return BandingChoice(perms.head, bands, nRaw, 0L, sReps,
-          perms.map(BandingStat(_, 0L, 0L, 0.0)))
+        return record(BandingChoice(perms.head, bands, nRaw, 0L, sReps,
+          perms.map(BandingStat(_, 0L, 0L, 0.0))))
       // eligible-rep estimate: raw corpus scaled by the sample's
       // joint eligibility+dedup survival rate
       val estReps = math.max(1L,
@@ -240,8 +283,7 @@ object Dedup {
       else
         log.info(s"MinHash banding auto-tuned: numPerms=$chosen bands=$bands " +
           s"over ~$estReps reps ($detail)")
-      bandingMemo.put(memoKey, choice)
-      choice
+      record(choice)
     } finally {
       feats.unpersist()
       sampled.unpersist()
@@ -250,10 +292,11 @@ object Dedup {
 
   /** Resolve an [[AutoPerms]] sentinel to a concrete width. */
   private[graft] def resolvePerms(docs: DataFrame, id: String, text: String,
-      shingleK: Int, numPerms: Int, bands: Int, maxBucket: Int): Int =
+      shingleK: Int, numPerms: Int, bands: Int, maxBucket: Int,
+      knownCount: Option[Long] = None): Int =
     if (numPerms != AutoPerms) numPerms
     else chooseBanding(docs, id, text, shingleK, bands,
-      maxBucket = maxBucket).numPerms
+      maxBucket = maxBucket, knownCount = knownCount).numPerms
 
   /** Normalized content identity key: 128-bit MD5 of the lower-cased,
     * trimmed text. Exact-dedup decisions DROP documents, so the key
