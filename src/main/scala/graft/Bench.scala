@@ -84,8 +84,17 @@ object Bench {
     // doing during one pass; the pass count is reported in the JSON.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
+    // Banding-tuner attribution: per (pass, key), how many tuner
+    // sampling runs vs memo hits the query triggered and what the
+    // runs cost. A healthy steady state shows runs only in pass 1
+    // (memo hits after); runs in pass >= 2 mean one-off tuning cost
+    // is leaking into the best-of-N min (the r9 d14 regression
+    // pattern — see BENCH_NOTES.md).
+    val tunerByPass =
+      collection.mutable.Map.empty[String, Vector[(Long, Long, Double)]]
     val timings = (1 to passes).map { _ =>
       catalog.map { case (name, fn) =>
+        val tb = graft.dedup.Dedup.tunerStats
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -99,6 +108,10 @@ object Bench {
         // for the next (untimed bookkeeping, after the clock stops).
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        val td = graft.dedup.Dedup.tunerStats - tb
+        if (td.runs > 0 || td.memoHits > 0)
+          tunerByPass(name) = tunerByPass.getOrElse(name, Vector.empty) :+
+            ((td.runs, td.memoHits, td.nanos / 1e9))
         (name, dt, ok)
       }
     }
@@ -113,7 +126,13 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"stream_startup":$streamStartup,"sf":"$sfDir"}"""
+    val tuner = tunerByPass.toSeq.sortBy(_._1).map { case (k, vs) =>
+      val runs = vs.map(_._1).mkString("[", ",", "]")
+      val hits = vs.map(_._2).mkString("[", ",", "]")
+      val secs = vs.map(v => f"${v._3}%.3f").mkString("[", ",", "]")
+      s"\"" + k + s"\":{\"runs\":$runs,\"memo_hits\":$hits,\"tune_sec\":$secs}"
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"stream_startup":$streamStartup,"tuner":$tuner,"sf":"$sfDir"}"""
     println(json)
     // Persist the complete per-query map: stdout capture can truncate
     // (round-3's file lost the tail of the 90-key line), a file can't.

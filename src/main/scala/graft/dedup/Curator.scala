@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   * Every stage is an equi-join on a derived key — the whole
   * pipeline is shuffle-bounded and scales with corpus size, not
   * pair count.
+  *
+  * Cache lifecycle: both [[curate]] and [[fates]] persist the
+  * exact-dedup survivor frame because the PLAN they return reads it
+  * (near-dup stage + final join) — they cannot unpersist it before
+  * the caller materializes the result. Long-lived sessions running
+  * many curation batches must call `spark.catalog.clearCache()`
+  * between batches (the bench harness does; Verify runs one batch
+  * per session).
   */
 object Curator {
 
@@ -25,11 +33,21 @@ object Curator {
       jacPmThreshold: Int = 500,
       minTokens: Int = 5, maxTokens: Int = 10000,
       numPerms: Int = Dedup.AutoPerms): DataFrame = {
+    // Resolve AutoPerms on the RAW input, not the survivor frame:
+    // chooseBanding content-dedups within its sample, so both frames
+    // resolve identically (verified by TuneCheck at sf0.1 — same
+    // per-width waste stats), but the raw frame's count is
+    // metadata-only on a plain scan and its memo entry is SHARED
+    // with d7/d13, which tune the same scan — one tuning pass per
+    // session instead of one per derived frame.
+    val np = Dedup.resolvePerms(docs, "doc_id", "text", 8, numPerms, 4, 512)
     // 1. exact dedup: keep the min-id row per content hash with a
     // window filter — one shuffle over the corpus, no agg+join pair.
-    // Persisted: the survivors feed the banding tuner's sample jobs,
-    // the near-dup candidate pipeline, AND the final anti-join — all
-    // of which would otherwise re-run the content-hash window.
+    // Persisted: the survivors feed the near-dup candidate pipeline
+    // AND the final anti-join — without this the content-hash window
+    // would re-run per use. The cache lives until the caller's
+    // clearCache (documented in the object scaladoc): the returned
+    // plan still reads it, so curate cannot unpersist it eagerly.
     val uniqueDocs = docs
       .withColumn("content_hash", Dedup.contentHash(col("text")))
       .withColumn("__keep", min(col("doc_id")).over(
@@ -41,7 +59,7 @@ object Curator {
     // 2. near-dup drop among survivors (stage 1 already dedup'd —
     // skip minhashVerifiedPairs' internal prefilter)
     val nearDup = Dedup.minhashVerifiedPairs(uniqueDocs, "doc_id", "text",
-        numPerms = numPerms, prededup = false)
+        numPerms = np, prededup = false)
       .filter(col("jac_pm") >= jacPmThreshold)
       .select(col("d2").as("doc_id")).distinct()
     val deduped = uniqueDocs.join(nearDup, Seq("doc_id"), "left_anti")
@@ -90,8 +108,12 @@ object Curator {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uniqueDocs = flagged.filter(col("doc_id") === col("__keep"))
       .drop("content_hash", "__keep")
+    // Same raw-input banding resolution as [[curate]] — shares the
+    // session memo entry with curate/d7/d13 rather than re-sampling
+    // the flagged derived frame.
+    val np = Dedup.resolvePerms(docs, "doc_id", "text", 8, numPerms, 4, 512)
     val nearDup = Dedup.minhashVerifiedPairs(uniqueDocs, "doc_id", "text",
-        numPerms = numPerms, prededup = false)
+        numPerms = np, prededup = false)
       .filter(col("jac_pm") >= jacPmThreshold)
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("__near", lit(true))

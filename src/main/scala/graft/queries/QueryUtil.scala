@@ -16,16 +16,25 @@ object QueryUtil {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark
-    * refuses by default; read it as nanosecond longs
-    * (spark.sql.legacy.parquet.nanosAsLong) and normalize to a
-    * µs-precision TimestampType column via integer division — no
-    * doubles in the path, so the floor is exact.
+  /** The events table's `ts` column arrives in one of three parquet
+    * encodings depending on the generator: TIMESTAMP(NANOS) read as
+    * nanosecond longs (spark.sql.legacy.parquet.nanosAsLong),
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (TimestampNTZType),
+    * or a UTC-adjusted TimestampType. Normalize all three to a
+    * µs-precision UTC TimestampType: the long path divides by 1000
+    * as integers (exact floor, no doubles); the NTZ path reinterprets
+    * wall time under the session's UTC zone (value-preserving — the
+    * generator writes UTC instants either way).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Event time as epoch milliseconds — stable across Spark's µs

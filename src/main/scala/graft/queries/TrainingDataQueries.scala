@@ -299,7 +299,20 @@ object TrainingDataQueries {
     * there — see GATE_SF1.md round-9).
     */
   private[graft] val catalogPerms: Int =
-    sys.env.get("GRAFT_BANDING_PERMS").map(_.trim.toInt).getOrElse(0)
+    sys.env.get("GRAFT_BANDING_PERMS").map(_.trim) match {
+      case None | Some("") => 0
+      // Parse failures and widths the 4-band oracle layout cannot
+      // express must NOT surface as an ExceptionInInitializerError
+      // that kills the whole catalog object — warn and run unpinned.
+      case Some(s) => scala.util.Try(s.toInt).toOption
+        .filter(p => p > 0 && p % 4 == 0) match {
+          case Some(p) => p
+          case None =>
+            System.err.println(s"GRAFT_BANDING_PERMS='$s' ignored: " +
+              "must be a positive multiple of 4 (the oracle band layout)")
+            0
+        }
+    }
   private def queryPerms: Int =
     if (catalogPerms > 0) catalogPerms else graft.dedup.Dedup.AutoPerms
   private def oraclePerms: Int = if (catalogPerms > 0) catalogPerms else 16

@@ -73,7 +73,7 @@ object KafkaStream {
   def decodeSensorJson(raw: DataFrame): DataFrame =
     raw
       .select(from_json(col("value").cast("string"),
-        graft.streaming.StreamingOps.eventsSchema).as("r"))
+        graft.streaming.StreamingOps.eventsSchema()).as("r"))
       .filter(col("r").isNotNull && col("r.event_id").isNotNull)
       .select(col("r.*"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

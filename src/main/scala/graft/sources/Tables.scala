@@ -23,23 +23,36 @@ object Tables {
     * missing requested columns (or with a corrupt footer) would be
     * returned as the hit and only surface as nulls — or a task
     * failure — at first action downstream. Field-name matching is
-    * case-insensitive, mirroring Spark's default resolution.
+    * case-insensitive, mirroring Spark's default resolution, and each
+    * matched field's footer type must be up-castable to the requested
+    * type (`Cast.canUpCast` — the same safe-widening rule Spark
+    * applies to schema merges): a candidate whose `value` column is
+    * string where the request says double is a reject, not a runtime
+    * surprise.
     */
   def tryLoad(spark: SparkSession, paths: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType] = None)
       : Option[DataFrame] =
     paths.iterator.flatMap { p =>
       try {
-        // Footer inference runs for every candidate — missing paths
+        // Footer inference runs ONCE per candidate — missing paths
         // and corrupt footers fail HERE (and fall through to the
-        // next candidate), not at first action downstream.
-        val actual = spark.read.parquet(p).schema
+        // next candidate), not at first action downstream; the
+        // no-schema case returns this same reader rather than
+        // re-reading the footer.
+        val inferred = spark.read.parquet(p)
         schema match {
-          case None => Some(spark.read.parquet(p))
+          case None => Some(inferred)
           case Some(s) =>
-            val have = actual.fieldNames.map(_.toLowerCase).toSet
-            if (s.fieldNames.forall(f => have(f.toLowerCase)))
-              Some(spark.read.schema(s).parquet(p))
+            val byName = inferred.schema.fields
+              .map(f => f.name.toLowerCase -> f.dataType).toMap
+            val compatible = s.fields.forall { want =>
+              byName.get(want.name.toLowerCase).exists(have =>
+                have == want.dataType ||
+                  org.apache.spark.sql.catalyst.expressions.Cast
+                    .canUpCast(have, want.dataType))
+            }
+            if (compatible) Some(spark.read.schema(s).parquet(p))
             else None
         }
       } catch { case _: Exception => None }

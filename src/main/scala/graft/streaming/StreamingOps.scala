@@ -35,12 +35,15 @@ object StreamingOps {
     }
 
   /** Explicit source schema — file stream sources require one. `ts`
-    * arrives as nanosecond INT64 (see QueryUtil.events) and is
-    * normalized to a µs TimestampType column for event-time ops.
+    * arrives either as nanosecond INT64 (read as long via
+    * nanosAsLong and divided down) or as native TIMESTAMP(MICROS)
+    * NTZ, depending on the generator (see QueryUtil.events); both
+    * normalize to a µs UTC TimestampType column for event-time ops.
     */
-  val eventsSchema: StructType = StructType(Seq(
+  def eventsSchema(tsType: org.apache.spark.sql.types.DataType = LongType)
+      : StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -49,11 +52,19 @@ object StreamingOps {
   def readEventsStream(s: SparkSession, dir: String,
       glob: String = "events.parquet"): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(eventsSchema)
+    // Streams need the schema up front; one static footer peek picks
+    // the ts encoding (long nanos vs native timestamp) so the stream
+    // schema matches the files instead of assuming one generator.
+    val tsType =
+      try s.read.option("pathGlobFilter", glob).parquet(dir).schema("ts").dataType
+      catch { case _: Exception => LongType }
+    val raw = s.readStream
+      .schema(eventsSchema(tsType))
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Continuous twin of the reference's daily batch job

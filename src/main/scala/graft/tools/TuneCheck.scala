@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Prints what [[Dedup.chooseBanding]] resolves (width + per-width
+  * waste stats) on a given documents dir, for both the raw scan and
+  * the exact-dedup survivor frame d14 tunes on — the diagnostic for
+  * "did the tuner's choice, not its job cost, change a bench key's
+  * steady-state plan". Measurement tooling, not query surface.
+  *
+  * Usage: java -cp ... graft.tools.TuneCheck [<docsDir>]
+  */
+object TuneCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.engine.Session
+      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt,
+        appName = "graft-tune-check")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val uniq = docs
+      .withColumn("content_hash", Dedup.contentHash(col("text")))
+      .withColumn("__keep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
+      .filter(col("doc_id") === col("__keep"))
+      .drop("content_hash", "__keep")
+    for ((label, df) <- Seq("raw-scan" -> docs, "survivors" -> uniq)) {
+      val t0 = System.nanoTime()
+      val c = Dedup.chooseBanding(df, "doc_id", "text")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"TUNECHECK $label%-9s -> numPerms=${c.numPerms} " +
+        f"corpusDocs=${c.corpusDocs} estReps=${c.estReps} tuneSec=$dt%.2f " +
+        c.stats.map(s => f"p=${s.numPerms}:waste=${s.sampleWasted}/${s.sampleCandidates}:ratio=${s.predictedWasteRatio}%.2f")
+          .mkString(" "))
+    }
+    spark.stop()
+  }
+}

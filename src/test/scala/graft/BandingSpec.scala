@@ -125,6 +125,51 @@ class BandingSpec extends AnyFunSuite {
     assert(Dedup.minhashVerifiedPairs(one, "doc_id", "text").count() == 0)
   }
 
+  test("string ids tune, not silently degrade: the sample keys on a hash of the raw id") {
+    // Same templated shape that must escalate — but keyed by UUID-ish
+    // STRING ids. A tuner sampling via cast-to-long would see an
+    // all-null key column, sample nothing, and fall back to 16 with
+    // no warning (the r9 advice finding); hashing the raw id keeps
+    // the sample intact, so the escalation decision must match the
+    // long-id corpus exactly.
+    import spark.implicits._
+    val longIds = templated(1400)
+    val strIds = longIds.select(
+      concat(lit("doc-"), md5(col("doc_id").cast("string"))).as("doc_id"),
+      col("text"))
+    val c = Dedup.chooseBanding(strIds, "doc_id", "text")
+    assert(c.sampledReps > 2, s"string-id sample must be non-empty: $c")
+    assert(c.numPerms == Dedup.chooseBanding(longIds, "doc_id", "text").numPerms,
+      s"string-id corpus must resolve like its long-id twin: $c")
+  }
+
+  test("a memoized curate launches no tuner sampling jobs") {
+    // Second curate over the same input must answer banding from the
+    // memo: runs stays flat, memoHits moves. This is the guard that
+    // keeps one-off tuning cost out of steady-state bench minimums
+    // (the r9 d14 regression diagnosis — BENCH_NOTES.md).
+    val docs = docsDF
+    def run() = graft.dedup.Curator.curate(spark, docs).count()
+    run() // first call may tune
+    val before = Dedup.tunerStats
+    run()
+    val d = Dedup.tunerStats - before
+    assert(d.runs == 0, s"memoized curate re-ran tuner sampling: $d")
+    assert(d.memoHits > 0, s"curate did not consult the banding memo: $d")
+    spark.catalog.clearCache()
+  }
+
+  test("degenerate corpora memoize their fallback too") {
+    import spark.implicits._
+    val one = Seq((1L, "just one document of text here")).toDF("doc_id", "text")
+    Dedup.chooseBanding(one, "doc_id", "text")
+    val before = Dedup.tunerStats
+    Dedup.chooseBanding(one, "doc_id", "text")
+    val d = Dedup.tunerStats - before
+    assert(d.runs == 0 && d.memoHits == 1,
+      s"<2-row fallback must be memoized, not re-proven per call: $d")
+  }
+
   test("estMin default scales with the resolved signature width") {
     // A pre-meta (legacy) index path: explicit 24-perm build with the
     // meta removed must fall back to legacy 16 — wrong on purpose —

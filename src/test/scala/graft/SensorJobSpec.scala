@@ -67,7 +67,7 @@ class SensorJobSpec extends AnyFunSuite {
     val seen = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Set[Long], Double)] // (batchId, surviving ids, cfg max)
     val stream = spark.readStream
-      .schema(graft.streaming.StreamingOps.eventsSchema)
+      .schema(graft.streaming.StreamingOps.eventsSchema())
       .parquet(src)
     val q = SensorJob.streamWithConfigReload(stream, cfgPath) {
       (batch, batchId, cfg) =>

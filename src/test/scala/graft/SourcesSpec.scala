@@ -55,6 +55,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(Tables.tryLoad(spark, Seq(s"$dir/partial"), Some(want)).isEmpty)
   }
 
+  test("tryLoad rejects candidates whose column types are incompatible") {
+    // Name-only footer validation accepts a string `value` where the
+    // request says double — moving the failure back to first action,
+    // the exact problem the check exists to prevent. Type-incompatible
+    // candidates must fall through; safe up-casts (int -> long) must
+    // still be accepted.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tryload3").toString
+    sample.withColumn("value", col("value").cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/stringy")
+    sample.write.mode("overwrite").parquet(s"$dir/typed")
+    val want = StructType(Seq(StructField("event_id", LongType),
+      StructField("value", DoubleType)))
+    val hit = Tables.tryLoad(spark, Seq(s"$dir/stringy", s"$dir/typed"), Some(want))
+    assert(hit.isDefined)
+    assert(hit.get.schema("value").dataType == DoubleType)
+    assert(Tables.tryLoad(spark, Seq(s"$dir/stringy"), Some(want)).isEmpty)
+    // widening is allowed: an int footer satisfies a long request
+    sample.withColumn("event_id", col("event_id").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/narrow")
+    assert(Tables.tryLoad(spark, Seq(s"$dir/narrow"),
+      Some(StructType(Seq(StructField("event_id", LongType))))).isDefined)
+  }
+
   test("CSV round-trip with explicit schema (no inference pass)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     sample.write.mode("overwrite").option("header", "true").csv(dir)

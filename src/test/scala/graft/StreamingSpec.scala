@@ -31,7 +31,7 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 2 * ns, 10L, "click", 2.5, "{}"),
       (3L, 1 * ns, 11L, "click", 10.0, "{}")))
     val readings = spark.readStream
-      .schema(StreamingOps.eventsSchema)
+      .schema(StreamingOps.eventsSchema())
       .parquet(dir)
       .select(col("user_id"), expr("ts div 1000").as("t_us"),
         col("event_id"), col("value"))
@@ -65,7 +65,7 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 2 * ns, 10L, "view", 2.0, "{}")))
 
     val dedup = spark.readStream
-      .schema(StreamingOps.eventsSchema)
+      .schema(StreamingOps.eventsSchema())
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("user_id"), col("event_type"))
@@ -97,7 +97,7 @@ class StreamingSpec extends AnyFunSuite {
     val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
 
     def startQuery() = spark.readStream
-      .schema(StreamingOps.eventsSchema)
+      .schema(StreamingOps.eventsSchema())
       .parquet(dir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
@@ -163,7 +163,7 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 1 * hourNs + 5, 10L, "click", 1.0, "{}"),
       (2L, 1 * hourNs + 6, 10L, "click", 2.0, "{}")))
     val agg = spark.readStream
-      .schema(StreamingOps.eventsSchema)
+      .schema(StreamingOps.eventsSchema())
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
