@@ -54,7 +54,7 @@ object StreamingQueries {
   def c11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val readings = events(s, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("t_us"))
+      .select(col("user_id"), col("ts"))
       .as[Sessionizer.Reading]
     Sessionizer.sessionize(readings, gapMinutes = 30)(s).toDF()
   }
@@ -143,8 +143,7 @@ object StreamingQueries {
     import s.implicits._
     implicit val sp: SparkSession = s
     val readings = StreamingOps.readEventsStream(s, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
-        col("event_id"), col("value"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[StatefulEwma.Reading]
     val updates = StreamingOps.runToTable(
       StatefulEwma.ewma(readings, alpha = 0.1).toDF(), s,

@@ -8,45 +8,113 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * session_window cannot express (e.g. emitting per-session
   * aggregates with arbitrary logic).
   *
-  * In a streaming query the state carries open sessions across
-  * micro-batches and event-time timeout closes them; in batch
-  * execution Spark invokes the function once per key with all rows,
-  * so the same code produces the full session list. Rows arrive
-  * unsorted; the per-key sort below bounds memory by the per-key
-  * row count — for keys too hot for that, the composed
-  * [[graft.operators.TimeSeriesOps.sessionize]] (sort-based, spills)
-  * is the scale path.
+  * Two execution modes, dispatched on `readings.isStreaming`:
+  *
+  *  - **Batch**: Spark invokes the function once per key with all
+  *    rows; every session (including the final one) is emitted in
+  *    that single invocation and no state survives — the mode the
+  *    C11 catalog entry and its SQL oracle run.
+  *  - **Streaming**: open sessions live in GroupState across
+  *    micro-batches with an EVENT-TIME TIMEOUT at (last event +
+  *    gap): when the query watermark passes that point the session
+  *    can never be extended, so the timeout invocation emits it and
+  *    REMOVES the state. A sensor that goes silent therefore leaves
+  *    neither an unemitted session nor leaked state — per-key state
+  *    is bounded by the open-session record, and the key count by
+  *    the watermark horizon, not the stream's lifetime. Callers
+  *    must set `withWatermark` upstream (Spark rejects event-time
+  *    timeouts on un-watermarked streams at query start); the
+  *    cross-batch fold assumes batch boundaries respect event-time
+  *    order for rows of one key (the watermarked-ingest contract,
+  *    same as [[StatefulEwma]]).
+  *
+  * Rows arrive unsorted; the per-key sort below bounds memory by the
+  * per-key row count within one (micro-)batch — for keys too hot for
+  * that, the composed [[graft.operators.TimeSeriesOps.sessionize]]
+  * (sort-based, spills) is the scale path.
   */
-object Sessionizer {
+object Sessionizer extends Serializable {
 
-  case class Reading(user_id: Long, t_us: Long)
+  /** Input row. `ts` is the EVENT-TIME column (µs-precision
+    * TimestampType upstream): in streaming execution it must be the
+    * watermarked column itself — Spark's event-time-timeout check
+    * requires the watermark-tagged attribute to reach the stateful
+    * operator, so projecting it down to a long upstream would strip
+    * the tag and fail the query at start.
+    */
+  case class Reading(user_id: Long, ts: java.time.Instant)
   case class Session(user_id: Long, n: Long, start_ms: Long, end_ms: Long)
+  private def us(t: java.time.Instant): Long =
+    t.getEpochSecond * 1000000L + t.getNano / 1000L
+  /** One open (not yet closable) session: state carried across
+    * micro-batches in streaming execution. */
+  case class Open(start_us: Long, last_us: Long, n: Long)
 
   def sessionize(readings: Dataset[Reading], gapMinutes: Int)(
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    def emit(userId: Long, rows: Iterator[Reading],
-        state: GroupState[Long]): Iterator[Session] = {
-      val ts = rows.map(_.t_us).toArray.sorted
-      if (ts.isEmpty) Iterator.empty
-      else {
-        val sessions = Vector.newBuilder[Session]
-        var start = ts(0); var prev = ts(0); var n = 1L
-        for (t <- ts.iterator.drop(1)) {
-          if (t - prev >= gapUs) {
-            sessions += Session(userId, n, start / 1000, (prev + gapUs) / 1000)
-            start = t; n = 0L
-          }
-          prev = t; n += 1
+    def close(userId: Long, o: Open): Session =
+      Session(userId, o.n, o.start_us / 1000, (o.last_us + gapUs) / 1000)
+
+    /** Fold event-time-sorted timestamps into an optional carried
+      * open session; returns (closed sessions, still-open session).
+      */
+    def fold(userId: Long, carried: Option[Open], ts: Array[Long])
+        : (Vector[Session], Option[Open]) = {
+      var cur = carried
+      val out = Vector.newBuilder[Session]
+      for (t <- ts) cur match {
+        case Some(o) if t - o.last_us < gapUs =>
+          cur = Some(Open(o.start_us, t, o.n + 1))
+        case Some(o) =>
+          out += close(userId, o)
+          cur = Some(Open(t, t, 1))
+        case None =>
+          cur = Some(Open(t, t, 1))
+      }
+      (out.result(), cur)
+    }
+
+    def emitBatch(userId: Long, rows: Iterator[Reading],
+        state: GroupState[Open]): Iterator[Session] = {
+      val ts = rows.map(r => us(r.ts)).toArray.sorted
+      val (closed, open) = fold(userId, None, ts)
+      (closed ++ open.map(close(userId, _))).iterator
+    }
+
+    def emitStreaming(userId: Long, rows: Iterator[Reading],
+        state: GroupState[Open]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        // Watermark passed last_us + gap: no in-horizon row can
+        // extend this session. Emit and FREE the state.
+        val done = close(userId, state.get)
+        state.remove()
+        Iterator.single(done)
+      } else {
+        val ts = rows.map(r => us(r.ts)).toArray.sorted
+        val (closed, open) = fold(userId, state.getOption, ts)
+        open match {
+          case Some(o) =>
+            state.update(o)
+            // Event-time ms at which the open session becomes
+            // unextendable; the timeout fires once the watermark
+            // crosses it.
+            state.setTimeoutTimestamp((o.last_us + gapUs) / 1000)
+          case None => state.remove()
         }
-        sessions += Session(userId, n, start / 1000, (prev + gapUs) / 1000)
-        sessions.result().iterator
+        closed.iterator
       }
     }
 
-    readings.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(emit)
+    if (readings.isStreaming)
+      readings.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(emitStreaming)
+    else
+      readings.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(emitBatch)
   }
 }

@@ -15,30 +15,79 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the fold continues from the saved accumulator — bit-identical to
   * the batch fold whenever batch boundaries respect event-time order
   * (the normal watermarked-ingest case, proven in StreamingSpec).
+  *
+  * State lifetime: with `idleMinutes > 0` (streaming queries with a
+  * watermark upstream) a key whose last event falls `idleMinutes`
+  * behind the watermark has its accumulator EVICTED via event-time
+  * timeout — a churning key population (sensors decommissioned,
+  * users gone) cannot grow state without bound. Eviction emits
+  * nothing: the last update row already carried the final
+  * accumulator, and a key that later returns simply restarts its
+  * recurrence (s_0 = next value — the documented cold-start).
+  * `idleMinutes = 0` retains state for the stream's lifetime, the
+  * right call only for small fixed key populations (and the only
+  * legal one when the input carries no watermark, e.g. the C24
+  * catalog entry's single-batch file replay).
   */
-object StatefulEwma {
+object StatefulEwma extends Serializable {
 
-  case class Reading(user_id: Long, t_us: Long, event_id: Long, value: Double)
+  /** Input row. `ts` is the event-time column (µs TimestampType
+    * upstream); for the TTL path it must be the WATERMARKED column
+    * itself — see [[Sessionizer.Reading]].
+    */
+  case class Reading(user_id: Long, ts: java.time.Instant,
+      event_id: Long, value: Double)
   case class EwmaRow(user_id: Long, n: Long, ewma: Double)
-  case class State(ewma: Double, n: Long)
+  case class State(ewma: Double, n: Long, last_us: Long)
+  private def us(t: java.time.Instant): Long =
+    t.getEpochSecond * 1000000L + t.getNano / 1000L
 
-  def ewma(readings: Dataset[Reading], alpha: Double)(
+  def ewma(readings: Dataset[Reading], alpha: Double,
+      idleMinutes: Int = 0)(
       implicit spark: SparkSession): Dataset[EwmaRow] = {
     import spark.implicits._
+    require(idleMinutes >= 0, s"idleMinutes must be >= 0: $idleMinutes")
+    val idleUs = idleMinutes * 60L * 1000000L
+    // hoisted: the state functions ship to executors and must not
+    // close over the (non-serializable) Dataset
+    val streaming = readings.isStreaming
 
-    def update(userId: Long, rows: Iterator[Reading],
-        state: GroupState[State]): EwmaRow = {
-      val xs = rows.toArray.sortBy(r => (r.t_us, r.event_id))
+    def fold(userId: Long, rows: Iterator[Reading],
+        state: GroupState[State]): Option[EwmaRow] = {
+      val xs = rows.toArray.sortBy(r => (us(r.ts), r.event_id))
+      if (xs.isEmpty) return None
       var (s, n) = state.getOption.map(st => (st.ewma, st.n)).getOrElse((0.0, 0L))
       for (r <- xs) {
         s = if (n == 0L) r.value else r.value * alpha + s * (1 - alpha)
         n += 1
       }
-      state.update(State(s, n))
-      EwmaRow(userId, n, s)
+      val lastUs = us(xs.last.ts)
+      state.update(State(s, n, lastUs))
+      if (idleUs > 0 && streaming)
+        state.setTimeoutTimestamp((lastUs + idleUs) / 1000)
+      Some(EwmaRow(userId, n, s))
     }
 
-    readings.groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+    if (idleUs > 0 && streaming) {
+      def update(userId: Long, rows: Iterator[Reading],
+          state: GroupState[State]): Iterator[EwmaRow] =
+        if (state.hasTimedOut) {
+          // Idle past the TTL relative to the watermark: free the
+          // accumulator. Nothing to emit — every prior row's update
+          // already reached the sink.
+          state.remove()
+          Iterator.empty
+        } else fold(userId, rows, state).iterator
+      readings.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.EventTimeTimeout)(update)
+    } else {
+      def update(userId: Long, rows: Iterator[Reading],
+          state: GroupState[State]): EwmaRow =
+        fold(userId, rows, state)
+          .getOrElse(EwmaRow(userId, state.get.n, state.get.ewma))
+      readings.groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+    }
   }
 }

@@ -33,8 +33,8 @@ class StreamingSpec extends AnyFunSuite {
     val readings = spark.readStream
       .schema(StreamingOps.eventsSchema())
       .parquet(dir)
-      .select(col("user_id"), expr("ts div 1000").as("t_us"),
-        col("event_id"), col("value"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[graft.streaming.StatefulEwma.Reading]
     val q = graft.streaming.StatefulEwma.ewma(readings, alpha = 0.1).toDF()
       .writeStream.format("memory")
@@ -182,6 +182,89 @@ class StreamingSpec extends AnyFunSuite {
       assert(byWindow.values.sum == 4)
       assert(byWindow.size == 2)
       assert(byWindow(3600L) == 3) // first hour accumulated across batches
+    } finally q.stop()
+  }
+
+  test("a silent key's session is emitted via event-time timeout and its state freed") {
+    import spark.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_to").toString
+    val ns = 1000000L * 1000 // 1s in ns
+    // batch 1: user 10 has two events 60s apart, then goes silent
+    writeBatch(dir, "b1", Seq(
+      (1L, 60 * ns, 10L, "click", 1.0, "{}"),
+      (2L, 120 * ns, 10L, "click", 2.0, "{}")))
+    val readings = spark.readStream
+      .schema(StreamingOps.eventsSchema())
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"), col("ts"))
+      .as[graft.streaming.Sessionizer.Reading]
+    val q = graft.streaming.Sessionizer.sessionize(readings, gapMinutes = 30).toDF()
+      .writeStream.format("memory")
+      .queryName("sess_timeout").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // open session only — nothing may be emitted yet
+      assert(spark.table("sess_timeout").count() == 0)
+      // batch 2: a DIFFERENT user far in the future advances the
+      // watermark past user 10's (last event + gap); the timeout
+      // must close and emit 10's session with no further 10-rows.
+      writeBatch(dir, "b2", Seq(
+        (3L, 10000 * ns, 11L, "click", 3.0, "{}")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_timeout")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((10L, 2L, 60000L, 120000L + 1800000L)),
+        s"timed-out session wrong: ${rows.toSeq}")
+      // state freed: only user 11's open session remains in the store
+      val st = q.recentProgress.flatMap(p => Option(p.stateOperators))
+        .flatten.lastOption
+      assert(st.exists(_.numRowsTotal == 1L),
+        s"expected 1 state row (the live key), got ${st.map(_.numRowsTotal)}")
+    } finally q.stop()
+  }
+
+  test("EWMA idle TTL evicts silent keys; a returning key cold-starts") {
+    import spark.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_sewma_ttl").toString
+    val ns = 1000000L * 1000
+    writeBatch(dir, "b1", Seq(
+      (1L, 60 * ns, 10L, "click", 4.0, "{}"),
+      (2L, 120 * ns, 10L, "click", 8.0, "{}")))
+    val readings = spark.readStream
+      .schema(StreamingOps.eventsSchema())
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[graft.streaming.StatefulEwma.Reading]
+    val q = graft.streaming.StatefulEwma.ewma(readings, alpha = 0.5,
+        idleMinutes = 30).toDF()
+      .writeStream.format("memory")
+      .queryName("sewma_ttl").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: another key far ahead pushes the watermark past
+      // user 10's TTL — 10's accumulator must be evicted (silently).
+      writeBatch(dir, "b2", Seq(
+        (3L, 10000 * ns, 11L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+      val st = q.recentProgress.flatMap(p => Option(p.stateOperators))
+        .flatten.lastOption
+      assert(st.exists(_.numRowsTotal == 1L),
+        s"expected only the live key's state, got ${st.map(_.numRowsTotal)}")
+      // batch 3: user 10 returns — the recurrence restarts (n=1,
+      // ewma = raw value), proving the old accumulator is gone.
+      writeBatch(dir, "b3", Seq(
+        (4L, 10060 * ns, 10L, "click", 42.0, "{}")))
+      q.processAllAvailable()
+      val ret = spark.table("sewma_ttl")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 == 10L).maxBy(_._3)
+      assert(ret == ((10L, 1L, 42.0)), s"returning key must cold-start: $ret")
     } finally q.stop()
   }
 }
