@@ -766,12 +766,15 @@ object TrainingDataQueries {
        |  count(*) OVER (PARTITION BY coalesce(l.cluster_id, d.doc_id)) AS csize
        |FROM documents d LEFT JOIN lab l USING (doc_id)""".stripMargin
 
-  /** D19 — IVF approximate nearest neighbors: deterministic coarse
-    * quantizer (16 lowest-id vectors), nearest-centroid inverted
-    * lists, nprobe=4 probed lists per query, exact cosine within
-    * ([[graft.similarity.Similarity.ivfTopK]]). Deterministic by
-    * construction, so unlike the LSH path (d11) it carries a full
-    * SQL oracle.
+  /** D19 — IVF approximate nearest neighbors: deterministic seeded
+    * k-means coarse quantizer (16 md5-stable seeds + one exact-BIGINT
+    * Lloyd step — the d32 machinery, see
+    * [[graft.similarity.Similarity.kmeansCentroids]]), nearest-
+    * centroid inverted lists, nprobe=4 probed lists per query, exact
+    * cosine within ([[graft.similarity.Similarity.ivfTopK]]).
+    * Deterministic by construction — the Lloyd mean is an integer
+    * sum with one double division — so unlike the LSH path (d11) it
+    * carries a full SQL oracle.
     */
   def d19(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -787,9 +790,32 @@ object TrainingDataQueries {
        |  FROM embeddings),
        |v AS (SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM vn
        |      WHERE sqrt(${duckDot("e", "e")}) > 0),
-       |cents AS (
+       |seeds AS (
        |  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v
-       |  ORDER BY vec_id LIMIT 16),
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${duckDot("v.e", "c.ce")} / (v.nrm * c.cnrm) DESC,
+       |                 c.cid) AS crk
+       |    FROM v CROSS JOIN seeds c) WHERE crk = 1),
+       |vx AS (
+       |  SELECT vec_id,
+       |    list_transform(e, qx -> CAST(floor(qx * 1000) AS BIGINT)) AS xi
+       |  FROM v),
+       |comps AS (
+       |  SELECT cid, pos,
+       |    CAST(sum(comp) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0
+       |      AS comp
+       |  FROM (
+       |    SELECT a0.cid, pos, vx.xi[pos] AS comp
+       |    FROM a0 JOIN vx USING (vec_id)
+       |    CROSS JOIN (SELECT unnest(range(1, 65)) AS pos))
+       |  GROUP BY 1, 2),
+       |c1 AS (
+       |  SELECT cid, list(comp ORDER BY pos) AS ce FROM comps GROUP BY cid),
+       |cents AS (SELECT cid, ce, sqrt(${duckDot("ce", "ce")}) AS cnrm FROM c1),
        |assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT v.vec_id, c.cid,
@@ -1381,8 +1407,11 @@ object TrainingDataQueries {
       2L * math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toLong)).toInt
 
   /** D32 — semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
-    * embedding space with one deterministic Lloyd iteration of
-    * k-means (k = [[semdedupK]](N) by default; seeds = the k
+    * embedding space with `iters` deterministic Lloyd iterations of
+    * k-means (default 1; SemDeDup proper iterates to convergence —
+    * the exact-integer step below is iteration-safe, and ScaleOpsSpec
+    * characterizes the iters=2 delta) (k = [[semdedupK]](N) by
+    * default; seeds = the k
     * vec_ids with the lowest md5(vec_id) — a content-hash-stable
     * sample with uniform spread over ids, unlike lowest-k which
     * biases seeds toward whatever the low id range happens to
@@ -1419,7 +1448,8 @@ object TrainingDataQueries {
     * single-cluster corpus at O(N^1.5) join cost.
     */
   private[graft] def semanticDedupImpl(embeddings: DataFrame, k: Int = 0,
-      cap: Int = 0): DataFrame = {
+      cap: Int = 0, iters: Int = 1): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
     val sim = graft.similarity.Similarity
     val vq = embeddings
       .select(col("vec_id"),
@@ -1451,7 +1481,12 @@ object TrainingDataQueries {
         .select(col("vec_id"), (-col("best.negc")).as("cid"))
     // One Lloyd step: exact integer component sums per (cluster, pos),
     // one double division, centroids reassembled in pos order.
-    val cents1 = assign(seeds)
+    // Iteration-safe (every step starts from exact integers, so no
+    // float accumulation drifts across steps); SemDeDup proper runs
+    // to convergence — `iters` exposes that (default 1, the measured
+    // sweet spot at the tested scales; each extra iteration is one
+    // more broadcast-argmax + hash-agg pass over the corpus).
+    def lloyd(assigned: DataFrame): DataFrame = assigned
       .join(vq.select(col("vec_id"), col("xi")), "vec_id")
       .select(col("cid"), posexplode(col("xi")))
       .groupBy("cid", "pos")
@@ -1462,6 +1497,8 @@ object TrainingDataQueries {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
         t => t("comp")).as("ce"))
       .withColumn("cnrm", sim.norm2(col("ce")))
+    var cents1 = lloyd(assign(seeds))
+    for (_ <- 2 to iters) cents1 = lloyd(assign(cents1))
     // Referenced three times (both sides of the pair join + the
     // final verdict) — without the persist each reference re-runs
     // both assignment passes and the Lloyd aggregation.

@@ -19,6 +19,8 @@ import graft.functions.TextHash
   */
 object Similarity {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Element-wise double cast — float inputs promoted exactly. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
@@ -260,24 +262,137 @@ object Similarity {
       .select("q_id", "rk", "n_id", "cos")
   }
 
+  /** Corpus size past which multi-probe hyperplane LSH can no longer
+    * hold its recall envelope at any affordable table count and the
+    * routing answer is IVF: the point where [[adaptivePlanes]] at the
+    * default occupancy would exceed its 18-plane clamp
+    * (2^18 · 32 = 2^23 ≈ 8.4M vectors). Below it the measured
+    * recall@3 curve (AnnSweep, four octaves to 200k) stays ≥ 0.6;
+    * past it occupancy — and with it the candidate count — grows
+    * linearly again while recall keeps sliding.
+    */
+  val AnnMaxCorpus: Long = 1L << 23
+
+  /** Decision function behind [[annOrIvfTopK]], exposed so the
+    * boundary is testable without building a boundary-sized corpus.
+    */
+  def routesToIvf(corpusSize: Long, annMaxCorpus: Long = AnnMaxCorpus): Boolean =
+    corpusSize > annMaxCorpus
+
+  /** Scale-routed ANN: multi-probe LSH ([[annTopK]]) while the corpus
+    * is inside its measured recall envelope, IVF ([[ivfTopK]]) past
+    * it. annTopK alone would not fail loudly at 10⁷ vectors — it
+    * would return quietly degraded recall (its scaladoc documents the
+    * envelope but nothing enforced it); this entry makes the
+    * documented routing real. One `corpus.count()` decides (metadata-
+    * only on a plain scan) and is reused as the adaptive-plane input
+    * on the LSH side, so routing adds no extra job. The route taken
+    * is logged either way; `annMaxCorpus` overrides the boundary
+    * (tests pin a small one).
+    */
+  def annOrIvfTopK(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, k: Int, probeRadius: Int = 2, targetOccupancy: Int = 32,
+      dims: Int = 64, kCentroids: Int = 0, nprobe: Int = 4,
+      annMaxCorpus: Long = AnnMaxCorpus): DataFrame = {
+    val n = corpus.count()
+    if (routesToIvf(n, annMaxCorpus)) {
+      // sqrt(N) centroids keep expected list depth ~sqrt(N): the
+      // probe-side work per query is nprobe·sqrt(N) — sublinear —
+      // while the build stays one broadcast-argmax pass.
+      val kc = if (kCentroids > 0) kCentroids
+        else math.min(65536L, math.max(16L,
+          math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+      logger.info(s"ANN routing: corpus n=$n > $annMaxCorpus — " +
+        s"hyperplane LSH cannot hold recall here; routing to IVF " +
+        s"(kCentroids=$kc, nprobe=$nprobe)")
+      ivfTopK(queries, corpus, id, vec, k, kCentroids = kc, nprobe = nprobe)
+    } else {
+      val p = adaptivePlanes(n, targetOccupancy)
+      logger.info(s"ANN routing: corpus n=$n <= $annMaxCorpus — " +
+        s"multi-probe LSH (planes=$p, tables=${adaptiveTables(p)})")
+      annTopK(queries, corpus, id, vec, k, planes = p,
+        tables = adaptiveTables(p), probeRadius = probeRadius,
+        targetOccupancy = targetOccupancy, dims = dims)
+    }
+  }
+
+  /** Map-side argmax assignment of each vector to its
+    * highest-cosine centroid (ties to the smallest centroid id —
+    * the same ordering a SQL oracle's row_number uses): struct-max
+    * aggregation over the broadcast (vectors × centroids) expansion,
+    * no window shuffle. The shared idiom of [[ivfTopK]] and d32's
+    * semantic dedup.
+    */
+  private def argmaxAssign(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .select(col("vid"), struct(
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim"),
+        (-col("cid")).as("negc")).as("sc"))
+      .groupBy("vid").agg(max(col("sc")).as("best"))
+      .select(col("vid"), (-col("best.negc")).as("cid"))
+
+  /** Deterministic seeded k-means coarse quantizer (one exact Lloyd
+    * step — the d32 SemDeDup machinery): seeds are the `kCentroids`
+    * vectors with the smallest md5(id) (content-hash-stable uniform
+    * spread over ids, unlike lowest-k which inherits whatever the
+    * low id range contains), each vector is argmax-assigned to its
+    * seed, and the refined centroid is the per-component mean of its
+    * members computed over milli-unit-quantized integers — an exact
+    * BIGINT sum with ONE double division, so the centroid doubles
+    * (and everything downstream of them) are bit-reproducible in any
+    * engine regardless of summation order. Empty seeds simply drop
+    * out of the refined table (both engines agree).
+    */
+  private[graft] def kmeansCentroids(v: DataFrame, kCentroids: Int,
+      lloydIters: Int = 1): DataFrame = {
+    require(lloydIters >= 1, s"lloydIters must be >= 1: $lloydIters")
+    val seeds = v
+      .orderBy(md5(col("vid").cast("string")), col("vid")).limit(kCentroids)
+      .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val xi = v.select(col("vid"),
+      transform(col("v"),
+        x => floor(x.cast("double") * 1000).cast("long")).as("xi"))
+    def step(cents: DataFrame): DataFrame = argmaxAssign(v, cents)
+      .join(xi, "vid")
+      .select(col("cid"), posexplode(col("xi")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("col")).as("sx"), count(lit(1)).as("cn"))
+      .withColumn("comp",
+        col("sx").cast("double") / col("cn").cast("double") / 1000.0)
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        t => t("comp")).as("cv"))
+      .withColumn("cnrm", norm2(col("cv")))
+    (1 to lloydIters).foldLeft(seeds) { (c, _) => step(c) }
+  }
+
   /** IVF (inverted-file) approximate top-k — the scale path for
     * similarity search: a small coarse-quantizer table partitions the
     * corpus into `kCentroids` inverted lists; a query probes only its
     * `nprobe` nearest lists and brute-forces those. Corpus cost per
     * query drops from O(N) to O(N·nprobe/kCentroids) expected.
     *
-    * Centroids here are the `kCentroids` lowest-id corpus vectors —
-    * deterministic, so the whole operator is exactly reproducible
-    * (and SQL-oracle-checkable); a production deployment swaps in
-    * k-means centroids without touching the index or search shape.
+    * `quantizer` picks the centroid construction: `"kmeans"`
+    * (default) is the seeded one-Lloyd-step quantizer
+    * ([[kmeansCentroids]] — deterministic AND data-adapted: centroids
+    * move to the occupied region of embedding space, which evens out
+    * list sizes and raises probed-list recall); `"lowid"` keeps the
+    * legacy `kCentroids` lowest-id corpus vectors (centroids are then
+    * whatever those rows happen to be — kept for comparison, measured
+    * against kmeans in the AnnSweep ivf leg). Both are exactly
+    * reproducible, so the operator carries a full SQL oracle either
+    * way.
     *
     * Scale shape: centroids broadcast everywhere (assignment is a
     * map-side argmax with partial aggregation — no per-vector
     * shuffle); the probe join is centroid-id equi-join with the
     * (small) probe set broadcast. Ties break on centroid/vector id.
+    * The kmeans quantizer costs two extra broadcast passes over the
+    * (persisted) corpus — a build-time cost, amortized over queries.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
-      k: Int, kCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int, kCentroids: Int = 16, nprobe: Int = 4,
+      quantizer: String = "kmeans", lloydIters: Int = 1): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Zero-norm vectors are excluded up front: 0/0 cosine is NaN,
     // whose ordering is engine-divergent (same guard as d17).
@@ -287,17 +402,17 @@ object Similarity {
       .withColumn("nrm", norm2(col("v")))
       .filter(col("nrm") > 0)
       .persist(lvl)
-    val cents = v.orderBy("vid").limit(kCentroids)
-      .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // argmax over a struct: highest cosine wins, ties to the smallest
-    // centroid id — same ordering the oracle's row_number uses.
-    val assign = v.crossJoin(broadcast(cents))
-      .select(col("vid"), struct(
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim"),
-        (-col("cid")).as("negc")).as("sc"))
-      .groupBy("vid").agg(max(col("sc")).as("best"))
-      .select(col("vid"), (-col("best.negc")).as("cid"))
-    val lists = v.join(assign, "vid")
+    val cents = (quantizer match {
+      case "kmeans" => kmeansCentroids(v, kCentroids, lloydIters)
+      case "lowid" => v.orderBy("vid").limit(kCentroids)
+        .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      case other => throw new IllegalArgumentException(
+        s"unknown quantizer: $other (kmeans|lowid)")
+      // kCentroids rows, used by assignment AND probes: without the
+      // persist each broadcast exchange would re-run the quantizer's
+      // corpus passes.
+    }).persist(lvl)
+    val lists = v.join(argmaxAssign(v, cents), "vid")
     val q = queries.select(col(id).as("q_id"), col(vec).as("qv"))
       .withColumn("qnrm", norm2(col("qv")))
       .filter(col("qnrm") > 0)
