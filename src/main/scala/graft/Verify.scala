@@ -39,6 +39,26 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Diagnosability for the six banding-dependent keys (d7/d13/d14/
+    // d18/d24/d30): their oracles bake a static width (16 unless
+    // GRAFT_BANDING_PERMS pins one) while the Spark side auto-tunes —
+    // parity silently depends on the tuner resolving the same width.
+    // Record what it actually resolved on THIS corpus next to the
+    // results, so a red hash compare is attributable to tuner drift
+    // (resolved != oracle) vs a real pipeline bug in one artifact
+    // read.
+    try {
+      val choice = graft.dedup.Dedup.chooseBanding(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+      val pinned = graft.queries.TrainingDataQueries.catalogPerms
+      val oracle = if (pinned > 0) pinned else 16
+      Files.writeString(Paths.get(s"$outDir/banding.json"),
+        s"""{"resolved_perms":${choice.numPerms},"pinned_perms":$pinned,""" +
+          s""""oracle_perms":$oracle,"corpus_docs":${choice.corpusDocs},""" +
+          s""""match":${choice.numPerms == oracle}}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] banding dump failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
