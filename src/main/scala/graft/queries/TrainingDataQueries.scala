@@ -493,12 +493,17 @@ object TrainingDataQueries {
        |WHERE ${duckDot("a.e", "b.e")} /
        |    (sqrt(${duckDot("a.e", "a.e")}) * sqrt(${duckDot("b.e", "b.e")})) >= 0.4""".stripMargin
 
-  /** D11 — LSH-bucketed approximate top-k (rows-only: recall vs the
-    * D9 brute force is asserted in SimilaritySpec; no SQL oracle).
+  /** D11 — scale-routed approximate top-k: multi-probe LSH inside
+    * its measured recall envelope, IVF past AnnMaxCorpus
+    * ([[graft.similarity.Similarity.annOrIvfTopK]] — at every
+    * sandbox SF this resolves to the LSH side, so results equal the
+    * direct annTopK call; the routing boundary itself is pinned in
+    * SimilaritySpec). Rows-only: recall vs the D9 brute force is
+    * asserted in SimilaritySpec; no SQL oracle.
     */
   def d11(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    graft.similarity.Similarity.annTopK(
+    graft.similarity.Similarity.annOrIvfTopK(
       e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 3)
   }
 
