@@ -58,21 +58,47 @@ object Sessionizer extends Serializable {
     def close(userId: Long, o: Open): Session =
       Session(userId, o.n, o.start_us / 1000, (o.last_us + gapUs) / 1000)
 
-    /** Fold event-time-sorted timestamps into an optional carried
-      * open session; returns (closed sessions, still-open session).
+    /** Fold ascending-sorted timestamps of ONE (micro-)batch into
+      * maximal gap-separated runs. */
+    def runs(ts: Array[Long]): Vector[Open] = {
+      var cur: Option[Open] = None
+      val out = Vector.newBuilder[Open]
+      for (t <- ts) cur match {
+        case Some(o) if t - o.last_us < gapUs =>
+          cur = Some(Open(o.start_us, t, o.n + 1))
+        case Some(o) =>
+          out += o; cur = Some(Open(t, t, 1))
+        case None => cur = Some(Open(t, t, 1))
+      }
+      out.result() ++ cur
+    }
+
+    /** Merge the carried open session with this batch's runs.
+      * The carried interval can sit ANYWHERE relative to the batch
+      * (cross-batch arrival is only ordered up to the watermark
+      * horizon), so the merge is interval-wise rather than assuming
+      * the batch extends the carried tail: a run gap-separated
+      * BEFORE the carried session closes immediately (a late region
+      * that can only get later rows, conservatively emitted as its
+      * own session), a run within the gap merges (start = min,
+      * last = max — last_us can never regress, which is what keeps
+      * the event-time timeout monotone), and a run gap-separated
+      * AFTER closes the carried session and becomes the new open
+      * one. Returns (closed sessions, still-open session).
       */
     def fold(userId: Long, carried: Option[Open], ts: Array[Long])
         : (Vector[Session], Option[Open]) = {
       var cur = carried
       val out = Vector.newBuilder[Session]
-      for (t <- ts) cur match {
-        case Some(o) if t - o.last_us < gapUs =>
-          cur = Some(Open(o.start_us, t, o.n + 1))
+      for (b <- runs(ts)) cur match {
+        case None => cur = Some(b)
+        case Some(o) if b.start_us - o.last_us >= gapUs =>
+          out += close(userId, o); cur = Some(b)
+        case Some(o) if o.start_us - b.last_us >= gapUs =>
+          out += close(userId, b)
         case Some(o) =>
-          out += close(userId, o)
-          cur = Some(Open(t, t, 1))
-        case None =>
-          cur = Some(Open(t, t, 1))
+          cur = Some(Open(math.min(o.start_us, b.start_us),
+            math.max(o.last_us, b.last_us), o.n + b.n))
       }
       (out.result(), cur)
     }

@@ -226,6 +226,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cross-batch out-of-order rows merge into the open session without regressing its end") {
+    // Arrival order across micro-batches is only watermark-ordered,
+    // not row-ordered: a row BETWEEN two already-seen events of the
+    // open session must merge (count grows, end unchanged — last_us
+    // must never regress, or the event-time timeout would fire
+    // early and misreport the session end), and a row a full gap
+    // BEFORE the open session's start is a late region that closes
+    // immediately as its own session.
+    import spark.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_ooo").toString
+    val ns = 1000000L * 1000
+    // user 10: open session 60s..120s; user 20: open session at 10000s
+    writeBatch(dir, "b1", Seq(
+      (1L, 60 * ns, 10L, "click", 1.0, "{}"),
+      (2L, 120 * ns, 10L, "click", 2.0, "{}"),
+      (3L, 10000 * ns, 20L, "click", 3.0, "{}")))
+    val readings = spark.readStream
+      .schema(StreamingOps.eventsSchema())
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "4 hours")
+      .select(col("user_id"), col("ts"))
+      .as[graft.streaming.Sessionizer.Reading]
+    val q = graft.streaming.Sessionizer.sessionize(readings, gapMinutes = 30).toDF()
+      .writeStream.format("memory")
+      .queryName("sess_ooo").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a row INSIDE user 10's open interval (merge), and a
+      // row a full gap before user 20's open session (late region).
+      writeBatch(dir, "b2", Seq(
+        (4L, 90 * ns, 10L, "click", 4.0, "{}"),
+        (5L, 100 * ns, 20L, "click", 5.0, "{}")))
+      q.processAllAvailable()
+      // the late region closes immediately, open sessions stay open
+      val afterB2 = spark.table("sess_ooo")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(afterB2.toSeq == Seq((20L, 1L, 100000L, 100000L + 1800000L)),
+        s"late region must close as its own session: ${afterB2.toSeq}")
+      // batch 3: far-future key advances the watermark past both
+      // open sessions' (last + gap) — timeouts close them with the
+      // merged count and the UNREGRESSED end.
+      writeBatch(dir, "b3", Seq(
+        (6L, 100000 * ns, 30L, "click", 6.0, "{}")))
+      q.processAllAvailable()
+      val all = spark.table("sess_ooo")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(all.contains((10L, 3L, 60000L, 120000L + 1800000L)),
+        s"merged session must keep end at 120s+gap with n=3: $all")
+      assert(all.contains((20L, 1L, 10000000L, 10000000L + 1800000L)),
+        s"user 20's open session must close via timeout: $all")
+    } finally q.stop()
+  }
+
   test("EWMA idle TTL evicts silent keys; a returning key cold-starts") {
     import spark.implicits._
     implicit val sp: org.apache.spark.sql.SparkSession = spark
