@@ -91,7 +91,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     val e = Seq.empty[(Long, Array[Float], String)]
       .toDF("vec_id", "embedding", "label")
     assert(Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5).count() == 0)
+    // both quantizers and the scale router degrade to zero rows, not
+    // a throw — an empty corpus yields an empty seed/centroid table
+    // and every downstream join is empty
     assert(Similarity.ivfTopK(e, e, "vec_id", "embedding", 5).count() == 0)
+    assert(Similarity.ivfTopK(e, e, "vec_id", "embedding", 5,
+      quantizer = "lowid").count() == 0)
+    assert(Similarity.annOrIvfTopK(e, e, "vec_id", "embedding", 5).count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("kmeans quantizer with fewer vectors than centroids still searches") {
+    // kCentroids > N: every vector seeds its own (refined) centroid;
+    // top-k must still find true neighbors, not drop rows.
+    val rnd = new java.util.Random(7L)
+    val e = (0L until 5L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat), "x"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfTopK(e.filter(col("vec_id") === 0), e,
+      "vec_id", "embedding", k = 2, kCentroids = 16, nprobe = 4)
+    // nprobe=4 of <=5 lists: at least one neighbor must surface
+    assert(out.count() >= 1 && out.count() <= 2)
+    spark.catalog.clearCache()
   }
 
   test("duplicate-heavy corpus: near-dup candidates form among content reps only") {
