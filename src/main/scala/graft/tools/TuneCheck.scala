@@ -10,11 +10,16 @@ import graft.dedup.Dedup
   * "did the tuner's choice, not its job cost, change a bench key's
   * steady-state plan". Measurement tooling, not query surface.
   *
-  * Usage: java -cp ... graft.tools.TuneCheck [<docsDir>]
+  * Usage: java -cp ... graft.tools.TuneCheck [--curate] [<docsDir>]
+  * `--curate` additionally times the full Curator.curate pipeline at
+  * the resolved banding (cold, then memo-warm) — the d14 shape at
+  * whatever octave the dir holds.
   */
 object TuneCheck {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val doCurate = args.contains("--curate")
+    val dir = args.filterNot(_ == "--curate")
+      .headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.engine.Session
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt,
@@ -36,6 +41,17 @@ object TuneCheck {
         f"corpusDocs=${c.corpusDocs} estReps=${c.estReps} tuneSec=$dt%.2f " +
         c.stats.map(s => f"p=${s.numPerms}:waste=${s.sampleWasted}/${s.sampleCandidates}:ratio=${s.predictedWasteRatio}%.2f")
           .mkString(" "))
+    }
+    if (doCurate) {
+      for (pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val kept = graft.dedup.Curator.curate(spark, docs).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val ts = Dedup.tunerStats
+        spark.catalog.clearCache()
+        println(f"TUNECHECK curate pass=$pass kept=$kept sec=$dt%.1f " +
+          f"tunerRuns=${ts.runs} memoHits=${ts.memoHits}")
+      }
     }
     spark.stop()
   }
