@@ -123,11 +123,23 @@ object Sessionizer extends Serializable {
         val (closed, open) = fold(userId, state.getOption, ts)
         open match {
           case Some(o) =>
-            state.update(o)
             // Event-time ms at which the open session becomes
             // unextendable; the timeout fires once the watermark
-            // crosses it.
-            state.setTimeoutTimestamp((o.last_us + gapUs) / 1000)
+            // crosses it. The flatMapGroupsWithState operator drops
+            // input rows behind the watermark (StreamingSpec pins
+            // this), so surviving rows satisfy t >= watermark and
+            // closeAt > watermark by construction — the branch below
+            // is defense-in-depth against that filter ever changing,
+            // because setTimeoutTimestamp THROWS on a timestamp at
+            // or before the watermark and such a session could never
+            // be extended anyway.
+            val closeAtMs = (o.last_us + gapUs) / 1000
+            if (closeAtMs <= state.getCurrentWatermarkMs()) {
+              state.remove()
+              return (closed :+ close(userId, o)).iterator
+            }
+            state.update(o)
+            state.setTimeoutTimestamp(closeAtMs)
           case None => state.remove()
         }
         closed.iterator

@@ -64,7 +64,12 @@ object StatefulEwma extends Serializable {
       val lastUs = us(xs.last.ts)
       state.update(State(s, n, lastUs))
       if (idleUs > 0 && streaming)
-        state.setTimeoutTimestamp((lastUs + idleUs) / 1000)
+        // Rows behind the watermark are dropped by the operator, so
+        // lastUs >= watermark and the TTL target is strictly past it
+        // — the clamp is defense-in-depth (setTimeoutTimestamp
+        // throws on a timestamp at or before the watermark).
+        state.setTimeoutTimestamp(
+          math.max((lastUs + idleUs) / 1000, state.getCurrentWatermarkMs() + 1))
       Some(EwmaRow(userId, n, s))
     }
 

@@ -281,6 +281,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rows entirely behind the watermark are dropped by the stateful operators, never a crash") {
+    // Spark's flatMapGroupsWithState drops input rows behind the
+    // watermark before they reach the state function — so a late key
+    // produces no session, no state, and critically no
+    // setTimeoutTimestamp call with a stale target (which would
+    // throw and kill the query). This pins the contract the
+    // operators' event-time timeouts rely on: surviving rows always
+    // satisfy t >= watermark.
+    import spark.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_late").toString
+    val ns = 1000000L * 1000
+    // batch 1 drives the watermark to ~9999s
+    writeBatch(dir, "b1", Seq((1L, 10000 * ns, 20L, "click", 1.0, "{}")))
+    val readings = spark.readStream
+      .schema(StreamingOps.eventsSchema())
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"), col("ts"))
+      .as[graft.streaming.Sessionizer.Reading]
+    val q = graft.streaming.Sessionizer.sessionize(readings, gapMinutes = 30).toDF()
+      .writeStream.format("memory")
+      .queryName("sess_late").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a NEW key at 60..120s — a full horizon behind
+      writeBatch(dir, "b2", Seq(
+        (2L, 60 * ns, 10L, "click", 2.0, "{}"),
+        (3L, 120 * ns, 10L, "click", 3.0, "{}")))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"late key crashed the query: ${q.exception}")
+      // dropped before the state function: no session, no state row
+      assert(spark.table("sess_late").count() == 0,
+        "rows behind the watermark must be dropped, not sessionized")
+      val st = q.recentProgress.flatMap(p => Option(p.stateOperators))
+        .flatten.lastOption
+      assert(st.exists(_.numRowsTotal == 1L),
+        s"late key must leave no state (only user 20's open session): " +
+          s"${st.map(_.numRowsTotal)}")
+    } finally q.stop()
+
+    // Same contract on the EWMA TTL path: the late key's rows are
+    // dropped — no update emitted, no crash, no state.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ewma_late").toString
+    writeBatch(dir2, "b1", Seq((1L, 10000 * ns, 20L, "click", 1.0, "{}")))
+    val r2 = spark.readStream
+      .schema(StreamingOps.eventsSchema())
+      .parquet(dir2)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[graft.streaming.StatefulEwma.Reading]
+    val q2 = graft.streaming.StatefulEwma.ewma(r2, alpha = 0.5, idleMinutes = 30)
+      .toDF().writeStream.format("memory")
+      .queryName("ewma_late").outputMode("update").start()
+    try {
+      q2.processAllAvailable()
+      writeBatch(dir2, "b2", Seq((2L, 60 * ns, 10L, "click", 7.0, "{}")))
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty, s"late key crashed the query: ${q2.exception}")
+      val got = spark.table("ewma_late")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(!got.exists(_._1 == 10L),
+        s"rows behind the watermark must be dropped, not folded: $got")
+    } finally q2.stop()
+  }
+
   test("EWMA idle TTL evicts silent keys; a returning key cold-starts") {
     import spark.implicits._
     implicit val sp: org.apache.spark.sql.SparkSession = spark
