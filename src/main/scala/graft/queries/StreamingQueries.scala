@@ -13,7 +13,12 @@ import QueryUtil._
   */
 object StreamingQueries {
 
-  /** C9 — watermarked tumbling-window aggregation on the stream. */
+  /** C9 — watermarked tumbling-window aggregation on the stream.
+    * Complete mode here because the memory-sink oracle comparison
+    * needs every window; the deployed form is append mode, where the
+    * 1-hour watermark finalizes and EVICTS each 6-hour window — the
+    * state bound complete mode deliberately forgoes.
+    */
   def c9(s: SparkSession, dir: String): DataFrame = {
     val agg = StreamingOps.readEventsStream(s, dir)
       .withWatermark("ts", "1 hour")
@@ -33,13 +38,26 @@ object StreamingQueries {
   /** C10 — streaming dedup: first arrival per (user, type, day)
     * within the watermark; only the key set is emitted, so the
     * result is deterministic regardless of arrival order.
+    *
+    * `dropDuplicatesWithinWatermark`, not plain `dropDuplicates`:
+    * with the event-time column absent from the dedup key (it is —
+    * `day` is a derived string), plain streaming dedup NEVER evicts
+    * key state, so a long-lived stream accumulates one state row per
+    * (user, type, day) forever — day grows with the stream's
+    * lifetime, which is unbounded growth in disguise. The
+    * within-watermark variant evicts each key once the watermark
+    * passes its event time + delay; a duplicate arriving later than
+    * that re-emits (the documented trade for bounded state — a
+    * day-grained key is long closed by then at a 1-hour delay).
+    * Single-batch file replay (the oracle comparison) starts at
+    * watermark 0, so the output equals global DISTINCT.
     */
   def c10(s: SparkSession, dir: String): DataFrame = {
     val dedup = StreamingOps.readEventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"), col("ts"))
-      .dropDuplicates("user_id", "event_type", "day")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
       .select("user_id", "event_type", "day")
     StreamingOps.runToTable(dedup, s, "c10_stream_dedup", "append")
   }
