@@ -109,9 +109,11 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         val td = graft.dedup.Dedup.tunerStats - tb
-        if (td.runs > 0 || td.memoHits > 0)
-          tunerByPass(name) = tunerByPass.getOrElse(name, Vector.empty) :+
-            ((td.runs, td.memoHits, td.nanos / 1e9))
+        // Every pass appends (quiet passes as zeros) so vector index
+        // == pass number stays truthful; keys that never touched the
+        // tuner are filtered out at emission.
+        tunerByPass(name) = tunerByPass.getOrElse(name, Vector.empty) :+
+          ((td.runs, td.memoHits, td.nanos / 1e9))
         (name, dt, ok)
       }
     }
@@ -126,12 +128,17 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val tuner = tunerByPass.toSeq.sortBy(_._1).map { case (k, vs) =>
-      val runs = vs.map(_._1).mkString("[", ",", "]")
-      val hits = vs.map(_._2).mkString("[", ",", "]")
-      val secs = vs.map(v => f"${v._3}%.3f").mkString("[", ",", "]")
-      s"\"" + k + s"\":{\"runs\":$runs,\"memo_hits\":$hits,\"tune_sec\":$secs}"
-    }.mkString("{", ",", "}")
+    val tuner = tunerByPass.toSeq.sortBy(_._1)
+      .filter(_._2.exists(v => v._1 > 0 || v._2 > 0))
+      .map { case (k, vs) =>
+        val runs = vs.map(_._1).mkString("[", ",", "]")
+        val hits = vs.map(_._2).mkString("[", ",", "]")
+        // locale-independent formatting: an f"%.3f" under a
+        // comma-decimal locale would corrupt the machine-parsed JSON
+        val secs = vs.map(v => (math.round(v._3 * 1000) / 1000.0).toString)
+          .mkString("[", ",", "]")
+        s"\"" + k + s"\":{\"runs\":$runs,\"memo_hits\":$hits,\"tune_sec\":$secs}"
+      }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"stream_startup":$streamStartup,"tuner":$tuner,"sf":"$sfDir"}"""
     println(json)
     // Persist the complete per-query map: stdout capture can truncate

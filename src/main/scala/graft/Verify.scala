@@ -43,19 +43,31 @@ object Verify {
     // d18/d24/d30): their oracles bake a static width (16 unless
     // GRAFT_BANDING_PERMS pins one) while the Spark side auto-tunes —
     // parity silently depends on the tuner resolving the same width.
-    // Record what it actually resolved on THIS corpus next to the
-    // results, so a red hash compare is attributable to tuner drift
-    // (resolved != oracle) vs a real pipeline bug in one artifact
-    // read.
-    try {
-      val choice = graft.dedup.Dedup.chooseBanding(
-        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
-      val pinned = graft.queries.TrainingDataQueries.catalogPerms
-      val oracle = if (pinned > 0) pinned else 16
-      Files.writeString(Paths.get(s"$outDir/banding.json"),
-        s"""{"resolved_perms":${choice.numPerms},"pinned_perms":$pinned,""" +
-          s""""oracle_perms":$oracle,"corpus_docs":${choice.corpusDocs},""" +
-          s""""match":${choice.numPerms == oracle}}""")
+    // Record what the queries actually used on THIS corpus next to
+    // the results, so a red hash compare is attributable to tuner
+    // drift (resolved != oracle) vs a real pipeline bug in one
+    // artifact read. With GRAFT_BANDING_PERMS pinned, BOTH sides use
+    // the pin — drift is impossible and the tuner sampling jobs are
+    // skipped, not spent; likewise when the [query ...] filter
+    // selects no banding-dependent key there is nothing to diagnose.
+    val bandingKeys = Set("d7_dedup_minhash", "d13_minhash_jaccard_verify",
+      "d14_corpus_curate", "d18_dup_clusters", "d24_curation_report",
+      "d30_incremental_dedup")
+    val bandingSelected = only.isEmpty || only.exists(bandingKeys)
+    val pinned = graft.queries.TrainingDataQueries.catalogPerms
+    if (bandingSelected) try {
+      val json =
+        if (pinned > 0)
+          s"""{"resolved_perms":$pinned,"pinned_perms":$pinned,""" +
+            s""""oracle_perms":$pinned,"match":true}"""
+        else {
+          val choice = graft.dedup.Dedup.chooseBanding(
+            spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+          s"""{"resolved_perms":${choice.numPerms},"pinned_perms":0,""" +
+            s""""oracle_perms":16,"corpus_docs":${choice.corpusDocs},""" +
+            s""""match":${choice.numPerms == 16}}"""
+        }
+      Files.writeString(Paths.get(s"$outDir/banding.json"), json)
     } catch { case e: Throwable =>
       System.err.println(s"[verify] banding dump failed: ${e.getMessage}")
     }

@@ -342,6 +342,16 @@ object Similarity {
     * (and everything downstream of them) are bit-reproducible in any
     * engine regardless of summation order. Empty seeds simply drop
     * out of the refined table (both engines agree).
+    *
+    * Deliberately NOT unified with d32's
+    * [[graft.queries.TrainingDataQueries.semanticDedupImpl]] lloyd/
+    * assign, which implements the same math with one intentional
+    * difference: d32 assigns in the QUANTIZED space (its e is
+    * derived from xi, so its oracle is exact end-to-end), while this
+    * quantizer assigns on RAW vectors (search scoring stays in raw
+    * space) and quantizes only the mean. A change to either's
+    * quantization scale, tie-break, or NaN guard must be mirrored
+    * consciously, not inherited silently.
     */
   private[graft] def kmeansCentroids(v: DataFrame, kCentroids: Int,
       lloydIters: Int = 1): DataFrame = {

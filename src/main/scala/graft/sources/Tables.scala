@@ -24,11 +24,15 @@ object Tables {
     * returned as the hit and only surface as nulls — or a task
     * failure — at first action downstream. Field-name matching is
     * case-insensitive, mirroring Spark's default resolution, and each
-    * matched field's footer type must be up-castable to the requested
-    * type (`Cast.canUpCast` — the same safe-widening rule Spark
-    * applies to schema merges): a candidate whose `value` column is
-    * string where the request says double is a reject, not a runtime
-    * surprise.
+    * matched field's footer type must be readable as the requested
+    * type by the PARQUET READER itself — deliberately narrower than
+    * `Cast.canUpCast`, which admits conversions like double→string
+    * or timestamp↔timestamp_ntz that are legal casts but that the
+    * vectorized parquet reader cannot perform (accepting those would
+    * move the failure right back to first action, the exact problem
+    * this check exists to prevent). Allowed: exact match plus the
+    * reader's numeric widenings (byte/short/int→long,
+    * byte/short/int/float→double, date→timestamp_ntz).
     */
   def tryLoad(spark: SparkSession, paths: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType] = None)
@@ -47,16 +51,33 @@ object Tables {
             val byName = inferred.schema.fields
               .map(f => f.name.toLowerCase -> f.dataType).toMap
             val compatible = s.fields.forall { want =>
-              byName.get(want.name.toLowerCase).exists(have =>
-                have == want.dataType ||
-                  org.apache.spark.sql.catalyst.expressions.Cast
-                    .canUpCast(have, want.dataType))
+              byName.get(want.name.toLowerCase)
+                .exists(parquetReadableAs(_, want.dataType))
             }
             if (compatible) Some(spark.read.schema(s).parquet(p))
             else None
         }
       } catch { case _: Exception => None }
     }.nextOption()
+
+  /** Footer type `have` is readable as requested type `want` by the
+    * parquet reader: exact match or one of the reader's supported
+    * widenings (SPARK-40876 family). See [[tryLoad]] for why this is
+    * narrower than `Cast.canUpCast`.
+    */
+  private def parquetReadableAs(
+      have: org.apache.spark.sql.types.DataType,
+      want: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    have == want || ((have, want) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType | FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    })
+  }
 
   /** Schema-enforced CSV read: an explicit schema (no inference
     * scan — at 100 TB an inference pass is a full extra read) with

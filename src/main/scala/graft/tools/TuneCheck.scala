@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 
 /** Prints what [[Dedup.chooseBanding]] resolves (width + per-width
-  * waste stats) on a given documents dir, for both the raw scan and
-  * the exact-dedup survivor frame d14 tunes on — the diagnostic for
-  * "did the tuner's choice, not its job cost, change a bench key's
-  * steady-state plan". Measurement tooling, not query surface.
+  * waste stats) on a given documents dir, for both the RAW scan —
+  * the frame every catalog entry (including d14's Curator, since
+  * round 10) actually tunes on — and the exact-dedup survivor frame,
+  * kept as the equivalence check that the two frames resolve the
+  * same width (they must: the tuner content-dedups its sample). The
+  * diagnostic for "did the tuner's choice, not its job cost, change
+  * a bench key's steady-state plan". Measurement tooling, not query
+  * surface.
   *
   * Usage: java -cp ... graft.tools.TuneCheck [--curate] [<docsDir>]
   * `--curate` additionally times the full Curator.curate pipeline at

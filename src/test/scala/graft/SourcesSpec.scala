@@ -71,11 +71,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(hit.isDefined)
     assert(hit.get.schema("value").dataType == DoubleType)
     assert(Tables.tryLoad(spark, Seq(s"$dir/stringy"), Some(want)).isEmpty)
-    // widening is allowed: an int footer satisfies a long request
+    // widening is allowed: an int footer satisfies a long request —
+    // and the widened read must actually MATERIALIZE, not just pass
+    // the check (the whole point is moving failures earlier)
     sample.withColumn("event_id", col("event_id").cast("int"))
       .write.mode("overwrite").parquet(s"$dir/narrow")
-    assert(Tables.tryLoad(spark, Seq(s"$dir/narrow"),
-      Some(StructType(Seq(StructField("event_id", LongType))))).isDefined)
+    val widened = Tables.tryLoad(spark, Seq(s"$dir/narrow"),
+      Some(StructType(Seq(StructField("event_id", LongType)))))
+    assert(widened.isDefined && widened.get.count() == 200)
+    // Cast-legal but reader-impossible conversions must reject too:
+    // canUpCast admits double -> string, but the parquet reader
+    // cannot perform it — accepting would defer the failure to first
+    // action, the exact bug the check prevents.
+    assert(Tables.tryLoad(spark, Seq(s"$dir/typed"),
+      Some(StructType(Seq(StructField("value", StringType))))).isEmpty)
   }
 
   test("CSV round-trip with explicit schema (no inference pass)") {
