@@ -46,9 +46,18 @@ object StreamingQueries {
     * (user, type, day) forever — day grows with the stream's
     * lifetime, which is unbounded growth in disguise. The
     * within-watermark variant evicts each key once the watermark
-    * passes its event time + delay; a duplicate arriving later than
-    * that re-emits (the documented trade for bounded state — a
-    * day-grained key is long closed by then at a 1-hour delay).
+    * passes that key's SEEN event time + delay — not the end of its
+    * day. A (user, type, day) key first seen at 09:00 is evicted
+    * once the watermark passes ~10:00, so a duplicate later the SAME
+    * day (spaced more than the 1-hour delay in event time) RE-EMITS:
+    * the deployed append output is "first arrival per key per
+    * watermark-bounded burst", not exactly first-arrival-per-day.
+    * That intra-day re-emission is the documented trade for bounded
+    * state; consumers needing exact per-day semantics either
+    * re-distinct downstream (a daily batch `DISTINCT` over the sink,
+    * idempotent because re-emits are identical rows) or dedup on a
+    * synthetic end-of-day event time so keys stay live until their
+    * day closes (state then scales with days-in-flight).
     * Single-batch file replay (the oracle comparison) starts at
     * watermark 0, so the output equals global DISTINCT.
     */

@@ -234,13 +234,17 @@ object Similarity {
     * [[ivfTopK]] (d19) is the contract-holding path.
     *
     * Note: adaptive sizing runs one `corpus.count()` (parquet
-    * metadata-only when the corpus is a plain scan) before planning.
+    * metadata-only when the corpus is a plain scan, a full job on a
+    * filtered/derived plan) before planning — callers that already
+    * hold the size pass `knownCount` to skip it (same escape-hatch
+    * shape as [[graft.dedup.Dedup.chooseBanding]]).
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
       k: Int, planes: Int = 0, tables: Int = 0, probeRadius: Int = 2,
-      targetOccupancy: Int = 32, dims: Int = 64): DataFrame = {
+      targetOccupancy: Int = 32, dims: Int = 64,
+      knownCount: Option[Long] = None): DataFrame = {
     val p = if (planes > 0) planes
-      else adaptivePlanes(corpus.count(), targetOccupancy)
+      else adaptivePlanes(knownCount.getOrElse(corpus.count()), targetOccupancy)
     val t = if (tables > 0) tables else adaptiveTables(p)
     // cosine is scored on the pre-dedup matches (a duplicate match
     // re-scores one 64-dim dot — cheap) so the dedup shuffle moves
@@ -285,16 +289,25 @@ object Similarity {
     * would return quietly degraded recall (its scaladoc documents the
     * envelope but nothing enforced it); this entry makes the
     * documented routing real. One `corpus.count()` decides (metadata-
-    * only on a plain scan) and is reused as the adaptive-plane input
-    * on the LSH side, so routing adds no extra job. The route taken
-    * is logged either way; `annMaxCorpus` overrides the boundary
-    * (tests pin a small one).
+    * only on a plain scan, a full job on a filtered/derived plan —
+    * callers already holding the size pass `knownCount` and no count
+    * job runs) and is reused as the adaptive-plane input on the LSH
+    * side, so routing adds no extra job. The counted frame is the RAW
+    * corpus: null/zero-norm vectors that both paths subsequently
+    * exclude are counted, so on a dirty corpus the boundary is
+    * approximate by the dirty fraction — acceptable because the
+    * envelope edge itself is an order-of-magnitude measurement, not a
+    * precise cliff; count the pre-filtered frame (and pass it as both
+    * `corpus` and `knownCount`) when precision near the boundary
+    * matters. The route taken is logged either way; `annMaxCorpus`
+    * overrides the boundary (tests pin a small one).
     */
   def annOrIvfTopK(queries: DataFrame, corpus: DataFrame, id: String,
       vec: String, k: Int, probeRadius: Int = 2, targetOccupancy: Int = 32,
       dims: Int = 64, kCentroids: Int = 0, nprobe: Int = 4,
-      annMaxCorpus: Long = AnnMaxCorpus): DataFrame = {
-    val n = corpus.count()
+      annMaxCorpus: Long = AnnMaxCorpus,
+      knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(corpus.count())
     if (routesToIvf(n, annMaxCorpus)) {
       // sqrt(N) centroids keep expected list depth ~sqrt(N): the
       // probe-side work per query is nprobe·sqrt(N) — sublinear —

@@ -89,8 +89,15 @@ object StatefulEwma extends Serializable {
     } else {
       def update(userId: Long, rows: Iterator[Reading],
           state: GroupState[State]): EwmaRow =
-        fold(userId, rows, state)
-          .getOrElse(EwmaRow(userId, state.get.n, state.get.ewma))
+        fold(userId, rows, state).getOrElse {
+          // Unreachable under NoTimeout (the function is only invoked
+          // with data rows), but if dispatch ever changes, fail with
+          // the cause instead of state.get's bare NoSuchElement.
+          val st = state.getOption.getOrElse(throw new IllegalStateException(
+            s"StatefulEwma: no rows and no state for key $userId " +
+              "(unexpected invocation under NoTimeout)"))
+          EwmaRow(userId, st.n, st.ewma)
+        }
       readings.groupByKey(_.user_id)
         .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
     }

@@ -17,6 +17,8 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Input selector: the same downstream plan (watermarks, windows,
     * enrichment, sinks) runs unchanged on a file-backed stream
     * (local/tests) or a Kafka topic (production IoT ingestion) —
@@ -55,9 +57,21 @@ object StreamingOps {
     // Streams need the schema up front; one static footer peek picks
     // the ts encoding (long nanos vs native timestamp) so the stream
     // schema matches the files instead of assuming one generator.
+    // The stream schema FREEZES here: if the peek fails (empty dir —
+    // files arrive only after start) the long-nanos assumption is a
+    // guess, and native-micros files arriving later will fail the
+    // frozen schema at runtime — so the fallback is logged loudly
+    // rather than silently assumed.
     val tsType =
       try s.read.option("pathGlobFilter", glob).parquet(dir).schema("ts").dataType
-      catch { case _: Exception => LongType }
+      catch {
+        case e: Exception =>
+          logger.warn(s"readEventsStream: footer peek failed for $dir/$glob " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); assuming " +
+            "legacy INT64-nanos ts encoding — if native TIMESTAMP files " +
+            "arrive after start, restart the stream so the schema re-probes")
+          LongType
+      }
     val raw = s.readStream
       .schema(eventsSchema(tsType))
       .option("pathGlobFilter", glob)

@@ -88,6 +88,36 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("knownCount suppresses the adaptive-sizing/routing count job") {
+    // Proof by poison: a corpus whose evaluation throws. Any eager
+    // job over the corpus during planning fails the call itself, so
+    // if annTopK / annOrIvfTopK return a plan at all, no count job
+    // ran. (The returned plan is never executed here — the poison
+    // only guards the planning phase.)
+    val boom = udf { () =>
+      throw new RuntimeException("count job ran over the corpus"); true
+    }
+    val poisoned = emb.filter(boom())
+    val queries = emb.filter(col("vec_id") < 5)
+    val n = emb.count()
+    // with knownCount: both entries plan without touching data
+    Similarity.annTopK(queries, poisoned, "vec_id", "embedding", 3,
+      knownCount = Some(n))
+    Similarity.annOrIvfTopK(queries, poisoned, "vec_id", "embedding", 3,
+      knownCount = Some(n))
+    // (routing past the boundary with a supplied size is covered by
+    // the boundary test above via routesToIvf — the IVF side's eager
+    // centroid build would touch the poison, so only the LSH-side
+    // plans are asserted here)
+    // without knownCount: the sizing count runs and hits the poison
+    intercept[Exception] {
+      Similarity.annOrIvfTopK(queries, poisoned, "vec_id", "embedding", 3)
+    }
+    intercept[Exception] {
+      Similarity.annTopK(queries, poisoned, "vec_id", "embedding", 3)
+    }
+  }
+
   test("kmeans quantizer adapts to clustered data where lowid centroids cannot") {
     // The d19 upgrade contract, demonstrated where it matters: a
     // corpus whose low id range is BIASED (all 16 lowest ids sit in
