@@ -788,7 +788,13 @@ object TrainingDataQueries {
       k = 5, kCentroids = 16, nprobe = 4)
   }
 
-  val d19Sql: String =
+  /** The deterministic IVF oracle (seeded kmeans quantizer, one
+    * exact-BIGINT Lloyd step, nprobe=4) shared by d19 (fused
+    * build+probe) and d37 (persisted index + probe) — the two
+    * operators compute the same function, so the oracle is one
+    * builder parameterized by the query-set modulus and k.
+    */
+  private def ivfOracleSql(qMod: Int, k: Int): String =
     s"""WITH vn AS (
        |  SELECT vec_id,
        |    list_transform(embedding, ed_x -> CAST(ed_x AS DOUBLE)) AS e
@@ -834,7 +840,7 @@ object TrainingDataQueries {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${duckDot("q.e", "c.ce")} / (q.nrm * c.cnrm) DESC,
        |                 c.cid) AS crk
-       |    FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q
+       |    FROM (SELECT * FROM v WHERE vec_id % $qMod = 0) q
        |    CROSS JOIN cents c) WHERE crk <= 4),
        |scored AS (
        |  SELECT p.q_id, a.vec_id AS n_id,
@@ -848,7 +854,35 @@ object TrainingDataQueries {
        |  SELECT q_id, n_id, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
        |      AS BIGINT) AS rk
-       |  FROM scored) WHERE rk <= 5""".stripMargin
+       |  FROM scored) WHERE rk <= $k""".stripMargin
+
+  val d19Sql: String = ivfOracleSql(50, 5)
+
+  /** D37 — persisted IVF index, build-once / probe-many
+    * ([[graft.similarity.Similarity.buildIvfIndex]] /
+    * [[graft.similarity.Similarity.ivfProbe]]): same deterministic
+    * construction as d19, with the quantizer build amortized into a
+    * parquet index whose inverted lists are cid partitions (probes
+    * prune to the probed lists — the sublinear-read path a 100 TB
+    * corpus needs). The probe asserts the build parameters against
+    * the index meta; a contradiction throws rather than serving
+    * wrong-parameter results. The catalog entry exercises the full
+    * cycle (build + meta-validated probe) and its oracle is the d19
+    * builder at this entry's query set — index round-tripping must
+    * not change a single bit.
+    */
+  def d37(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_d37_${java.lang.ProcessHandle.current().pid()}").toString
+    graft.similarity.Similarity.buildIvfIndex(
+      e, "vec_id", "embedding", idx, kCentroids = 16)
+    graft.similarity.Similarity.ivfProbe(
+      e.filter(col("vec_id") % 40 === 0), idx, "vec_id", "embedding",
+      k = 4, nprobe = 4, expectQuantizer = "kmeans", expectKCentroids = 16)
+  }
+
+  val d37Sql: String = ivfOracleSql(40, 4)
 
   /** D20 — deterministic stratified sampling: per-language per-mille
     * rates (downsample dominant en, mildly thin zh, keep the rest),
@@ -1775,6 +1809,7 @@ object TrainingDataQueries {
       |FROM codes""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d37_ivf_index" -> (d37 _),
     "d36_media_thumb" -> (d36 _),
     "d35_norm_dedup" -> (d35 _),
     "d34_boilerplate_ngrams" -> (d34 _),
@@ -1813,6 +1848,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d37_ivf_index" -> d37Sql,
     "d36_media_thumb" -> d36Sql,
     "d35_norm_dedup" -> d35Sql,
     "d34_boilerplate_ngrams" -> d34Sql,

@@ -436,6 +436,19 @@ object Similarity {
       // corpus passes.
     }).persist(lvl)
     val lists = v.join(argmaxAssign(v, cents), "vid")
+    probeTopK(queries, cents, lists, id, vec, k, nprobe)
+  }
+
+  /** Shared probe stage of [[ivfTopK]] and [[ivfProbe]]: rank the
+    * broadcast centroids per query, keep the `nprobe` nearest lists,
+    * equi-join the (small, broadcast) probe set against the inverted
+    * lists on cid, exact-cosine within, window top-k. `lists` must
+    * carry (cid, vid, v, nrm) with zero-norm vectors already
+    * excluded; `cents` (cid, cv, cnrm).
+    */
+  private def probeTopK(queries: DataFrame, cents: DataFrame,
+      lists: DataFrame, id: String, vec: String, k: Int,
+      nprobe: Int): DataFrame = {
     val q = queries.select(col(id).as("q_id"), col(vec).as("qv"))
       .withColumn("qnrm", norm2(col("qv")))
       .filter(col("qnrm") > 0)
@@ -454,6 +467,104 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("q_id", "rk", "n_id", "cos")
+  }
+
+  /** Build the persisted IVF index a production similarity service
+    * probes many times without rebuilding — the amortization split
+    * d30 proved for the dedup index, applied to d19 (whose kmeans
+    * quantizer costs two broadcast corpus passes per [[ivfTopK]]
+    * call, the most expensive build step in the family). Layout at
+    * `indexDir` (all parquet, overwritten):
+    *
+    *   centroids/ (cid, cv, cnrm)        — the coarse quantizer,
+    *              kCentroids rows, broadcast at probe time
+    *   lists/     (vid, v, nrm) PARTITIONED BY (cid) — the inverted
+    *              lists as parquet partitions: a probe's cid
+    *              equi-join prunes to the probed directories
+    *              (dynamic partition pruning), so probe I/O is
+    *              O(nprobe/kCentroids) of the corpus, not a full
+    *              scan — the actual IVF win at 100 TB, where the
+    *              corpus does not fit an executor cache
+    *   meta/      (quantizer, lloyd_iters, k_centroids) — the build
+    *              parameters; [[ivfProbe]] validates caller
+    *              expectations against this row, so an index built
+    *              under one configuration cannot silently serve
+    *              another
+    *
+    * Directory count equals kCentroids (≤ 65536 at the router's √N
+    * clamp) — at boundary scale each list holds ≥ √N ≈ 2900 vectors,
+    * well above small-file territory. Zero-norm vectors are excluded
+    * at build (the [[ivfTopK]] NaN guard).
+    */
+  def buildIvfIndex(corpus: DataFrame, id: String, vec: String,
+      indexDir: String, kCentroids: Int = 16, quantizer: String = "kmeans",
+      lloydIters: Int = 1): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = corpus.select(col(id).as("vid"), col(vec).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .filter(col("nrm") > 0)
+      .persist(lvl)
+    try {
+      val cents = (quantizer match {
+        case "kmeans" => kmeansCentroids(v, kCentroids, lloydIters)
+        case "lowid" => v.orderBy("vid").limit(kCentroids)
+          .select(col("vid").as("cid"), col("v").as("cv"),
+            col("nrm").as("cnrm"))
+        case other => throw new IllegalArgumentException(
+          s"unknown quantizer: $other (kmeans|lowid)")
+      }).persist(lvl)
+      Seq((quantizer, lloydIters, kCentroids))
+        .toDF("quantizer", "lloyd_iters", "k_centroids")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/centroids")
+      v.join(argmaxAssign(v, cents), "vid")
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$indexDir/lists")
+      cents.unpersist()
+    } finally v.unpersist()
+  }
+
+  /** The (quantizer, lloydIters, kCentroids) a persisted IVF index
+    * was built with ([[buildIvfIndex]]'s meta row).
+    */
+  def ivfIndexMeta(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): (String, Int, Int) = {
+    val r = s.read.parquet(s"$indexDir/meta")
+      .select("quantizer", "lloyd_iters", "k_centroids").head()
+    (r.getString(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Probe a persisted IVF index ([[buildIvfIndex]]) — identical
+    * result to [[ivfTopK]] at the index's build parameters, with the
+    * quantizer build amortized away: probe cost is one broadcast of
+    * the kCentroids centroid rows plus a partition-pruned read of the
+    * `nprobe` probed lists per query batch. `expectQuantizer` /
+    * `expectKCentroids` / `expectLloydIters` (when supplied) are
+    * validated against the index meta and a contradiction throws —
+    * the d30 contract: parameters travel with the index, callers
+    * assert rather than assume.
+    */
+  def ivfProbe(queries: DataFrame, indexDir: String, id: String, vec: String,
+      k: Int, nprobe: Int = 4, expectQuantizer: String = "",
+      expectKCentroids: Int = 0, expectLloydIters: Int = 0): DataFrame = {
+    val s = queries.sparkSession
+    val (mq, mi, mkc) = ivfIndexMeta(s, indexDir)
+    def contradict(what: String, want: Any, got: Any): Nothing =
+      throw new IllegalStateException(
+        s"ivfProbe: index at $indexDir was built with $what=$got, " +
+          s"caller expects $want — rebuild the index or fix the caller")
+    if (expectQuantizer.nonEmpty && expectQuantizer != mq)
+      contradict("quantizer", expectQuantizer, mq)
+    if (expectKCentroids > 0 && expectKCentroids != mkc)
+      contradict("kCentroids", expectKCentroids, mkc)
+    if (expectLloydIters > 0 && expectLloydIters != mi)
+      contradict("lloydIters", expectLloydIters, mi)
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val lists = s.read.parquet(s"$indexDir/lists")
+    probeTopK(queries, cents, lists, id, vec, k, nprobe)
   }
 
   /** Near-duplicate pairs above a cosine threshold, blocked by a

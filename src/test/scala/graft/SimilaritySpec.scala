@@ -118,6 +118,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF index: probe equals fused ivfTopK, meta contradictions throw") {
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivfidx_spec_${java.lang.ProcessHandle.current().pid()}").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, kCentroids = 8)
+    val queries = emb.filter(col("vec_id") % 30 === 0)
+    val viaIndex = Similarity.ivfProbe(queries, idx, "vec_id", "embedding",
+      k = 3, nprobe = 2, expectQuantizer = "kmeans", expectKCentroids = 8,
+      expectLloydIters = 1)
+    val fused = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      k = 3, kCentroids = 8, nprobe = 2)
+    // bit-identical: index round-tripping must not change results
+    assert(viaIndex.collect().toSet == fused.collect().toSet)
+    // the probed-lists read is partition-pruned: the cid equi-join
+    // against the broadcast probe set plants a dynamic pruning
+    // subquery on the lists scan, so probe I/O is the probed
+    // directories, not the corpus
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"lists scan is not partition-pruned:\n$plan")
+    // parameters travel with the index: contradiction throws
+    intercept[IllegalStateException] {
+      Similarity.ivfProbe(queries, idx, "vec_id", "embedding", 3,
+        expectKCentroids = 16)
+    }
+    intercept[IllegalStateException] {
+      Similarity.ivfProbe(queries, idx, "vec_id", "embedding", 3,
+        expectQuantizer = "lowid")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("kmeans quantizer adapts to clustered data where lowid centroids cannot") {
     // The d19 upgrade contract, demonstrated where it matters: a
     // corpus whose low id range is BIASED (all 16 lowest ids sit in
