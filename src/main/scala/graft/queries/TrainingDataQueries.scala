@@ -1808,7 +1808,65 @@ object TrainingDataQueries {
       |    / (n - n*3//4) AS t4
       |FROM codes""".stripMargin
 
+  /** The d38 test vocabulary: a rank-ordered merge table over the
+    * corpus vocab exercising multi-level merges ("table" assembles
+    * through t+a, ta+b, tab+l, tabl+e) and partial hits inside other
+    * words ((t,a) fires inside "data", (r,o) inside "group"). The
+    * operator itself ships NO vocabulary — semantics come entirely
+    * from this caller-supplied table
+    * ([[graft.functions.Bpe.tokenCount]]).
+    */
+  private val d38Merges: Seq[(Long, String, String)] = Seq(
+    (0L, "t", "a"), (1L, "ta", "b"), (2L, "tab", "l"), (3L, "tabl", "e"),
+    (4L, "s", "c"), (5L, "sc", "a"), (6L, "sca", "n"),
+    (7L, "r", "o"), (8L, "ro", "w"),
+    (9L, "a", "g"), (10L, "ag", "g"),
+    (11L, "v", "a"), (12L, "va", "l"),
+    (13L, "t", "h"), (14L, "th", "e"))
+
+  /** D38 — merge-table-driven BPE token accounting
+    * ([[graft.functions.Bpe]]): per document, whitespace-independent
+    * word count and the BPE token count under the d38 merge table.
+    * The tokenizer-faithful upgrade of d2's whitespace proxy — what
+    * sequence packing (d26) and token budgeting actually need. Pure
+    * codegen'd column arithmetic (delimited-string replace fold);
+    * the merge table is driver-collected by contract (vocab-sized,
+    * like a broadcast dim).
+    */
+  def d38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = d38Merges.toDF("rank", "left", "right")
+    graft.functions.Bpe.tokenCount(docs(s, dir), merges, "doc_id", "text")
+  }
+
+  val d38Sql: String = {
+    val folds = d38Merges.sortBy(_._1).flatMap { case (_, l, r) =>
+      Seq.fill(graft.functions.Bpe.Passes)(s"'|$l|$r|=|$l$r|'")
+    }.mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, ws,
+       |    list_transform(ws, bp_w ->
+       |      list_reduce(
+       |        list_prepend(
+       |          '|' || regexp_replace(bp_w[1:256], '(.)', '\\1|', 'g'),
+       |          [$folds]),
+       |        (bp_acc, bp_m) -> replace(bp_acc,
+       |          split_part(bp_m, '=', 1), split_part(bp_m, '=', 2))))
+       |      AS fs
+       |  FROM w)
+       |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(coalesce(list_sum(list_transform(fs, bp_f ->
+       |    length(bp_f) - length(replace(bp_f, '|', '')) - 1)), 0) AS BIGINT)
+       |    AS n_tokens
+       |FROM f""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "d38_bpe_tokens" -> (d38 _),
     "d37_ivf_index" -> (d37 _),
     "d36_media_thumb" -> (d36 _),
     "d35_norm_dedup" -> (d35 _),
@@ -1848,6 +1906,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d38_bpe_tokens" -> d38Sql,
     "d37_ivf_index" -> d37Sql,
     "d36_media_thumb" -> d36Sql,
     "d35_norm_dedup" -> d35Sql,

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bpe
+
+/** Merge-table-driven BPE (d38): the declarative replace-fold must
+  * agree with a naive per-word Scala reference on randomized words
+  * and randomized (progressively compounded) merge tables — the
+  * all-merged normal form is unique for distinct-sided merges, so
+  * token SEQUENCES (not just counts) must match exactly.
+  */
+class BpeSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  /** Canonical reference: merges in rank order; each merge replaces
+    * adjacent pairs left-to-right, repeated to fixpoint (equivalent
+    * to merge-every-occurrence, since distinct sides make
+    * occurrences disjoint).
+    */
+  private def applyMerge(syms: Vector[String], l: String,
+      r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def naive(word: String, merges: Seq[(String, String)],
+      cap: Int = Bpe.WordCapDefault): Vector[String] =
+    merges.foldLeft(word.take(cap).map(_.toString).toVector) {
+      case (s, (l, r)) =>
+        var cur = s
+        var nxt = applyMerge(cur, l, r)
+        while (nxt != cur) { cur = nxt; nxt = applyMerge(cur, l, r) }
+        nxt
+    }
+
+  private def sparkTokens(words: Seq[String],
+      merges: Seq[(String, String)]): Map[String, Vector[String]] = {
+    import spark.implicits._
+    val df = words.toDF("text")
+      .select(col("text"), Bpe.encodeDelimited(col("text"), merges).as("enc"))
+    df.collect().map { r =>
+      val enc = r.getSeq[String](1)
+      assert(enc.length == 1, s"one word must stay one word: $enc")
+      (r.getString(0),
+        enc.head.split('|').filter(_.nonEmpty).toVector)
+    }.toMap
+  }
+
+  test("replace-fold equals naive reference on random words and vocabs") {
+    val rnd = new scala.util.Random(4711)
+    val alphabet = Vector("a", "b", "c", "0")
+    for (round <- 1 to 5) {
+      // progressively compounded merge table, real-vocab style: later
+      // merges reference earlier merged symbols
+      var pool = alphabet
+      val merges = (0 until 12).flatMap { _ =>
+        val l = pool(rnd.nextInt(pool.size))
+        val r = pool(rnd.nextInt(pool.size))
+        if (l == r || (l + r).length > 6) None
+        else { pool = pool :+ (l + r); Some((l, r)) }
+      }
+      // words biased toward long same-ish runs and merge-heavy chains
+      val words = (1 to 40).map { _ =>
+        val len = 1 + rnd.nextInt(if (rnd.nextBoolean()) 20 else 300)
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+      }.distinct
+      val got = sparkTokens(words, merges)
+      for (w <- words) {
+        assert(got(w) == naive(w, merges),
+          s"round=$round merges=$merges word=<$w>")
+      }
+    }
+  }
+
+  test("tokenCount: counts, word caps, empty and no-word docs") {
+    import spark.implicits._
+    val merges = Seq((0L, "a", "b"), (1L, "ab", "c")).toDF("rank", "left", "right")
+    val docs = Seq(
+      (1L, "abc abc xyz"),       // abc -> 1 token each, xyz -> 3
+      (2L, "ABC, a-b!c"),        // case-folded; punctuation splits words
+      (3L, "!!! ..."),           // no [a-z0-9] words at all
+      (4L, ""),                  // empty text
+      (5L, "a" * 600)            // capped at 256 symbols, no merges fire
+    ).toDF("doc_id", "text")
+    val out = Bpe.tokenCount(docs, merges, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 5L)))      // 1 + 1 + 3
+    // "abc" merges to 1; "a" 1; "b" 1; "c" 1
+    assert(out(2L) == ((4L, 4L)))
+    assert(out(3L) == ((0L, 0L)))
+    assert(out(4L) == ((0L, 0L)))
+    assert(out(5L) == ((1L, 256L)))
+  }
+
+  test("same-symbol merges are rejected (order-sensitive pairing)") {
+    import spark.implicits._
+    val merges = Seq((0L, "a", "a")).toDF("rank", "left", "right")
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Bpe.tokenCount(docs, merges, "doc_id", "text").collect()
+    }
+  }
+
+  test("rank order matters and is honored") {
+    import spark.implicits._
+    // (b,c) first starves (a,b): "abc" -> a + bc; reversed ranks give
+    // ab + c
+    val m1 = Seq((0L, "b", "c"), (1L, "a", "b")).toDF("rank", "left", "right")
+    val m2 = Seq((0L, "a", "b"), (1L, "b", "c")).toDF("rank", "left", "right")
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    val t1 = Bpe.tokenCount(docs, m1, "doc_id", "text").head().getLong(2)
+    val t2 = Bpe.tokenCount(docs, m2, "doc_id", "text").head().getLong(2)
+    assert(t1 == 2L && t2 == 2L)
+    val e1 = docs.select(Bpe.encodeDelimited(col("text"),
+      Bpe.collectMerges(m1)).as("e")).head().getSeq[String](0).head
+    val e2 = docs.select(Bpe.encodeDelimited(col("text"),
+      Bpe.collectMerges(m2)).as("e")).head().getSeq[String](0).head
+    assert(e1 == "|a|bc|")
+    assert(e2 == "|ab|c|")
+  }
+}
