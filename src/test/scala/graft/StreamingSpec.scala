@@ -349,6 +349,135 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("c9's deployed append form: finalized windows equal the batch result and window state evicts") {
+    // The catalog runs c9 in complete mode (the memory-sink oracle
+    // needs every window); the DEPLOYED form is append, where the
+    // 1-hour watermark finalizes and evicts each 6-hour window. This
+    // pins the append form's contract: its output is exactly the
+    // batch aggregation restricted to closed windows, and the window
+    // state does not accumulate as windows stream by.
+    import graft.queries.QueryUtil.moneySum
+    val dir = java.nio.file.Files.createTempDirectory("graft_c9_append").toString
+    val ns = 1000000L * 1000
+    val h = 3600L
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+    val stream = spark.readStream
+      .schema(StreamingOps.eventsSchema())
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+    val batches = Seq(
+      Seq((1L, 1 * h * ns, 10L, "click", 1.5, "{}"),   // W[0,6h)
+          (2L, 2 * h * ns, 11L, "click", 2.5, "{}"),   // W[0,6h)
+          (3L, 8 * h * ns, 10L, "click", 4.0, "{}")),  // W[6,12h)
+      Seq((4L, 20 * h * ns, 12L, "click", 8.0, "{}")), // W[18,24h)
+      Seq((5L, 40 * h * ns, 13L, "click", 16.0, "{}"))) // W[36,42h) — stays open
+    writeBatch(dir, "b1", batches.head)
+    val q = agg(stream).writeStream.format("memory")
+      .queryName("c9_append").outputMode("append").start()
+    try {
+      val stateSizes = batches.zipWithIndex.map { case (b, i) =>
+        if (i > 0) writeBatch(dir, s"b$i", b)
+        q.processAllAvailable()
+        q.recentProgress.flatMap(p => Option(p.stateOperators)).flatten
+          .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+      }
+      // final watermark = 40h - 1h; closed windows are those with
+      // end <= 39h — the batch result restricted to them IS the
+      // append output
+      import spark.implicits._
+      val all = batches.flatten
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val closedBatch = agg(all)
+        .filter(col("w_start_ms") + lit(6 * h * 1000) <= lit(39 * h * 1000))
+        .collect().map(_.toSeq).toSet
+      val appended = spark.table("c9_append").collect().map(_.toSeq).toSet
+      assert(appended == closedBatch,
+        s"append output != batch result on closed windows:\n" +
+          s"append=$appended\nbatch=$closedBatch")
+      // windows evict as they finalize: never more than the two
+      // windows ever simultaneously open, and exactly the one open
+      // window at the end — state does not grow with window count
+      assert(stateSizes.max <= 2 && stateSizes.last == 1L,
+        s"window state must evict on finalization: $stateSizes")
+    } finally q.stop()
+  }
+
+  test("soak: churning key population leaves plateaued state in Sessionizer and StatefulEwma") {
+    // The bounded-state argument as a measured invariant: keys
+    // appear, emit, and go silent batch after batch; if event-time
+    // eviction works, the state-store row count plateaus at ~one
+    // batch's key cohort while the cumulative key count grows
+    // unboundedly. 12 batches x 5 fresh keys, each cohort 2 events,
+    // cohorts spaced far past (gap + watermark delay).
+    import spark.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val ns = 1000000L * 1000
+    val nBatches = 12
+    val cohort = 5
+    def rows(i: Int): Seq[(Long, Long, Long, String, Double, String)] =
+      (0 until cohort).flatMap { k =>
+        val uid = 100L + i * cohort + k
+        val base = (1000L + i * 4000L) * ns // 4000 s apart >> 30 min gap
+        Seq((i * 100L + k * 2 + 1, base, uid, "click", 1.0, "{}"),
+          (i * 100L + k * 2 + 2, base + 10 * ns, uid, "click", 3.0, "{}"))
+      }
+
+    def soak(mkQuery: (String, String) => org.apache.spark.sql.streaming.StreamingQuery,
+        name: String): Seq[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_soak_$name").toString
+      writeBatch(dir, "b0", rows(0))
+      val q = mkQuery(dir, name)
+      try {
+        (0 until nBatches).map { i =>
+          if (i > 0) writeBatch(dir, s"b$i", rows(i))
+          q.processAllAvailable()
+          assert(q.exception.isEmpty, s"$name query failed: ${q.exception}")
+          q.recentProgress.flatMap(p => Option(p.stateOperators)).flatten
+            .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+        }
+      } finally q.stop()
+    }
+
+    def readings(dir: String) = spark.readStream
+      .schema(StreamingOps.eventsSchema())
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 second")
+
+    val sessSizes = soak((dir, name) =>
+      graft.streaming.Sessionizer.sessionize(
+          readings(dir).select(col("user_id"), col("ts"))
+            .as[graft.streaming.Sessionizer.Reading], gapMinutes = 30).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start(), "sess_soak")
+    // plateau: never more than two cohorts' open sessions live at
+    // once (current cohort + the one the watermark hasn't crossed
+    // yet), ending at exactly the final cohort — while 60 distinct
+    // keys streamed through
+    assert(sessSizes.max <= 2L * cohort && sessSizes.last == cohort.toLong,
+      s"sessionizer state must plateau: $sessSizes")
+    // every retired cohort's session was emitted via timeout; only
+    // the final cohort's sessions remain open
+    assert(spark.table("sess_soak").count() == ((nBatches - 1) * cohort).toLong)
+
+    val ewmaSizes = soak((dir, name) =>
+      graft.streaming.StatefulEwma.ewma(
+          readings(dir)
+            .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+            .as[graft.streaming.StatefulEwma.Reading],
+          alpha = 0.1, idleMinutes = 30).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("update")
+        .start(), "ewma_soak")
+    assert(ewmaSizes.max <= 2L * cohort && ewmaSizes.last == cohort.toLong,
+      s"ewma state must plateau: $ewmaSizes")
+  }
+
   test("EWMA idle TTL evicts silent keys; a returning key cold-starts") {
     import spark.implicits._
     implicit val sp: org.apache.spark.sql.SparkSession = spark
