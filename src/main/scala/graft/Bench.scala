@@ -139,7 +139,23 @@ object Bench {
           .mkString("[", ",", "]")
         s"\"" + k + s"\":{\"runs\":$runs,\"memo_hits\":$hits,\"tune_sec\":$secs}"
       }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"stream_startup":$streamStartup,"tuner":$tuner,"sf":"$sfDir"}"""
+    // Testdata provenance: the driver regenerated /root/testdata
+    // mid-round-10 (ts encoding changed), which makes cross-generation
+    // bench comparisons silently meaningless. Fingerprint the input
+    // files (name, size, mtime-ms — content-stable enough to detect a
+    // regeneration, cheap enough to run every bench) so any two
+    // BENCH_*.json are comparable iff their fingerprints match.
+    val fp = {
+      val files = Option(new java.io.File(canon(sfDir)).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val desc = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("\n")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(desc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.map("%02x".format(_)).mkString
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"stream_startup":$streamStartup,"tuner":$tuner,"sf":"$sfDir","testdata_fp":"$fp"}"""
     println(json)
     // Persist the complete per-query map: stdout capture can truncate
     // (round-3's file lost the tail of the 90-key line), a file can't.

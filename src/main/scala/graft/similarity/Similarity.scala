@@ -283,6 +283,27 @@ object Similarity {
   def routesToIvf(corpusSize: Long, annMaxCorpus: Long = AnnMaxCorpus): Boolean =
     corpusSize > annMaxCorpus
 
+  /** Probed-list count for the routed IVF configuration: √kc, floor
+    * 4. A FIXED nprobe collapses on hard corpora as kc grows with √N
+    * — measured (IvfCheck r11, 64-dim synthetic): at nprobe=4 the
+    * probed fraction is 4/kc and unclustered recall@3 falls 0.168
+    * (200k, kc=448) → 0.137 (1M, kc=1000), an order below the LSH
+    * side's 0.6 contract — the router would route INTO a worse
+    * operator. √kc holds the probed fraction at kc^(-1/2) = N^(-1/4):
+    * per-query work nprobe·N/kc ≈ N^(3/4) stays sublinear, worst-case
+    * unclustered recall recovers to 0.448/0.457 at the same two
+    * scales, and clustered corpora — the realistic regime past the
+    * 2^23 boundary, where vectors have neighbor structure worth
+    * finding — measure 1.000 at both nprobe=4 and √kc (1M, 1024
+    * clusters). On unclustered data NO sublinear configuration holds
+    * 0.6 (probing 25% of 1M only reaches 0.64): that is the
+    * no-neighbor-gap information limit the LSH scaladoc documents,
+    * not a tuning artifact; √kc buys the best recall the sublinear
+    * budget admits. GATE_SF1.md carries the full r11 table.
+    */
+  def adaptiveNprobe(kCentroids: Int): Int =
+    math.max(4, math.ceil(math.sqrt(kCentroids.toDouble)).toInt)
+
   /** Scale-routed ANN: multi-probe LSH ([[annTopK]]) while the corpus
     * is inside its measured recall envelope, IVF ([[ivfTopK]]) past
     * it. annTopK alone would not fail loudly at 10⁷ vectors — it
@@ -304,21 +325,25 @@ object Similarity {
     */
   def annOrIvfTopK(queries: DataFrame, corpus: DataFrame, id: String,
       vec: String, k: Int, probeRadius: Int = 2, targetOccupancy: Int = 32,
-      dims: Int = 64, kCentroids: Int = 0, nprobe: Int = 4,
+      dims: Int = 64, kCentroids: Int = 0, nprobe: Int = 0,
       annMaxCorpus: Long = AnnMaxCorpus,
       knownCount: Option[Long] = None): DataFrame = {
     val n = knownCount.getOrElse(corpus.count())
     if (routesToIvf(n, annMaxCorpus)) {
-      // sqrt(N) centroids keep expected list depth ~sqrt(N): the
-      // probe-side work per query is nprobe·sqrt(N) — sublinear —
-      // while the build stays one broadcast-argmax pass.
+      // sqrt(N) centroids keep expected list depth ~sqrt(N); probed
+      // lists scale as sqrt(kc) ([[adaptiveNprobe]] — nprobe=0 means
+      // adaptive; a FIXED nprobe was measured routing into sub-LSH
+      // recall on hard corpora), so per-query probe work is
+      // nprobe·N/kc ≈ N^(3/4) — sublinear — while the build stays
+      // one broadcast-argmax pass.
       val kc = if (kCentroids > 0) kCentroids
         else math.min(65536L, math.max(16L,
           math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+      val np = if (nprobe > 0) nprobe else adaptiveNprobe(kc)
       logger.info(s"ANN routing: corpus n=$n > $annMaxCorpus — " +
         s"hyperplane LSH cannot hold recall here; routing to IVF " +
-        s"(kCentroids=$kc, nprobe=$nprobe)")
-      ivfTopK(queries, corpus, id, vec, k, kCentroids = kc, nprobe = nprobe)
+        s"(kCentroids=$kc, nprobe=$np)")
+      ivfTopK(queries, corpus, id, vec, k, kCentroids = kc, nprobe = np)
     } else {
       val p = adaptivePlanes(n, targetOccupancy)
       logger.info(s"ANN routing: corpus n=$n <= $annMaxCorpus — " +

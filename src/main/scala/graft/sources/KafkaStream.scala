@@ -67,8 +67,27 @@ object KafkaStream {
 
   /** Kafka `value` JSON bytes → schema-enforced sensor events with
     * event-time `ts` (µs timestamp, same normalization as the file
-    * source). Undecodable payloads are dropped (null struct filter)
-    * rather than failing the query.
+    * source).
+    *
+    * Corrupt-record policy (pinned in KafkaStreamSpec's policy
+    * matrix — the query NEVER fails on payload content):
+    *
+    *   - ENVELOPE damage drops the record: non-JSON garbage, a JSON
+    *     `null` literal, an empty payload, or a parseable object
+    *     missing `event_id` (the identity without which the row
+    *     cannot be attributed, deduped, or audited) — all fall to
+    *     the null-struct / null-event_id filter.
+    *   - FIELD damage keeps the record: a type-mismatched or absent
+    *     non-identity field (e.g. `value: "abc"`) becomes a null
+    *     COLUMN (from_json's partial-result PERMISSIVE mode), and
+    *     the record flows on — the downstream integrity filter
+    *     (A2 / sensorFileSinkJob's value guard) is the single place
+    *     that quarantines semantic nulls, same as for file-sourced
+    *     rows. Unknown extra fields are ignored.
+    *
+    * Dropping at decode rather than failing is the streaming twin of
+    * the PERMISSIVE-quarantine batch ingest; a poison payload in a
+    * production topic must not wedge the query into a crash loop.
     */
   def decodeSensorJson(raw: DataFrame): DataFrame =
     raw

@@ -62,6 +62,52 @@ class KafkaStreamSpec extends AnyFunSuite {
     assert(got(0).getDouble(4) == 1.5)
   }
 
+  test("corrupt-record policy matrix: envelope damage drops, field damage nulls") {
+    // The full decode policy, pinned case by case (scaladoc on
+    // decodeSensorJson): a poison payload must never fail the query;
+    // envelope-level damage silently drops the record; field-level
+    // damage nulls the field and leaves quarantine to the downstream
+    // integrity filter.
+    val dir = java.nio.file.Files.createTempDirectory("graft_kafka_policy").toString
+    val payloads = Seq(
+      /* kept, fully valid   */ """{"event_id":1,"ts":1000,"user_id":10,"event_type":"click","value":1.5,"props":"{}"}""",
+      /* dropped: not JSON   */ """%%% total garbage %%%""",
+      /* dropped: JSON null  */ """null""",
+      /* dropped: no id      */ """{"ts":1000,"user_id":11,"event_type":"view","value":2.0,"props":"{}"}""",
+      /* kept: extra field   */ """{"event_id":2,"ts":2000,"user_id":12,"event_type":"view","value":2.5,"props":"{}","debug":true}""",
+      /* kept: bad value type*/ """{"event_id":3,"ts":3000,"user_id":13,"event_type":"click","value":"not-a-double","props":"{}"}""",
+      /* kept: missing value */ """{"event_id":4,"ts":4000,"user_id":14,"event_type":"click","props":"{}"}""",
+      /* dropped: empty      */ """""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/batch.txt"),
+      payloads.mkString("\n").getBytes("UTF-8"))
+    val raw = spark.readStream.text(dir)
+      .select(col("value").cast("binary").as("value"))
+    val q = KafkaStream.decodeSensorJson(raw)
+      .writeStream.format("memory")
+      .queryName("kafka_policy").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"poison payload failed the query: ${q.exception}")
+      val got = spark.table("kafka_policy").orderBy("event_id")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      assert(got.toSeq == Seq(
+        (1L, Some(1.5)),   // valid survives intact
+        (2L, Some(2.5)),   // extra field ignored
+        (3L, None),        // type-mismatched field -> null column
+        (4L, None)),       // absent field -> null column
+        s"policy matrix mismatch: ${got.toSeq}")
+      // and the null-valued survivors are exactly what the standard
+      // integrity filter quarantines downstream
+      val clean = spark.table("kafka_policy")
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          col("value").between(0.0, 1e6))
+        .collect().map(_.getLong(0)).sorted
+      assert(clean.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("readSensorSource selects between file and kafka sources") {
     val viaSelector = StreamingOps.readSensorSource(spark,
       StreamingOps.FileSource(sf))

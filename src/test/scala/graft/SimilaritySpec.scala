@@ -83,9 +83,20 @@ class SimilaritySpec extends AnyFunSuite {
       k = 3, annMaxCorpus = n - 1) // n > bound: routes to IVF
     val kc = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     val ivfRef = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 3,
-      kCentroids = kc, nprobe = 4)
+      kCentroids = kc, nprobe = Similarity.adaptiveNprobe(kc))
     assert(viaIvf.collect().toSet == ivfRef.collect().toSet)
     spark.catalog.clearCache()
+  }
+
+  test("routed IVF probes sqrt(kc) lists — the r11 nprobe-scaling rule") {
+    // fixed nprobe=4 measured 0.137-0.168 recall@3 on hard corpora at
+    // the routed kc=sqrt(N) (IvfCheck r11) — the rule is probed
+    // fraction kc^(-1/2), floor 4, and these pins keep it deployed
+    assert(Similarity.adaptiveNprobe(16) == 4)
+    assert(Similarity.adaptiveNprobe(142) == 12)
+    assert(Similarity.adaptiveNprobe(448) == 22)
+    assert(Similarity.adaptiveNprobe(1000) == 32)
+    assert(Similarity.adaptiveNprobe(65536) == 256)
   }
 
   test("knownCount suppresses the adaptive-sizing/routing count job") {
