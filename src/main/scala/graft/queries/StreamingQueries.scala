@@ -55,9 +55,11 @@ object StreamingQueries {
     * That intra-day re-emission is the documented trade for bounded
     * state; consumers needing exact per-day semantics either
     * re-distinct downstream (a daily batch `DISTINCT` over the sink,
-    * idempotent because re-emits are identical rows) or dedup on a
-    * synthetic end-of-day event time so keys stay live until their
-    * day closes (state then scales with days-in-flight).
+    * idempotent because re-emits are identical rows) or use
+    * [[graft.streaming.StreamingOps.dedupFirstPerDay]], which dedups
+    * on a synthetic end-of-day event time so keys stay live until
+    * their day closes (state then scales with ~3 day-cohorts;
+    * closed-day stragglers are discarded rather than re-emitted).
     * Single-batch file replay (the oracle comparison) starts at
     * watermark 0, so the output equals global DISTINCT.
     */

@@ -108,6 +108,48 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** EXACT first-arrival-per-calendar-day streaming dedup — the
+    * bounded-state alternative c10's scaladoc points consumers at
+    * when intra-day re-emission is unacceptable.
+    *
+    * `dropDuplicatesWithinWatermark` on the raw event time evicts a
+    * key once the watermark passes its SEEN time + delay, so a
+    * duplicate later the same day re-emits (c10's documented trade).
+    * Here the dedup's event-time column is SYNTHETIC — the row's
+    * end-of-day instant (next midnight − 1 µs), watermarked with
+    * `24 + latenessHours` hours of delay — so a (user, type, day)
+    * key stays live at least until its day closes plus the lateness
+    * budget:
+    *
+    *   - within-day duplicates are suppressed exactly, however far
+    *     apart in event time — the key cannot evict mid-day;
+    *   - a row of an already-CLOSED day (watermark past its
+    *     day_end) is dropped as late — discarded, never re-emitted,
+    *     so the output carries at most one row per key per day under
+    *     ANY arrival order (c10 instead re-emits such rows);
+    *   - state stays bounded: a key's expiry is day_end + delay and
+    *     the watermark trails the newest day_end by the same delay,
+    *     so eviction lands ~two delay-spans after day close — the
+    *     state horizon is ~⌈2·(24 + latenessHours)/24⌉ + 1 ≈ 3
+    *     day-cohorts of keys, independent of stream lifetime
+    *     (StreamingSpec measures the plateau).
+    *
+    * The day boundary is the session time zone's (UTC in this
+    * engine — [[graft.engine.Session]] pins it).
+    */
+  def dedupFirstPerDay(events: DataFrame, latenessHours: Int = 1)
+      : DataFrame = {
+    require(latenessHours >= 0, s"latenessHours must be >= 0: $latenessHours")
+    events
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (date_add(col("ts").cast("date"), 1).cast("timestamp")
+          - expr("INTERVAL 1 MICROSECOND")).as("day_end"))
+      .withWatermark("day_end", s"${24 + latenessHours} hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      .select("user_id", "event_type", "day")
+  }
+
   /** Run a streaming frame to completion against the currently
     * available data and return the result as a batch table
     * (memory sink + processAllAvailable). Local-test harness only;

@@ -478,6 +478,60 @@ class StreamingSpec extends AnyFunSuite {
       s"ewma state must plateau: $ewmaSizes")
   }
 
+  test("dedupFirstPerDay: no intra-day re-emission, per-day keys, state evicts after day close") {
+    // The exact-per-day alternative to c10: a duplicate arriving far
+    // later the SAME day (where c10's raw-time eviction would have
+    // already forgotten the key and re-emitted) must stay suppressed;
+    // the same key next day emits again; and day cohorts still evict
+    // once the watermark passes their day close.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dayexact").toString
+    val ns = 1000000L * 1000
+    val h = 3600L
+    val day = 24 * h
+    val stream = spark.readStream
+      .schema(StreamingOps.eventsSchema())
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    writeBatch(dir, "b1", Seq((1L, 9 * h * ns, 10L, "click", 1.0, "{}")))
+    val q = StreamingOps.dedupFirstPerDay(stream)
+      .writeStream.format("memory")
+      .queryName("day_exact").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // 9h later the same day — c10's raw scheme (1h delay) would
+      // have evicted the key at ~10:00 and re-emitted; exact-per-day
+      // must not. A second key proves the batch isn't dropped whole.
+      writeBatch(dir, "b2", Seq(
+        (2L, 18 * h * ns, 10L, "click", 2.0, "{}"),
+        (3L, 18 * h * ns, 11L, "click", 3.0, "{}")))
+      q.processAllAvailable()
+      // next day: same key emits for the new day
+      writeBatch(dir, "b3", Seq(
+        (4L, (day + 12 * h) * ns, 10L, "click", 4.0, "{}")))
+      q.processAllAvailable()
+      // day 4: watermark (= day4's day_end - 25h) passes day 1's
+      // expiry (day1_end + 25h) -> day-1 cohort evicted
+      writeBatch(dir, "b4", Seq(
+        (5L, (3 * day + 12 * h) * ns, 12L, "click", 5.0, "{}")))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      val got = spark.table("day_exact")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set(
+        (10L, "click", "1970-01-01"),
+        (11L, "click", "1970-01-01"),
+        (10L, "click", "1970-01-02"),
+        (12L, "click", "1970-01-04")),
+        s"exact per-day set mismatch: $got")
+      val st = q.recentProgress.flatMap(p => Option(p.stateOperators))
+        .flatten.lastOption.map(_.numRowsTotal)
+      // day-1's three keys must be gone; at most day-2's and day-4's
+      // remain
+      assert(st.exists(_ <= 2L),
+        s"day-1 cohort must have evicted, state=$st")
+    } finally q.stop()
+  }
+
   test("EWMA idle TTL evicts silent keys; a returning key cold-starts") {
     import spark.implicits._
     implicit val sp: org.apache.spark.sql.SparkSession = spark
