@@ -1012,4 +1012,59 @@ object Dedup {
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Corpus-level duplicated-span removal — the C4/RefinedWeb "line
+    * dedup" cleaning pass (C4 drops every repeated three-sentence
+    * span but its first occurrence; RefinedWeb/Dolma do the same at
+    * line grain). The synthetic corpus has no line structure, so the
+    * span unit is `width` consecutive whitespace tokens
+    * (non-overlapping); of all occurrences of a span across the WHOLE
+    * corpus, only the first — minimum `(id, seg_idx)` — survives, and
+    * each document is reassembled from its surviving spans in order.
+    *
+    * Returns one row per document: `n_spans`, `kept_spans`, and
+    * `new_text_md5` (md5 of the space-joined surviving spans; empty
+    * string when none survive) — the narrow shape keeps the output
+    * checkable without shipping rebuilt text; production callers
+    * wanting the text swap the final md5 for the `array_join` itself.
+    *
+    * Scale: the first-occurrence owner per span is a single
+    * `groupBy(span_key).agg(min(struct(id, seg_idx)))` — a partial
+    * (map-side) aggregation, so a boilerplate span repeated a billion
+    * times collapses per-task before the shuffle, unlike a
+    * row_number window over the span key (no partial agg, hot-key
+    * partition). The mark-keepers join back on `span_key` is a plain
+    * equi-join AQE skew-split handles, and the rebuild is one
+    * combiner-friendly groupBy on the document id. Three
+    * hash-partitioned shuffles total, no all-pairs step anywhere.
+    */
+  def spanDedup(docs: DataFrame, id: String, text: String,
+      width: Int = 8): DataFrame = {
+    require(width >= 1, s"span width must be >= 1, got $width")
+    val keyed = docs
+      .select(col(id), split(trim(col(text)), "\\s+").as("__ws"))
+      .select(col(id), col("__ws"),
+        posexplode(sequence(lit(0), size(col("__ws")) - 1, lit(width))))
+      .select(col(id), col("pos").cast("long").as("seg_idx"),
+        array_join(slice(col("__ws"), col("col") + 1, lit(width)), " ")
+          .as("span"))
+      .withColumn("span_key", md5(col("span").cast("binary")))
+    val firsts = keyed
+      .groupBy("span_key")
+      .agg(min(struct(col(id), col("seg_idx"))).as("__first"))
+    keyed.join(firsts, "span_key")
+      .withColumn("keep",
+        col(id) === col("__first")(id) &&
+          col("seg_idx") === col("__first")("seg_idx"))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("keep").cast("long")).as("kept_spans"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("seg_idx"), col("span"))))),
+            kv => kv.getField("span")),
+          " ").cast("binary")).as("new_text_md5"))
+  }
 }

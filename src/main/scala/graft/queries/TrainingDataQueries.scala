@@ -1865,7 +1865,111 @@ object TrainingDataQueries {
        |FROM f""".stripMargin
   }
 
+  /** D39 — corpus-level duplicated-span removal
+    * ([[graft.dedup.Dedup.spanDedup]]): the C4/RefinedWeb "line
+    * dedup" cleaning pass re-grained to 8-token spans (the synthetic
+    * corpus has no line structure). Of every span's occurrences
+    * across the whole corpus only the first (min doc, then offset)
+    * survives; documents are reassembled from surviving spans and
+    * reported as (span counts, md5 of the rebuilt text).
+    */
+  def d39(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.spanDedup(docs(s, dir), "doc_id", "text", width = 8)
+
+  val d39Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |seg AS (
+      |  SELECT doc_id, CAST(sd_i AS BIGINT) AS seg_idx,
+      |    array_to_string(
+      |      ws[CAST(sd_i*8+1 AS INT):CAST(sd_i*8+8 AS INT)], ' ') AS span
+      |  FROM w, unnest(range(0, (len(ws)+7)//8)) AS t(sd_i)),
+      |m AS (
+      |  SELECT doc_id, seg_idx, span,
+      |    row_number() OVER (PARTITION BY md5(span)
+      |      ORDER BY doc_id, seg_idx) AS rn
+      |  FROM seg)
+      |SELECT doc_id, count(*) AS n_spans,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS kept_spans,
+      |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+      |    ORDER BY seg_idx), '')) AS new_text_md5
+      |FROM m GROUP BY doc_id""".stripMargin
+
+  /** D40 — source-mixture balancing
+    * ([[graft.sampling.Sampler.mixReport]]): derive the per-source
+    * per-mille rates that downsample each source toward an equal
+    * share of a half-the-corpus token budget (Pile/Dolma-style
+    * mixing), and report before/after doc+token counts. Selection is
+    * the d20 content-hash rule, so the mix is reproducible across
+    * runs and shards; all budget arithmetic is integer.
+    */
+  def d40(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Sampler.mixReport(docs(s, dir), "source", "text", "mix")
+
+  val d40Sql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok,
+       |    ${duckHash("(text || '|mix')")} % 1000 AS samp_pm
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS docs_in,
+       |    CAST(sum(tok) AS BIGINT) AS toks_in
+       |  FROM d GROUP BY source),
+       |t AS (SELECT CAST(sum(toks_in) AS BIGINT) AS tot,
+       |    CAST(count(*) AS BIGINT) AS ns FROM s),
+       |r AS (
+       |  SELECT source, docs_in, toks_in,
+       |    LEAST(1000, tot * 1 // (2 * ns) * 1000
+       |      // GREATEST(toks_in, 1)) AS rate_pm
+       |  FROM s, t)
+       |SELECT source, docs_in, toks_in, CAST(rate_pm AS BIGINT) AS rate_pm,
+       |  CAST(coalesce(sum(CASE WHEN d.samp_pm < rate_pm
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_out,
+       |  CAST(coalesce(sum(CASE WHEN d.samp_pm < rate_pm
+       |    THEN d.tok ELSE 0 END), 0) AS BIGINT) AS toks_out
+       |FROM r JOIN d USING (source)
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** The d41 test model: feature f weighs `(f*37 mod 21) - 10` —
+    * integers in [-10, 10] hitting every residue, exercising
+    * negative scores and the truncating division. The operator
+    * itself ships NO weights; semantics come entirely from the
+    * caller-supplied table ([[graft.functions.HashedLinear]]).
+    */
+  private val d41Dim = 1024
+
+  /** D41 — model-based quality gate
+    * ([[graft.functions.HashedLinear.scorePm]]): fastText-style
+    * hashed-unigram linear scorer (the CCNet / LLaMA quality-filter
+    * recipe) with caller-supplied integer weights over a 1024-bucket
+    * hashed feature space. Zero-shuffle: the model rides the plan as
+    * one array literal; the score is a codegen'd fold per row.
+    */
+  def d41(s: SparkSession, dir: String): DataFrame = {
+    val weights = s.range(0, d41Dim.toLong).select(
+      col("id").as("feature"), (col("id") * 37 % 21 - 10).as("weight"))
+    graft.functions.HashedLinear.scorePm(
+      docs(s, dir), weights, d41Dim, "doc_id", "text", thresholdPm = 0L)
+  }
+
+  val d41Sql: String =
+    s"""WITH th AS (SELECT doc_id, $duckTokenHashes AS h FROM documents),
+       |sc AS (
+       |  SELECT doc_id, CAST(len(h) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(h,
+       |      hq_h -> hq_h % $d41Dim * 37 % 21 - 10)) * 1000
+       |      // len(h) AS BIGINT) AS score_pm
+       |  FROM th)
+       |SELECT doc_id, n_tokens, score_pm, score_pm >= 0 AS keep
+       |FROM sc""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d41_hash_quality" -> (d41 _),
+    "d40_source_mix" -> (d40 _),
+    "d39_span_dedup" -> (d39 _),
     "d38_bpe_tokens" -> (d38 _),
     "d37_ivf_index" -> (d37 _),
     "d36_media_thumb" -> (d36 _),
@@ -1906,6 +2010,9 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d41_hash_quality" -> d41Sql,
+    "d40_source_mix" -> d40Sql,
+    "d39_span_dedup" -> d39Sql,
     "d38_bpe_tokens" -> d38Sql,
     "d37_ivf_index" -> d37Sql,
     "d36_media_thumb" -> d36Sql,

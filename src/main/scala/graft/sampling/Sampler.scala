@@ -1,6 +1,6 @@
 package graft.sampling
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
@@ -31,4 +31,83 @@ object Sampler {
       .withColumn("samp_pm", pmod(
         TextHash.poly_hash(concat(col(textCol), lit("|" + salt))), lit(1000L)))
       .filter(col("samp_pm") < col("rate_pm"))
+
+  /** The per-mille sampling bucket of a document — the pure
+    * content-hash function every deterministic sampler here keys on.
+    */
+  private def sampPm(textCol: String, salt: String): Column =
+    pmod(TextHash.poly_hash(concat(col(textCol), lit("|" + salt))),
+      lit(1000L))
+
+  /** Mixture balancing (Pile/Dolma-style source mixing): derive the
+    * per-stratum `rate_pm` that downsamples each stratum toward an
+    * EQUAL share of a global token budget of
+    * `totalTokens * budgetNumer / budgetDenom`. Strata below their
+    * share keep everything (rate 1000 — this operator never
+    * upsamples); oversized strata are cut to
+    * `budget_s * 1000 div toks_s`. All arithmetic is integer
+    * (BIGINT), so the derived rates are engine- and shard-stable.
+    *
+    * The corpus is scanned once, aggregated per
+    * `(stratum, samp_pm)` — at most `1000 × #strata` rows, a
+    * combiner-friendly partial agg — and every budget decision is
+    * made on that bounded frame. Feed the result straight to
+    * [[stratified]] (same `textCol`/`salt`) to materialize the
+    * sampled corpus; [[mixReport]] summarizes the decision instead.
+    */
+  def mixRates(docs: DataFrame, stratumCol: String, textCol: String,
+      salt: String, budgetNumer: Long = 1L, budgetDenom: Long = 2L): DataFrame =
+    ratesFromBuckets(tokenBuckets(docs, stratumCol, textCol, salt),
+      stratumCol, budgetNumer, budgetDenom)
+
+  /** Per-stratum before/after summary of the [[mixRates]] decision:
+    * `docs_in, toks_in, rate_pm, docs_out, toks_out`. The bounded
+    * bucket frame is persisted and reused for both the rate
+    * derivation and the selected-count roll-up, so the corpus itself
+    * is scanned exactly once.
+    */
+  def mixReport(docs: DataFrame, stratumCol: String, textCol: String,
+      salt: String, budgetNumer: Long = 1L, budgetDenom: Long = 2L): DataFrame = {
+    val buckets = tokenBuckets(docs, stratumCol, textCol, salt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rates = ratesFromBuckets(buckets, stratumCol, budgetNumer, budgetDenom)
+    buckets.join(broadcast(rates), Seq(stratumCol))
+      .groupBy(stratumCol, "docs_in", "toks_in", "rate_pm")
+      .agg(
+        sum(when(col("samp_pm") < col("rate_pm"), col("__docs"))
+          .otherwise(0L)).as("docs_out"),
+        sum(when(col("samp_pm") < col("rate_pm"), col("__toks"))
+          .otherwise(0L)).as("toks_out"))
+  }
+
+  private def ratesFromBuckets(buckets: DataFrame, stratumCol: String,
+      budgetNumer: Long, budgetDenom: Long): DataFrame = {
+    require(budgetNumer >= 0 && budgetDenom > 0,
+      s"budget fraction must be >= 0 with a positive denominator, " +
+        s"got $budgetNumer/$budgetDenom")
+    val perStratum = buckets
+      .groupBy(stratumCol)
+      .agg(sum(col("__docs")).as("docs_in"), sum(col("__toks")).as("toks_in"))
+    val totals = perStratum
+      .agg(sum(col("toks_in")).as("__tot"), count(lit(1)).as("__nstrata"))
+    perStratum.crossJoin(broadcast(totals))
+      .withColumn("rate_pm", least(lit(1000L),
+        expr(s"__tot * $budgetNumer div ($budgetDenom * __nstrata) " +
+          "* 1000 div greatest(toks_in, 1)")))
+      .select(col(stratumCol), col("docs_in"), col("toks_in"),
+        col("rate_pm"))
+  }
+
+  /** One corpus scan folded to at most `1000 × #strata` rows:
+    * document and whitespace-token counts per
+    * `(stratum, samp_pm)` cell.
+    */
+  private def tokenBuckets(docs: DataFrame, stratumCol: String,
+      textCol: String, salt: String): DataFrame =
+    docs
+      .select(col(stratumCol),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("__tok"),
+        sampPm(textCol, salt).as("samp_pm"))
+      .groupBy(stratumCol, "samp_pm")
+      .agg(count(lit(1)).as("__docs"), sum(col("__tok")).as("__toks"))
 }

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.{HashedLinear, TextHash}
+import graft.queries.TrainingDataQueries
+import graft.sampling.Sampler
+
+/** Round-11 operators: corpus-level span dedup (d39), source-mixture
+  * balancing (d40), and the hashed-feature linear quality gate (d41).
+  */
+class Round11OpsSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("spanDedup keeps only the global first occurrence of each span") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // both spans are firsts
+      (2L, "a b x y"),   // "a b" first-owned by doc 1
+      (3L, "c d a b"),   // both spans first-owned by doc 1
+      (4L, "a b c"),     // partial tail span "c" is unique
+      (5L, "p q p q")    // intra-doc repeat: second occurrence drops
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", width = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, md5hex("a b c d"))))
+    assert(out(2L) == ((2L, 1L, md5hex("x y"))))
+    // every span dropped -> rebuilt text is the empty string
+    assert(out(3L) == ((2L, 0L, md5hex(""))))
+    assert(out(4L) == ((2L, 1L, md5hex("c"))))
+    assert(out(5L) == ((2L, 1L, md5hex("p q"))))
+  }
+
+  test("d39 matches a brute-force reference on the test corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val segsOf = docs.map { case (id, text) =>
+      id -> text.trim.split("\\s+").grouped(8).map(_.mkString(" ")).toVector
+    }
+    val firstOwner = collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, segs) <- segsOf; (sp, i) <- segs.zipWithIndex)
+      if (!firstOwner.contains(sp)) firstOwner(sp) = (id, i)
+    val expect = segsOf.map { case (id, segs) =>
+      val kept = segs.zipWithIndex.filter { case (sp, i) =>
+        firstOwner(sp) == ((id, i))
+      }.map(_._1)
+      id -> ((segs.size.toLong, kept.size.toLong, md5hex(kept.mkString(" "))))
+    }.toMap
+    val got = TrainingDataQueries.d39(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expect)
+  }
+
+  test("mixRates: oversized strata cut to an equal token share, small keep all") {
+    import spark.implicits._
+    // stratum A: 10 docs x 10 tokens = 100; B: 10 x 30 = 300.
+    // budget = 400/2 = 200, equal share 100: A keeps all (rate 1000),
+    // B cut to 100*1000 div 300 = 333.
+    val docs = (0 until 10).flatMap { i =>
+      Seq(("A", (s"a$i " * 10).trim), ("B", (s"b$i " * 30).trim))
+    }.toDF("src", "text")
+    val rates = Sampler.mixRates(docs, "src", "text", "t")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rates("A") == ((10L, 100L, 1000L)))
+    assert(rates("B") == ((10L, 300L, 333L)))
+  }
+
+  test("mixReport selected counts equal the stratified sample it implies") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val report = Sampler.mixReport(docs, "source", "text", "mix")
+    val rows = report.collect()
+    // brute-force the selection rule per document
+    val rates = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    val picked = docs.select("source", "text").collect().filter { r =>
+      val pm = TextHash.polyHashStr(r.getString(1) + "|mix") % 1000
+      pm < rates(r.getString(0))
+    }
+    val wantDocsOut = picked.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    rows.foreach { r =>
+      assert(r.getLong(4) == wantDocsOut.getOrElse(r.getString(0), 0).toLong,
+        s"docs_out for ${r.getString(0)}")
+    }
+    // and the composition path returns exactly that sample
+    val sampled = Sampler.stratified(docs,
+      Sampler.mixRates(docs, "source", "text", "mix"), "source", "text", "mix")
+    assert(sampled.count() == rows.map(_.getLong(4)).sum)
+  }
+
+  test("scorePm matches brute force and pins toward-zero truncation") {
+    import spark.implicits._
+    val dim = 8
+    // doc 1 sums to -47 over 7 tokens: -47000/7 = -6714.28..., a
+    // genuinely fractional negative quotient
+    val corpus = Seq((1L, "a a a a a a d"), (2L, "x x"), (3L, "q"))
+    val docs = corpus.toDF("doc_id", "text")
+    val weights = (0 until dim).map(f => (f.toLong, f.toLong * 3 - 11))
+      .toDF("feature", "weight")
+    val wOf = weights.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = HashedLinear.scorePm(docs, weights, dim, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    corpus.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val sum = toks.map(t => wOf(TextHash.polyHashStr(t) % dim)).sum
+      // Java long division truncates toward zero — the exact
+      // semantics `div` (Spark) and `//` (DuckDB) share
+      val want = (toks.length.toLong, sum * 1000 / toks.length, sum * 1000 / toks.length >= 0)
+      assert(got(id) == want, s"doc $id")
+    }
+    // at least one case must actually exercise a negative untruncated
+    // quotient, else the truncation pin is vacuous
+    assert(got.values.exists(v => v._2 < 0 && v._2 % 1000 != 0),
+      "test vocab no longer produces a negative non-integral score; adjust weights")
+  }
+
+  test("scorePm is zero-shuffle and rejects malformed weight tables") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val weights = Seq((0L, 1L), (1L, -1L)).toDF("feature", "weight")
+    val df = HashedLinear.scorePm(docs, weights, 2, "doc_id", "text")
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "hashed-linear scoring must not shuffle")
+    intercept[IllegalArgumentException] {
+      HashedLinear.scorePm(docs,
+        Seq((0L, 1L), (0L, 2L)).toDF("feature", "weight"), 2, "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      HashedLinear.scorePm(docs,
+        Seq((5L, 1L)).toDF("feature", "weight"), 2, "doc_id", "text")
+    }
+  }
+}
