@@ -794,8 +794,17 @@ object TrainingDataQueries {
     * operators compute the same function, so the oracle is one
     * builder parameterized by the query-set modulus and k.
     */
-  private def ivfOracleSql(qMod: Int, k: Int): String =
-    s"""WITH vn AS (
+  /** Shared oracle CTE chain of every kmeans-quantizer operator
+    * (d19/d37 IVF, d42 cluster report, d43 balanced sample): the
+    * exact DuckDB twin of [[graft.similarity.Similarity.kmeansCentroids]]
+    * + argmax assignment at `kCentroids=16, lloydIters=1` on the
+    * 64-dim `embeddings` table — seeds by smallest md5(id), one
+    * exact-BIGINT Lloyd step, cosine argmax with ties to the
+    * smallest centroid id. Ends with `assign(vec_id, cid)`; callers
+    * append their own CTEs.
+    */
+  private def duckKmeansAssign: String =
+    s"""vn AS (
        |  SELECT vec_id,
        |    list_transform(embedding, ed_x -> CAST(ed_x AS DOUBLE)) AS e
        |  FROM embeddings),
@@ -833,7 +842,10 @@ object TrainingDataQueries {
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${duckDot("v.e", "c.ce")} / (v.nrm * c.cnrm) DESC,
        |                 c.cid) AS crk
-       |    FROM v CROSS JOIN cents c) WHERE crk = 1),
+       |    FROM v CROSS JOIN cents c) WHERE crk = 1)""".stripMargin
+
+  private def ivfOracleSql(qMod: Int, k: Int): String =
+    s"""WITH $duckKmeansAssign,
        |probes AS (
        |  SELECT q_id, cid FROM (
        |    SELECT q.vec_id AS q_id, c.cid,
@@ -1966,7 +1978,75 @@ object TrainingDataQueries {
        |SELECT doc_id, n_tokens, score_pm, score_pm >= 0 AS keep
        |FROM sc""".stripMargin
 
+  /** D42 — topic-clustering report
+    * ([[graft.similarity.Similarity.clusterReport]]): deterministic
+    * seeded k-means over the embedding corpus (the d19/d37 coarse
+    * quantizer as a first-class clustering operator), summarized per
+    * cluster against the `label` column — size, distinct labels,
+    * majority label, integer purity per-mille. The corpus-composition
+    * view run before mixture decisions, and the cluster-quality
+    * diagnostic behind the IVF index.
+    */
+  def d42(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Similarity.clusterReport(
+      emb(s, dir), "vec_id", "embedding", "label", kCentroids = 16)
+
+  val d42Sql: String =
+    s"""WITH $duckKmeansAssign,
+       |g AS (
+       |  SELECT a.cid, CAST(e.label AS BIGINT) AS lbl,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM assign a JOIN embeddings e USING (vec_id)
+       |  GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT cid, CAST(sum(n) AS BIGINT) AS n_vecs,
+       |    CAST(count(*) AS BIGINT) AS n_labels
+       |  FROM g GROUP BY cid),
+       |top AS (
+       |  SELECT cid, lbl, n FROM (
+       |    SELECT cid, lbl, n,
+       |      row_number() OVER (PARTITION BY cid ORDER BY n DESC, lbl)
+       |        AS rk
+       |    FROM g) WHERE rk = 1)
+       |SELECT t.cid, t.n_vecs, t.n_labels, p.lbl AS top_label,
+       |  p.n AS top_n, p.n * 1000 // t.n_vecs AS purity_pm
+       |FROM tot t JOIN top p USING (cid)""".stripMargin
+
+  /** D43 — cluster-balanced sampling
+    * ([[graft.similarity.Similarity.clusterBalancedSample]]):
+    * downsample every k-means cluster toward an equal share of a
+    * half-corpus budget — content-space mixture balancing (the d40
+    * rule applied to embedding clusters instead of a metadata
+    * column), selection by the d20 content-hash per-mille on the
+    * vector id.
+    */
+  def d43(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Similarity.clusterBalancedSample(
+      emb(s, dir), "vec_id", "embedding", kCentroids = 16)
+
+  val d43Sql: String =
+    s"""WITH $duckKmeansAssign,
+       |sz AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS nc
+       |  FROM assign GROUP BY cid),
+       |tt AS (SELECT CAST(sum(nc) AS BIGINT) AS tot,
+       |    CAST(count(*) AS BIGINT) AS ncl FROM sz),
+       |r AS (
+       |  SELECT cid, LEAST(1000, tot * 1 // (2 * ncl) * 1000
+       |    // GREATEST(nc, 1)) AS rate_pm
+       |  FROM sz, tt),
+       |p AS (
+       |  SELECT vec_id, cid,
+       |    ${duckHash("(CAST(vec_id AS VARCHAR) || '|cbal')")} % 1000
+       |      AS samp_pm
+       |  FROM assign)
+       |SELECT p.vec_id, p.cid, CAST(p.samp_pm AS BIGINT) AS samp_pm,
+       |  CAST(r.rate_pm AS BIGINT) AS rate_pm
+       |FROM p JOIN r USING (cid) WHERE p.samp_pm < r.rate_pm""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d43_cluster_sample" -> (d43 _),
+    "d42_topic_cluster" -> (d42 _),
     "d41_hash_quality" -> (d41 _),
     "d40_source_mix" -> (d40 _),
     "d39_span_dedup" -> (d39 _),
@@ -2010,6 +2090,8 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d43_cluster_sample" -> d43Sql,
+    "d42_topic_cluster" -> d42Sql,
     "d41_hash_quality" -> d41Sql,
     "d40_source_mix" -> d40Sql,
     "d39_span_dedup" -> d39Sql,

@@ -596,6 +596,96 @@ object Similarity {
     * coarse key (e.g. cluster label / LSH bucket) so the pair join
     * is an equi-join, not a cross join.
     */
+  /** Topic-clustering report over an embedded corpus: cluster every
+    * vector with the deterministic seeded k-means quantizer
+    * ([[kmeansCentroids]] — the d19/d37 coarse quantizer reused as a
+    * clustering operator in its own right) and summarize each
+    * cluster against a categorical column: member count, distinct
+    * labels, the majority label with its count, and an integer
+    * `purity_pm = top_n * 1000 div n_vecs`. The corpus-composition
+    * view a curation pipeline runs before mixture decisions ("what
+    * topics are in here, and how coherent are they") and the
+    * cluster-quality diagnostic for the IVF index (skewed or
+    * label-impure lists → poor probed recall).
+    *
+    * Ties on the majority label break to the SMALLEST label (same
+    * struct-max idiom as [[argmaxAssign]]), so the report is
+    * bit-stable and carries a full SQL oracle. Scale shape: centroids
+    * broadcast, assignment is map-side argmax; the label roll-up is
+    * two partial aggregations on frames bounded by
+    * `kCentroids × #labels` — nothing downstream of the one corpus
+    * scan is corpus-sized.
+    */
+  def clusterReport(corpus: DataFrame, id: String, vec: String,
+      labelCol: String, kCentroids: Int = 16,
+      lloydIters: Int = 1): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = corpus.select(col(id).as("vid"), col(vec).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .filter(col("nrm") > 0)
+      .persist(lvl)
+    val cents = kmeansCentroids(v, kCentroids, lloydIters).persist(lvl)
+    argmaxAssign(v, cents)
+      .join(corpus.select(col(id).as("vid"),
+        col(labelCol).cast("long").as("__lbl")), "vid")
+      .groupBy("cid", "__lbl").agg(count(lit(1)).as("__n"))
+      .groupBy("cid").agg(
+        sum(col("__n")).as("n_vecs"),
+        count(lit(1)).as("n_labels"),
+        max(struct(col("__n").as("n"), (-col("__lbl")).as("negl"))).as("__top"))
+      .select(col("cid"), col("n_vecs"), col("n_labels"),
+        (-col("__top.negl")).as("top_label"), col("__top.n").as("top_n"),
+        expr("__top.n * 1000 div n_vecs").as("purity_pm"))
+  }
+
+  /** Cluster-balanced sampling: assign vectors to k-means clusters
+    * and emit the subset that downsamples every cluster toward an
+    * EQUAL share of a `budgetNumer/budgetDenom` corpus budget — the
+    * embedding-space twin of source-mixture balancing
+    * ([[graft.sampling.Sampler.mixRates]]): where d40 balances on a
+    * metadata column, this balances on CONTENT (over-represented
+    * topics are thinned whatever their source says). Under-share
+    * clusters keep everything (never upsamples).
+    *
+    * The keep decision is `poly_hash(id || "|cbal") per-mille
+    * < rate_pm` — a pure function of the vector id (the d20/d40
+    * content-hash rule, [[graft.functions.TextHash]]), so the sample
+    * is reproducible across runs, shards, and engines. All budget
+    * arithmetic is integer on a ≤ `kCentroids`-row frame. Output:
+    * one row per surviving vector `(id, cid, samp_pm, rate_pm)`.
+    */
+  def clusterBalancedSample(corpus: DataFrame, id: String, vec: String,
+      kCentroids: Int = 16, lloydIters: Int = 1,
+      budgetNumer: Long = 1L, budgetDenom: Long = 2L): DataFrame = {
+    require(budgetNumer >= 0 && budgetDenom > 0,
+      s"budget fraction must be >= 0 with a positive denominator, " +
+        s"got $budgetNumer/$budgetDenom")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = corpus.select(col(id).as("vid"), col(vec).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .filter(col("nrm") > 0)
+      .persist(lvl)
+    val cents = kmeansCentroids(v, kCentroids, lloydIters).persist(lvl)
+    val assign = argmaxAssign(v, cents).persist(lvl)
+    val sizes = assign.groupBy("cid").agg(count(lit(1)).as("__nc"))
+    val totals = sizes.agg(sum(col("__nc")).as("__tot"),
+      count(lit(1)).as("__nclusters"))
+    val rates = sizes.crossJoin(broadcast(totals))
+      .withColumn("rate_pm", least(lit(1000L),
+        expr(s"__tot * $budgetNumer div ($budgetDenom * __nclusters) " +
+          "* 1000 div greatest(__nc, 1)")))
+      .select(col("cid"), col("rate_pm"))
+    assign
+      .withColumn("samp_pm",
+        // the d20/d40 per-mille rule on the id string: pure,
+        // engine-mirrorable (the oracle reuses its duckHash twin)
+        pmod(graft.functions.TextHash.poly_hash(
+          concat(col("vid").cast("string"), lit("|cbal"))), lit(1000L)))
+      .join(broadcast(rates), "cid")
+      .filter(col("samp_pm") < col("rate_pm"))
+      .select(col("vid").as(id), col("cid"), col("samp_pm"), col("rate_pm"))
+  }
+
   def nearDupPairs(vectors: DataFrame, id: String, vec: String,
       blockKey: String, minCos: Double): DataFrame = {
     // norms precomputed per vector (not per pair) and the table

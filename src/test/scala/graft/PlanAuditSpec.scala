@@ -205,4 +205,48 @@ class PlanAuditSpec extends AnyFunSuite {
       l.contains("Exchange hashpartitioning(q_id") && l.contains("n_id") &&
         !l.contains("vec")))
   }
+
+  test("d38: BPE token accounting is zero-shuffle scan arithmetic") {
+    assert(shuffles(plan("d38_bpe_tokens")) == 0)
+  }
+
+  test("d41: hashed-linear scoring is zero-shuffle scan arithmetic") {
+    assert(shuffles(plan("d41_hash_quality")) == 0)
+  }
+
+  test("d39: span ownership is a partial-aggregated min, not a window") {
+    val p = plan("d39_span_dedup")
+    // the first-owner step must partial-aggregate map-side (a
+    // billion-repeat boilerplate span collapses per task before the
+    // shuffle); a row_number window over span_key would hot-key
+    assert(!p.contains("Window"),
+      "span ownership must not be a window over span_key")
+    assert(p.linesIterator.exists(l =>
+      l.contains("partial_min") && l.contains("span_key")),
+      "first-owner min must have a partial (map-side) phase")
+  }
+
+  test("d40: mixture report scans the corpus once; rates broadcast") {
+    val p = plan("d40_source_mix")
+    // both consumers (rate derivation, selected-count roll-up) must
+    // read the persisted bucket frame — the corpus parquet is only
+    // scanned inside that one cached subtree (whose plan text
+    // FileScan lines are cache-build description, not extra reads)
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      "bucket frame must be built once and read from cache twice")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("d42: clustering assigns via broadcast centroids, no corpus self-join") {
+    val p = plan("d42_topic_cluster")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"),
+      "cluster assignment must not sort-merge-join the corpus")
+  }
+
+  test("d43: balanced sampling broadcasts rates over the assignment") {
+    val p = plan("d43_cluster_sample")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }

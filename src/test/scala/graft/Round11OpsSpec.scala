@@ -123,6 +123,93 @@ class Round11OpsSpec extends AnyFunSuite {
       "test vocab no longer produces a negative non-integral score; adjust weights")
   }
 
+  /** Independent reference of the seeded-kmeans assignment
+    * ([[graft.similarity.Similarity.kmeansCentroids]] + argmax):
+    * md5-smallest seeds, one exact-integer Lloyd step over
+    * milli-quantized components, cosine argmax with ties to the
+    * smallest centroid id. Written against the SPEC, not the code —
+    * a change to either implementation that diverges fails here.
+    */
+  private def refAssign(vecs: Seq[(Long, Array[Float])],
+      kc: Int): Map[Long, Long] = {
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val v = vecs.map { case (id, f) => id -> f.map(_.toDouble) }
+      .filter { case (_, d) => math.sqrt(dot(d, d)) > 0 }
+    val seeds = v.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(kc).map { case (id, d) => id -> d }
+    def assign(cents: Seq[(Long, Array[Double])]): Map[Long, Long] =
+      v.map { case (id, d) =>
+        val nrm = math.sqrt(dot(d, d))
+        id -> cents.map { case (cid, c) =>
+          (dot(d, c) / (nrm * math.sqrt(dot(c, c))), -cid)
+        }.zip(cents.map(_._1)).maxBy(_._1)._2
+      }.toMap
+    val a0 = assign(seeds)
+    val byC = v.groupBy { case (id, _) => a0(id) }
+    val cents1 = byC.toSeq.map { case (cid, members) =>
+      val dim = members.head._2.length
+      cid -> Array.tabulate(dim) { p =>
+        members.map { case (_, d) => math.floor(d(p) * 1000).toLong }
+          .sum.toDouble / members.size / 1000.0
+      }
+    }
+    assign(cents1)
+  }
+
+  private val clusterVecs: Seq[(Long, Array[Float])] = Seq(
+    // two directions in 3-space plus a straggler between them
+    (10L, Array(1f, 0.1f, 0f)), (11L, Array(0.9f, 0f, 0.1f)),
+    (12L, Array(1f, 0f, 0f)), (13L, Array(0.95f, 0.05f, 0f)),
+    (20L, Array(0f, 1f, 0.1f)), (21L, Array(0.1f, 0.9f, 0f)),
+    (22L, Array(0f, 1f, 0f)),
+    (30L, Array(0.6f, 0.6f, 0.2f)))
+
+  test("clusterReport matches the independent kmeans reference") {
+    import spark.implicits._
+    val labelOf: Map[Long, Int] =
+      Map(10L -> 1, 11L -> 1, 12L -> 1, 13L -> 2,
+        20L -> 3, 21L -> 3, 22L -> 3, 30L -> 3)
+    val df = clusterVecs.map { case (id, v) => (id, v, labelOf(id)) }
+      .toDF("vec_id", "embedding", "label")
+    val ref = refAssign(clusterVecs, kc = 2)
+    val want = ref.groupBy(_._2).map { case (cid, members) =>
+      val labels = members.keys.toSeq.map(labelOf(_).toLong)
+      val byLabel = labels.groupBy(identity).view.mapValues(_.size.toLong)
+      val (topL, topN) = byLabel.toSeq.maxBy { case (l, n) => (n, -l) }
+      cid -> ((members.size.toLong, byLabel.size.toLong, topL, topN,
+        topN * 1000 / members.size))
+    }
+    val got = graft.similarity.Similarity
+      .clusterReport(df, "vec_id", "embedding", "label", kCentroids = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got == want)
+    assert(got.size == 2, "both seeds must retain members on this corpus")
+  }
+
+  test("clusterBalancedSample: equal-share rates, content-hash selection") {
+    import spark.implicits._
+    val df = clusterVecs.toDF("vec_id", "embedding")
+    val ref = refAssign(clusterVecs, kc = 2)
+    val nc = ref.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (tot, ncl) = (nc.values.sum, nc.size.toLong)
+    val want = ref.flatMap { case (id, cid) =>
+      val rate = math.min(1000L, tot * 1L / (2L * ncl) * 1000L / math.max(nc(cid), 1L))
+      val pm = TextHash.polyHashStr(s"$id|cbal") % 1000
+      if (pm < rate) Some(id -> ((cid, pm, rate))) else None
+    }
+    val got = graft.similarity.Similarity
+      .clusterBalancedSample(df, "vec_id", "embedding", kCentroids = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    // the rule must actually thin something on this corpus, or the
+    // equal-share arithmetic is untested
+    assert(got.size < ref.size)
+  }
+
   test("scorePm is zero-shuffle and rejects malformed weight tables") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
