@@ -43,10 +43,14 @@ object HashedLinear {
   /** Score `docs` with the supplied weight table. `weights` must
     * have `(feature, weight)` integer columns with
     * `0 <= feature < dim`; duplicate feature rows are rejected.
-    * Output: `(id, n_tokens, score_pm, keep)`.
+    * Output: `(id, passthrough..., n_tokens, score_pm, keep)` —
+    * `passthrough` names extra input columns to carry along (e.g.
+    * `source` for a per-source gate roll-up), kept in the same
+    * zero-shuffle projection.
     */
   def scorePm(docs: DataFrame, weights: DataFrame, dim: Int,
-      id: String, text: String, thresholdPm: Long = 0L): DataFrame = {
+      id: String, text: String, thresholdPm: Long = 0L,
+      passthrough: Seq[String] = Nil): DataFrame = {
     require(dim >= 1, s"feature dim must be >= 1, got $dim")
     val dense = new Array[Long](dim)
     val seen = new java.util.BitSet(dim)
@@ -59,14 +63,16 @@ object HashedLinear {
       }
     val wLit = typedLit(dense.toSeq)
     val toks = split(trim(lower(col(text))), "\\s+")
+    val carry = passthrough.map(col)
     docs
-      .select(col(id), size(toks).cast("long").as("n_tokens"),
+      .select((col(id) +: carry) ++ Seq(
+        size(toks).cast("long").as("n_tokens"),
         aggregate(
           transform(toks, t => element_at(wLit,
             (pmod(TextHash.poly_hash(t), lit(dim.toLong)) + 1).cast("int"))),
-          lit(0L), (acc, w) => acc + w).as("__score"))
-      .select(col(id), col("n_tokens"),
-        expr("__score * 1000 div n_tokens").as("score_pm"))
+          lit(0L), (acc, w) => acc + w).as("__score")): _*)
+      .select((col(id) +: carry) ++ Seq(col("n_tokens"),
+        expr("__score * 1000 div n_tokens").as("score_pm")): _*)
       .withColumn("keep", col("score_pm") >= thresholdPm)
   }
 }

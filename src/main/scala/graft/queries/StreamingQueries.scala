@@ -193,7 +193,54 @@ object StreamingQueries {
       |    (ew_a, ew_x) -> ew_x * 0.1 + ew_a * 0.9) AS ewma
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** C25 — streaming corpus quality gate: the d41 hashed-linear
+    * scorer ([[graft.functions.HashedLinear]]) applied at INGEST —
+    * each arriving micro-batch of documents is scored and gated
+    * map-side (the model rides the plan as one array literal; the
+    * scoring adds zero shuffles to the stream), rolled up per source
+    * into a windowless running acceptance report: docs seen, docs
+    * kept, kept tokens, kept score mass. The shape a crawl pipeline
+    * runs so downstream only ever materializes accepted documents.
+    * Complete mode for the memory-sink oracle comparison (the
+    * deployed form emits per-batch deltas in update mode); all
+    * aggregates are exact integers, so the oracle is hash-exact.
+    */
+  def c25(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.functions.HashedLinear.scorePm(
+      StreamingOps.readDocumentsStream(s, dir),
+      TrainingDataQueries.d41Weights(s), TrainingDataQueries.d41Dim,
+      "doc_id", "text", thresholdPm = 0L, passthrough = Seq("source"))
+    val agg = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"),
+        sum(when(col("keep"), col("score_pm")).otherwise(0L))
+          .as("kept_score_sum"))
+    StreamingOps.runToTable(agg, s, "c25_stream_quality", "complete")
+  }
+
+  val c25Sql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, source, ${TrainingDataQueries.duckTokenHashes} AS h
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, source, CAST(len(h) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(h,
+       |      hq_h -> hq_h % ${TrainingDataQueries.d41Dim} * 37 % 21 - 10))
+       |      * 1000 // len(h) AS BIGINT) AS score_pm
+       |  FROM th)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN score_pm >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(CASE WHEN score_pm >= 0 THEN n_tokens ELSE 0 END)
+       |    AS BIGINT) AS kept_tokens,
+       |  CAST(sum(CASE WHEN score_pm >= 0 THEN score_pm ELSE 0 END)
+       |    AS BIGINT) AS kept_score_sum
+       |FROM sc GROUP BY source""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "c25_stream_quality" -> (c25 _),
     "c24_stream_ewma" -> (c24 _),
     "c22_stream_join" -> (c22 _),
     "c9_stream_window" -> (c9 _),
@@ -202,6 +249,7 @@ object StreamingQueries {
     "c12_stream_enrich" -> (c12 _))
 
   val oracles: Map[String, String] = Map(
+    "c25_stream_quality" -> c25Sql,
     "c24_stream_ewma" -> c24Sql,
     "c22_stream_join" -> c22Sql,
     "c9_stream_window" -> c9Sql,

@@ -206,7 +206,7 @@ object TrainingDataQueries {
   // ---- similarity / near-dup wave (D6-D13) --------------------------
 
   /** DuckDB fragment: per-doc word-token poly hashes. */
-  private val duckTokenHashes =
+  private[graft] val duckTokenHashes =
     s"""list_transform(string_split_regex(trim(lower(text)), '\\s+'),
        |  tk -> ${duckHash("tk")})""".stripMargin
 
@@ -1951,7 +1951,7 @@ object TrainingDataQueries {
     * itself ships NO weights; semantics come entirely from the
     * caller-supplied table ([[graft.functions.HashedLinear]]).
     */
-  private val d41Dim = 1024
+  private[graft] val d41Dim = 1024
 
   /** D41 — model-based quality gate
     * ([[graft.functions.HashedLinear.scorePm]]): fastText-style
@@ -1960,12 +1960,16 @@ object TrainingDataQueries {
     * hashed feature space. Zero-shuffle: the model rides the plan as
     * one array literal; the score is a codegen'd fold per row.
     */
-  def d41(s: SparkSession, dir: String): DataFrame = {
-    val weights = s.range(0, d41Dim.toLong).select(
+  /** The d41/c25 test model as a weight frame: feature f weighs
+    * `(f*37 mod 21) - 10` over the [[d41Dim]] hashed space.
+    */
+  private[graft] def d41Weights(s: SparkSession): DataFrame =
+    s.range(0, d41Dim.toLong).select(
       col("id").as("feature"), (col("id") * 37 % 21 - 10).as("weight"))
+
+  def d41(s: SparkSession, dir: String): DataFrame =
     graft.functions.HashedLinear.scorePm(
-      docs(s, dir), weights, d41Dim, "doc_id", "text", thresholdPm = 0L)
-  }
+      docs(s, dir), d41Weights(s), d41Dim, "doc_id", "text", thresholdPm = 0L)
 
   val d41Sql: String =
     s"""WITH th AS (SELECT doc_id, $duckTokenHashes AS h FROM documents),

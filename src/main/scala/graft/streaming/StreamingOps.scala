@@ -81,6 +81,28 @@ object StreamingOps {
     else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
+  /** Explicit schema of the `documents` corpus table — file stream
+    * sources require one (the batch side footer-infers it).
+    */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming read of a documents corpus directory — the ingest
+    * face of the curation operators: a crawl/firehose lands parquet
+    * files continuously, and the same scoring/gating plans the batch
+    * D-keys run apply per micro-batch.
+    */
+  def readDocumentsStream(s: SparkSession, dir: String,
+      glob: String = "documents.parquet"): DataFrame =
+    s.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+
   /** Continuous twin of the reference's daily batch job
     * (/root/reference/main_pipeline.py:262-329): stream → integrity
     * filter → broadcast metadata enrichment → event-time normalize →

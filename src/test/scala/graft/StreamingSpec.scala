@@ -573,4 +573,64 @@ class StreamingSpec extends AnyFunSuite {
       assert(ret == ((10L, 1L, 42.0)), s"returning key must cold-start: $ret")
     } finally q.stop()
   }
+
+  test("c25's deployed update form: per-batch gate deltas accumulate to the batch report") {
+    // The catalog runs c25 in complete mode for the memory-sink
+    // oracle; the DEPLOYED form is update mode — each micro-batch
+    // emits the sources whose counters changed. This pins that the
+    // last emission per source equals the batch gate report over
+    // everything ingested, i.e. the running counters survive
+    // micro-batch boundaries, and that the gate itself adds no
+    // stateful operator beyond the one aggregation.
+    import graft.queries.TrainingDataQueries
+    import graft.functions.HashedLinear
+    val dir = java.nio.file.Files.createTempDirectory("graft_c25_upd").toString
+    def docsDf(rows: Seq[(Long, String, String)]) = {
+      import spark.implicits._
+      rows.map { case (id, src, text) => (id, text, "en", src, text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    val b1 = Seq((1L, "web", "alpha beta gamma"), (2L, "web", "delta"),
+      (3L, "books", "epsilon zeta"))
+    val b2 = Seq((4L, "web", "eta theta"), (5L, "books", "iota"),
+      (6L, "wiki", "kappa lambda mu"))
+    docsDf(b1).coalesce(1).write.mode("append").parquet(dir)
+    def gate(df: org.apache.spark.sql.DataFrame) = HashedLinear.scorePm(
+        df, TrainingDataQueries.d41Weights(spark), TrainingDataQueries.d41Dim,
+        "doc_id", "text", thresholdPm = 0L, passthrough = Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("keep"), col("score_pm")).otherwise(0L)).as("kept_score_sum"))
+    val q = gate(spark.readStream.schema(StreamingOps.documentsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+      .writeStream.format("memory").queryName("c25_update")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      docsDf(b2).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // last update per source == batch gate over b1 ++ b2
+      val got = spark.table("c25_update").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).map { case (s, rows) =>
+          // counters only grow; the final emission is the max tuple
+          s -> rows.map(_._2).maxBy(_._1)
+        }
+      val want = gate(docsDf(b1 ++ b2)).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      assert(got == want,
+        s"update-mode final counters != batch gate:\ngot=$got\nwant=$want")
+      // exactly ONE stateful operator (the source roll-up): the
+      // scoring stage must not have introduced its own state
+      val ops = q.recentProgress.flatMap(p => Option(p.stateOperators))
+        .flatten
+      assert(ops.nonEmpty && q.recentProgress.filter(_.numInputRows > 0)
+        .forall(p => p.stateOperators.length == 1),
+        "gate must add no stateful operator beyond the aggregation")
+    } finally q.stop()
+  }
 }
