@@ -2048,7 +2048,68 @@ object TrainingDataQueries {
        |  CAST(r.rate_pm AS BIGINT) AS rate_pm
        |FROM p JOIN r USING (cid) WHERE p.samp_pm < r.rate_pm""".stripMargin
 
+  /** D44 — embedding generation, deterministic stand-in
+    * ([[graft.functions.HashEmbed]]): feature-hashing signed
+    * projection of each document into a 16-component exact-integer
+    * milli-vector — the Spark-side plumbing of the neural-encoder
+    * embedding stage (swap the arithmetic for a batched model UDF in
+    * production; schema, scan shape, and determinism stay). Bridges
+    * the `documents` table to every embedding-consuming operator.
+    */
+  def d44(s: SparkSession, dir: String): DataFrame =
+    graft.functions.HashEmbed.embed(docs(s, dir), "doc_id", "text", dim = 16)
+
+  val d44Sql: String =
+    s"""WITH th AS (SELECT doc_id, $duckTokenHashes AS h FROM documents)
+       |SELECT doc_id, CAST(len(h) AS BIGINT) AS n_tokens,
+       |  list_transform(range(0, 16), ej_j ->
+       |    CAST(list_sum(list_transform(h,
+       |      ej_h -> (ej_h * (2*ej_j+1)) % ${graft.functions.HashEmbed.ProjMod}
+       |        - 1000)) * 1000 // len(h) AS BIGINT)) AS emb
+       |FROM th""".stripMargin
+
+  /** D45 — curriculum staging by exact quality quartiles
+    * ([[graft.sampling.Sampler.quartileStages]] over the d41
+    * hashed-linear score): each document lands in stage 0-3 by the
+    * quartile of its integer quality score, computed from a bounded
+    * score histogram instead of the `ntile` global sort that would
+    * serialize the corpus through one task.
+    */
+  def d45(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Sampler.quartileStages(
+      graft.functions.HashedLinear.scorePm(
+        docs(s, dir), d41Weights(s), d41Dim, "doc_id", "text"),
+      "doc_id", "score_pm")
+
+  val d45Sql: String =
+    s"""WITH th AS (SELECT doc_id, $duckTokenHashes AS h FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(h,
+       |      hq_h -> hq_h % $d41Dim * 37 % 21 - 10)) * 1000
+       |      // len(h) AS BIGINT) AS score_pm
+       |  FROM th),
+       |hist AS (
+       |  SELECT score_pm, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM sc GROUP BY 1),
+       |c AS (
+       |  SELECT score_pm,
+       |    CAST(sum(cnt) OVER (ORDER BY score_pm) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+       |  FROM hist),
+       |b AS (
+       |  SELECT min(CASE WHEN cum >= (1*n+3)//4 THEN score_pm END) AS q1,
+       |         min(CASE WHEN cum >= (2*n+3)//4 THEN score_pm END) AS q2,
+       |         min(CASE WHEN cum >= (3*n+3)//4 THEN score_pm END) AS q3
+       |  FROM c)
+       |SELECT sc.doc_id, sc.score_pm,
+       |  CAST((sc.score_pm > b.q1)::BIGINT + (sc.score_pm > b.q2)::BIGINT
+       |    + (sc.score_pm > b.q3)::BIGINT AS BIGINT) AS stage
+       |FROM sc, b""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "d45_curriculum" -> (d45 _),
+    "d44_embed_text" -> (d44 _),
     "d43_cluster_sample" -> (d43 _),
     "d42_topic_cluster" -> (d42 _),
     "d41_hash_quality" -> (d41 _),
@@ -2094,6 +2155,8 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d45_curriculum" -> d45Sql,
+    "d44_embed_text" -> d44Sql,
     "d43_cluster_sample" -> d43Sql,
     "d42_topic_cluster" -> d42Sql,
     "d41_hash_quality" -> d41Sql,

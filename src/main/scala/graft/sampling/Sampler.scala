@@ -80,6 +80,55 @@ object Sampler {
           .otherwise(0L)).as("toks_out"))
   }
 
+  /** Curriculum staging by EXACT score quartiles — without a global
+    * sort. Training curricula order data from low to high quality
+    * (or the reverse); the naive staging is
+    * `ntile(4) OVER (ORDER BY score)`, a single-partition window
+    * that serializes the whole corpus through one task. This
+    * computes the same quartile boundaries from a bounded score
+    * HISTOGRAM instead: integer scores collapse to one row per
+    * distinct value (a combiner-friendly partial agg), the
+    * cumulative walk and boundary extraction run on that bounded
+    * frame, and each document gets its stage map-side from the
+    * broadcast one-row boundary table.
+    *
+    * `stage(d) = #{k in 1..3 : score(d) > q_k}` with
+    * `q_k = min score whose cumulative count ≥ ceil(k·N/4)` — ties
+    * share a stage (documents with equal score are never split
+    * across stages, so the assignment is deterministic without a
+    * per-document rank). Output: `(id, score, stage)` with stage in
+    * 0..3, 0 = lowest quartile.
+    *
+    * `scored` must carry an integer score column with a bounded
+    * domain (e.g. a per-mille in [-10000, 10000]) — the histogram
+    * size is the number of DISTINCT scores, not N.
+    */
+  def quartileStages(scored: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val slim = scored.select(col(idCol), col(scoreCol).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = slim.groupBy(scoreCol).agg(count(lit(1)).as("__cnt"))
+    // both windows run on the bounded histogram, not the corpus: the
+    // single-partition sort they imply holds ≤ #distinct-scores rows,
+    // and N comes from the unbounded frame of the SAME window sort
+    // (a separate hist.agg would re-run the histogram shuffle)
+    val byScore = org.apache.spark.sql.expressions.Window.orderBy(scoreCol)
+    val cum = hist
+      .withColumn("__cum", sum(col("__cnt")).over(
+        byScore.rowsBetween(Long.MinValue, 0)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        byScore.rowsBetween(Long.MinValue, Long.MaxValue)))
+    val bounds = cum.agg(
+      min(when(expr(s"__cum >= (1 * __n + 3) div 4"), col(scoreCol))).as("q1"),
+      min(when(expr(s"__cum >= (2 * __n + 3) div 4"), col(scoreCol))).as("q2"),
+      min(when(expr(s"__cum >= (3 * __n + 3) div 4"), col(scoreCol))).as("q3"))
+    slim.crossJoin(broadcast(bounds))
+      .select(col(idCol), col(scoreCol),
+        ((col(scoreCol) > col("q1")).cast("long") +
+          (col(scoreCol) > col("q2")).cast("long") +
+          (col(scoreCol) > col("q3")).cast("long")).as("stage"))
+  }
+
   private def ratesFromBuckets(buckets: DataFrame, stratumCol: String,
       budgetNumer: Long, budgetDenom: Long): DataFrame = {
     require(budgetNumer >= 0 && budgetDenom > 0,

@@ -249,4 +249,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("d44: hash embedding is zero-shuffle scan arithmetic") {
+    assert(shuffles(plan("d44_embed_text")) == 0)
+  }
+
+  test("d45: curriculum staging shuffles only the score histogram") {
+    val p = plan("d45_curriculum")
+    // one hash shuffle (the bounded histogram agg); the boundary
+    // table broadcasts back onto the cached slim projection — no
+    // corpus-wide sort or single-partition corpus window
+    assert(shuffles(p) == 1)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      "slim (id, score) projection must be cached and reused")
+  }
 }

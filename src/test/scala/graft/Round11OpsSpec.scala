@@ -210,6 +210,50 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got.size < ref.size)
   }
 
+  test("HashEmbed matches a brute-force reference, including negative truncation") {
+    import spark.implicits._
+    val dim = 4
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "x"), (3L, "a b a"))
+    val got = graft.functions.HashEmbed
+      .embed(corpus.toDF("doc_id", "text"), "doc_id", "text", dim)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).toVector))).toMap
+    corpus.foreach { case (id, text) =>
+      val hs = text.trim.toLowerCase.split("\\s+").map(TextHash.polyHashStr)
+      val want = (0 until dim).toVector.map { j =>
+        val s = hs.map(h => (h * (2 * j + 1)) % graft.functions.HashEmbed.ProjMod - 1000L).sum
+        s * 1000L / hs.length // Java /: toward-zero, the pinned div
+      }
+      assert(got(id) == ((hs.length.toLong, want)), s"doc $id")
+    }
+    // the fixture must exercise a negative truncated component, or
+    // the toward-zero pin is vacuous
+    assert(got.values.exists(_._2.exists(c => c < 0 && c % 1000 != 0)),
+      "fixture no longer produces a negative non-integral component")
+  }
+
+  test("quartileStages: exact boundaries, ties share a stage, bounded window") {
+    import spark.implicits._
+    // N=8: q1 = min score with cum >= 2 -> 1; q2 (cum >= 4) -> 3;
+    // q3 (cum >= 6) -> 4. The three 4s land in ONE stage.
+    val scored = Seq(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 4L, 6L -> 4L, 7L -> 4L, 8L -> 10L).toDF("doc_id", "score_pm")
+    val df = Sampler.quartileStages(scored, "doc_id", "score_pm")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 3L)
+    assert(got == want)
+    // every Window in the plan sorts the bounded HISTOGRAM (grouped
+    // on score), never per-document rows — the plan-shape shuffle
+    // count is pinned on real data in PlanAuditSpec (local
+    // relations here bypass the cache and duplicate the tiny
+    // boundary subtree, which is irrelevant at scale)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.linesIterator.filter(_.contains("Window"))
+      .forall(_.contains("__cnt")),
+      "quartile windows must run over histogram counts only")
+  }
+
   test("scorePm is zero-shuffle and rejects malformed weight tables") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
