@@ -592,10 +592,6 @@ object Similarity {
     probeTopK(queries, cents, lists, id, vec, k, nprobe)
   }
 
-  /** Near-duplicate pairs above a cosine threshold, blocked by a
-    * coarse key (e.g. cluster label / LSH bucket) so the pair join
-    * is an equi-join, not a cross join.
-    */
   /** Topic-clustering report over an embedded corpus: cluster every
     * vector with the deterministic seeded k-means quantizer
     * ([[kmeansCentroids]] — the d19/d37 coarse quantizer reused as a
@@ -625,9 +621,36 @@ object Similarity {
       .filter(col("nrm") > 0)
       .persist(lvl)
     val cents = kmeansCentroids(v, kCentroids, lloydIters).persist(lvl)
-    argmaxAssign(v, cents)
+    labelRollup(argmaxAssign(v, cents)
       .join(corpus.select(col(id).as("vid"),
-        col(labelCol).cast("long").as("__lbl")), "vid")
+        col(labelCol).cast("long").as("__lbl")), "vid"))
+  }
+
+  /** [[clusterReport]] against a PERSISTED IVF index
+    * ([[buildIvfIndex]]) instead of a fresh quantizer build: the
+    * index's inverted lists already carry the (vid, cid) assignment,
+    * so the report costs one pruned index read + the bounded
+    * roll-up — no corpus pass, no centroid broadcast, no argmax.
+    * The d37 build-once/probe-many amortization applied to the
+    * clustering surface: build the index once, then search (d19),
+    * report (d42), and rebalance (d43) against the same assignment.
+    * `labels` supplies `(id, labelCol)` (e.g. the embeddings table).
+    */
+  def clusterReportFromIndex(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, labels: DataFrame, id: String,
+      labelCol: String): DataFrame =
+    labelRollup(s.read.parquet(s"$indexDir/lists")
+      .select(col("cid"), col("vid"))
+      .join(labels.select(col(id).as("vid"),
+        col(labelCol).cast("long").as("__lbl")), "vid"))
+
+  /** Shared cluster×label roll-up of [[clusterReport]] and
+    * [[clusterReportFromIndex]]: input `(cid, __lbl)` rows, output
+    * the per-cluster report. Two partial aggregations on frames
+    * bounded by `kCentroids × #labels`.
+    */
+  private def labelRollup(assignWithLabel: DataFrame): DataFrame =
+    assignWithLabel
       .groupBy("cid", "__lbl").agg(count(lit(1)).as("__n"))
       .groupBy("cid").agg(
         sum(col("__n")).as("n_vecs"),
@@ -636,7 +659,6 @@ object Similarity {
       .select(col("cid"), col("n_vecs"), col("n_labels"),
         (-col("__top.negl")).as("top_label"), col("__top.n").as("top_n"),
         expr("__top.n * 1000 div n_vecs").as("purity_pm"))
-  }
 
   /** Cluster-balanced sampling: assign vectors to k-means clusters
     * and emit the subset that downsamples every cluster toward an
@@ -667,6 +689,35 @@ object Similarity {
       .persist(lvl)
     val cents = kmeansCentroids(v, kCentroids, lloydIters).persist(lvl)
     val assign = argmaxAssign(v, cents).persist(lvl)
+    balancedSelect(assign, id, budgetNumer, budgetDenom)
+  }
+
+  /** [[clusterBalancedSample]] against a PERSISTED IVF index — same
+    * amortization as [[clusterReportFromIndex]]: the (vid, cid)
+    * assignment comes from the index's inverted lists, so
+    * rebalancing an already-indexed corpus never rebuilds or
+    * re-assigns the quantizer.
+    */
+  def clusterBalancedSampleFromIndex(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, id: String, budgetNumer: Long = 1L,
+      budgetDenom: Long = 2L): DataFrame = {
+    require(budgetNumer >= 0 && budgetDenom > 0,
+      s"budget fraction must be >= 0 with a positive denominator, " +
+        s"got $budgetNumer/$budgetDenom")
+    balancedSelect(s.read.parquet(s"$indexDir/lists")
+        .select(col("cid"), col("vid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      id, budgetNumer, budgetDenom)
+  }
+
+  /** Shared equal-share selection of [[clusterBalancedSample]] and
+    * [[clusterBalancedSampleFromIndex]]: input `(cid, vid)`
+    * assignment rows (persisted by the caller — sized and walked
+    * twice: sizes, then selection), output the surviving
+    * `(id, cid, samp_pm, rate_pm)` rows.
+    */
+  private def balancedSelect(assign: DataFrame, id: String,
+      budgetNumer: Long, budgetDenom: Long): DataFrame = {
     val sizes = assign.groupBy("cid").agg(count(lit(1)).as("__nc"))
     val totals = sizes.agg(sum(col("__nc")).as("__tot"),
       count(lit(1)).as("__nclusters"))
@@ -686,6 +737,10 @@ object Similarity {
       .select(col("vid").as(id), col("cid"), col("samp_pm"), col("rate_pm"))
   }
 
+  /** Near-duplicate pairs above a cosine threshold, blocked by a
+    * coarse key (e.g. cluster label / LSH bucket) so the pair join
+    * is an equi-join, not a cross join.
+    */
   def nearDupPairs(vectors: DataFrame, id: String, vec: String,
       blockKey: String, minCos: Double): DataFrame = {
     // norms precomputed per vector (not per pair) and the table

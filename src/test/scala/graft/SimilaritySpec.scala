@@ -160,6 +160,37 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cluster report and balanced sample from a persisted index equal the fused forms") {
+    // The d37 amortization applied to the clustering surface: one
+    // index build serves search (probe), composition report (d42),
+    // and rebalance (d43) — the index-backed forms must be
+    // bit-identical to a fresh quantizer build at the same params,
+    // and must not touch the embedding payloads (assignment only).
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_clidx_spec_${java.lang.ProcessHandle.current().pid()}").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, kCentroids = 8)
+    val repIdx = Similarity.clusterReportFromIndex(
+      spark, idx, emb, "vec_id", "label")
+    assert(repIdx.collect().toSet ==
+      Similarity.clusterReport(emb, "vec_id", "embedding", "label",
+        kCentroids = 8).collect().toSet)
+    val sampIdx = Similarity.clusterBalancedSampleFromIndex(
+      spark, idx, "vec_id")
+    assert(sampIdx.collect().toSet ==
+      Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+        kCentroids = 8).collect().toSet)
+    // assignment-only reads: neither index-backed plan scans the
+    // vector payload column of the lists
+    Seq(repIdx, sampIdx).foreach { df =>
+      val scans = df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("FileScan parquet") && l.contains("lists"))
+        .toSeq
+      assert(scans.nonEmpty && scans.forall(!_.contains("nrm")),
+        "index-backed cluster ops must read (cid, vid) only, not payloads")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("kmeans quantizer adapts to clustered data where lowid centroids cannot") {
     // The d19 upgrade contract, demonstrated where it matters: a
     // corpus whose low id range is BIASED (all 16 lowest ids sit in
