@@ -574,6 +574,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("c12's deployed update form: enrichment counters accumulate to the batch result") {
+    // The catalog runs c12 (stream x static-dim enrichment +
+    // windowless agg) in complete mode for the memory-sink oracle;
+    // the DEPLOYED form is update mode. This pins that the final
+    // per-segment emission equals the batch aggregation over all
+    // micro-batches — the running state survives batch boundaries —
+    // and that the broadcast enrichment join adds no stateful op.
+    import graft.queries.QueryUtil.moneySum
+    val dir = java.nio.file.Files.createTempDirectory("graft_c12_upd").toString
+    val ns = 1000000L * 1000
+    val dim = {
+      import spark.implicits._
+      Seq((10L, "SEG_A"), (11L, "SEG_B"), (12L, "SEG_A"))
+        .toDF("c_custkey", "c_mktsegment")
+    }
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+    val b1 = Seq((1L, 1L * ns, 10L, "click", 1.5, "{}"),
+      (2L, 2L * ns, 11L, "click", 2.25, "{}"))
+    val b2 = Seq((3L, 3L * ns, 12L, "click", 4.0, "{}"),
+      (4L, 4L * ns, 10L, "click", 8.0, "{}"))
+    writeBatch(dir, "b1", b1)
+    val stream = spark.readStream.schema(StreamingOps.eventsSchema())
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = agg(stream).writeStream.format("memory")
+      .queryName("c12_update").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      writeBatch(dir, "b2", b2)
+      q.processAllAvailable()
+      val got = spark.table("c12_update").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).maxBy(_._1) }
+      import spark.implicits._
+      val all = (b1 ++ b2)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val want = agg(all).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == want,
+        s"update-mode final counters != batch agg:\ngot=$got\nwant=$want")
+      assert(q.recentProgress.filter(_.numInputRows > 0)
+        .forall(p => p.stateOperators.length == 1),
+        "broadcast enrichment must add no stateful operator")
+    } finally q.stop()
+  }
+
   test("c25's deployed update form: per-batch gate deltas accumulate to the batch report") {
     // The catalog runs c25 in complete mode for the memory-sink
     // oracle; the DEPLOYED form is update mode — each micro-batch
