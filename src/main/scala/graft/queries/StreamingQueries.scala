@@ -107,7 +107,10 @@ object StreamingQueries {
       |FROM sessions GROUP BY user_id, sid""".stripMargin
 
   /** C12 — stream ⋈ static dim enrichment (broadcast) + windowless
-    * aggregation, complete mode.
+    * aggregation. Complete mode here for the memory-sink oracle; the
+    * deployed form is update mode, whose cross-batch accumulation
+    * (and that the broadcast join adds no stateful operator) is
+    * pinned in StreamingSpec.
     */
   def c12(s: SparkSession, dir: String): DataFrame = {
     val dim = t(s, dir, "customer")
