@@ -44,6 +44,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("HashEmbed agrees with a naive per-token projection on random texts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(44)
+    val dim = 6
+    val corpus = (1 to 40).map(i => (i.toLong, randomText(rnd, 100)))
+    val got = graft.functions.HashEmbed
+      .embed(corpus.toDF("doc_id", "text"), "doc_id", "text", dim)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).toVector))).toMap
+    corpus.foreach { case (id, text) =>
+      val hs = text.trim.toLowerCase.split("\\s+").map(TextHash.polyHashStr)
+      val want = (0 until dim).toVector.map { j =>
+        hs.map(h => (h * (2 * j + 1)) % graft.functions.HashEmbed.ProjMod
+          - 1000L).sum * 1000L / hs.length
+      }
+      assert(got(id) == ((hs.length.toLong, want)), s"doc $id text=<$text>")
+    }
+  }
+
   test("dupClusters equals union-find on randomized duplicated corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(47)
