@@ -242,7 +242,48 @@ object StreamingQueries {
        |    AS BIGINT) AS kept_score_sum
        |FROM sc GROUP BY source""".stripMargin
 
+  /** C26 — streaming near-duplicate ADMISSION: incoming documents
+    * are hash-embedded ([[graft.functions.HashEmbed]], the d44
+    * stage) and probed per micro-batch against a persisted IVF index
+    * (d37 machinery) built over the already-ingested corpus; a
+    * document is admitted when no earlier document in its probed
+    * lists reaches 0.95 cosine. The shape a crawl pipeline runs so
+    * near-duplicates are suppressed AT INGEST, before they ever
+    * reach storage — composing the embedder, the index, and the
+    * stream.
+    *
+    * The probe is [[graft.similarity.Similarity.litIndexCandidates]]
+    * — centroid ranking as literal-array column arithmetic instead
+    * of ivfProbe's window, because windows do not run on streaming
+    * frames; the candidate join is stream ⋈ static. One stateful
+    * operator (the per-doc max roll-up). Output rows are the
+    * documents with ≥ 1 earlier candidate in their probed lists
+    * (absent docs are trivially admitted); complete mode for the
+    * memory-sink oracle, update mode deployed.
+    */
+  def c26(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    val dim = 16
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_c26_${java.lang.ProcessHandle.current().pid()}").toString
+    val corpus = graft.functions.HashEmbed
+      .embed(spread(t(s, dir, "documents")), "doc_id", "text", dim)
+      .select(col("doc_id"), Similarity.toDouble(col("emb")).as("ev"))
+    Similarity.buildIvfIndex(corpus, "doc_id", "ev", idx, kCentroids = 16)
+    val qstream = graft.functions.HashEmbed
+      .embed(StreamingOps.readDocumentsStream(s, dir), "doc_id", "text", dim)
+      .select(col("doc_id"), Similarity.toDouble(col("emb")).as("ev"))
+    val agg = Similarity
+      .litIndexCandidates(s, qstream, idx, "doc_id", "ev", nprobe = 2)
+      .filter(col("n_id") < col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_cands"), max(col("cos")).as("max_cos"))
+      .withColumn("admit", col("max_cos") < 0.95)
+    StreamingOps.runToTable(agg, s, "c26_stream_neardup", "complete")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "c26_stream_neardup" -> (c26 _),
     "c25_stream_quality" -> (c25 _),
     "c24_stream_ewma" -> (c24 _),
     "c22_stream_join" -> (c22 _),
@@ -252,6 +293,7 @@ object StreamingQueries {
     "c12_stream_enrich" -> (c12 _))
 
   val oracles: Map[String, String] = Map(
+    "c26_stream_neardup" -> TrainingDataQueries.c26NearDupSql,
     "c25_stream_quality" -> c25Sql,
     "c24_stream_ewma" -> c24Sql,
     "c22_stream_join" -> c22Sql,

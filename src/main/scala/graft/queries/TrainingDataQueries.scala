@@ -808,11 +808,20 @@ object TrainingDataQueries {
        |  SELECT vec_id,
        |    list_transform(embedding, ed_x -> CAST(ed_x AS DOUBLE)) AS e
        |  FROM embeddings),
-       |v AS (SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM vn
+       |${duckKmeansChain(dim = 64, kc = 16)}""".stripMargin
+
+  /** The generic tail of the kmeans-assignment oracle: everything
+    * after a caller-supplied `vn(vec_id, e)` CTE, parameterized on
+    * the vector dimension and centroid count (c26 runs it at dim=16
+    * over d44-derived vectors; the embeddings instantiations at
+    * dim=64).
+    */
+  private[graft] def duckKmeansChain(dim: Int, kc: Int): String =
+    s"""v AS (SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM vn
        |      WHERE sqrt(${duckDot("e", "e")}) > 0),
        |seeds AS (
        |  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kc),
        |a0 AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT v.vec_id, c.cid,
@@ -831,7 +840,7 @@ object TrainingDataQueries {
        |  FROM (
        |    SELECT a0.cid, pos, vx.xi[pos] AS comp
        |    FROM a0 JOIN vx USING (vec_id)
-       |    CROSS JOIN (SELECT unnest(range(1, 65)) AS pos))
+       |    CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS pos))
        |  GROUP BY 1, 2),
        |c1 AS (
        |  SELECT cid, list(comp ORDER BY pos) AS ce FROM comps GROUP BY cid),
@@ -2059,14 +2068,53 @@ object TrainingDataQueries {
   def d44(s: SparkSession, dir: String): DataFrame =
     graft.functions.HashEmbed.embed(docs(s, dir), "doc_id", "text", dim = 16)
 
+  /** DuckDB fragment: the [[graft.functions.HashEmbed]] milli-vector
+    * of the token-hash list `h` — shared by d44 and c26.
+    */
+  private[graft] def duckEmbExpr(dim: Int): String =
+    s"""list_transform(range(0, $dim), ej_j ->
+       |    CAST(list_sum(list_transform(h,
+       |      ej_h -> (ej_h * (2*ej_j+1)) % ${graft.functions.HashEmbed.ProjMod}
+       |        - 1000)) * 1000 // len(h) AS BIGINT))""".stripMargin
+
   val d44Sql: String =
     s"""WITH th AS (SELECT doc_id, $duckTokenHashes AS h FROM documents)
        |SELECT doc_id, CAST(len(h) AS BIGINT) AS n_tokens,
-       |  list_transform(range(0, 16), ej_j ->
-       |    CAST(list_sum(list_transform(h,
-       |      ej_h -> (ej_h * (2*ej_j+1)) % ${graft.functions.HashEmbed.ProjMod}
-       |        - 1000)) * 1000 // len(h) AS BIGINT)) AS emb
+       |  ${duckEmbExpr(16)} AS emb
        |FROM th""".stripMargin
+
+  /** Oracle of the c26 streaming near-dup admission gate
+    * (StreamingQueries) — lives here because it composes this file's
+    * fragments: d44 hash-embeddings → 16-dim kmeans assignment
+    * ([[duckKmeansChain]]) → 2-probe candidate scoring restricted to
+    * earlier doc ids → per-doc max-cosine admission report.
+    */
+  private[graft] def c26NearDupSql: String =
+    s"""WITH th AS (SELECT doc_id, $duckTokenHashes AS h FROM documents),
+       |emb0 AS (SELECT doc_id, ${duckEmbExpr(16)} AS emb FROM th),
+       |vn AS (
+       |  SELECT doc_id AS vec_id,
+       |    list_transform(emb, ce_x -> CAST(ce_x AS DOUBLE)) AS e
+       |  FROM emb0),
+       |${duckKmeansChain(dim = 16, kc = 16)},
+       |probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.vec_id AS q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckDot("q.e", "c.ce")} / (q.nrm * c.cnrm) DESC,
+       |                 c.cid) AS crk
+       |    FROM v q CROSS JOIN cents c) WHERE crk <= 2),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id AS n_id,
+       |    ${duckDot("q.e", "n.e")} / (q.nrm * n.nrm) AS cos
+       |  FROM probes p
+       |  JOIN assign a USING (cid)
+       |  JOIN v q ON p.q_id = q.vec_id
+       |  JOIN v n ON a.vec_id = n.vec_id
+       |  WHERE a.vec_id < p.q_id)
+       |SELECT q_id AS doc_id, CAST(count(*) AS BIGINT) AS n_cands,
+       |  max(cos) AS max_cos, max(cos) < 0.95 AS admit
+       |FROM cand GROUP BY 1""".stripMargin
 
   /** D45 — curriculum staging by exact quality quartiles
     * ([[graft.sampling.Sampler.quartileStages]] over the d41

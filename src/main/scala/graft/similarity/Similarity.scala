@@ -737,6 +737,59 @@ object Similarity {
       .select(col("vid").as(id), col("cid"), col("samp_pm"), col("rate_pm"))
   }
 
+  /** STREAMING-SAFE probe of a persisted IVF index
+    * ([[buildIvfIndex]]): per query row, the cosine scores against
+    * every vector in the query's `nprobe` nearest inverted lists.
+    *
+    * [[ivfProbe]]'s plan ranks probed centroids with a window — fine
+    * in batch, unsupported on a streaming frame. Here the centroid
+    * table is driver-collected (kCentroids rows — dim-table class,
+    * the same collect contract as HashedLinear's weights) and baked
+    * into the plan as LITERAL arrays: centroid ranking becomes
+    * `slice(array_sort(array(struct(-sim, cid)...)), 1, nprobe)` —
+    * pure per-row column arithmetic, no window, no sort, no extra
+    * shuffle — followed by one equi-join against the static inverted
+    * lists. The identical plan therefore runs on a batch OR
+    * streaming query frame (stream ⋈ static joins are supported),
+    * which is what a streaming near-dup admission gate needs.
+    *
+    * Ties in the centroid ranking break to the smallest cid (the
+    * struct sorts ascending by (-sim, cid)), matching the SQL
+    * oracle's `ORDER BY sim DESC, cid`. A corpus vector lives in
+    * exactly one list, so no (query, candidate) pair is scored
+    * twice. Zero-norm queries are dropped (NaN-cosine guard).
+    * Output: `(id, n_id, cos)` candidate rows.
+    */
+  def litIndexCandidates(s: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, indexDir: String, id: String, vec: String,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val centRows = s.read.parquet(s"$indexDir/centroids")
+      .select(col("cid"), toDouble(col("cv")).as("cv"), col("cnrm"))
+      .collect()
+    val q = queries
+      .select(col(id), col(vec).as("__qv"))
+      .withColumn("__qnrm", norm2(col("__qv")))
+      .filter(col("__qnrm") > 0)
+    val ranked = centRows.map { r =>
+      struct(
+        (negate(dot(col("__qv"), typedLit(r.getSeq[Double](1).toIndexedSeq)))
+          / (col("__qnrm") * lit(r.getDouble(2)))).as("negsim"),
+        lit(r.getLong(0)).as("cid"))
+    }
+    val probed = q
+      .withColumn("__probe",
+        explode(slice(array_sort(array(ranked.toIndexedSeq: _*)), 1,
+          math.min(nprobe, centRows.length))))
+      .select(col(id), col("__qv"), col("__qnrm"),
+        col("__probe.cid").as("cid"))
+    probed
+      .join(s.read.parquet(s"$indexDir/lists"), "cid")
+      .select(col(id), col("vid").as("n_id"),
+        (dot(col("__qv"), col("v")) / (col("__qnrm") * col("nrm")))
+          .as("cos"))
+  }
+
   /** Near-duplicate pairs above a cosine threshold, blocked by a
     * coarse key (e.g. cluster label / LSH bucket) so the pair join
     * is an equi-join, not a cross join.

@@ -160,6 +160,47 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("litIndexCandidates equals a driver-side probe of the same index") {
+    // the streaming-safe literal-centroid probe must select exactly
+    // the vectors of the nprobe nearest lists per query, scored with
+    // the same cosine — checked against a naive reference computed
+    // from the index's own centroid and list parquet
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_litprobe_spec_${java.lang.ProcessHandle.current().pid()}").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, kCentroids = 8)
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    val got = Similarity
+      .litIndexCandidates(spark, queries, idx, "vec_id", "embedding", nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val cents = spark.read.parquet(s"$idx/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
+    val lists = spark.read.parquet(s"$idx/lists").collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("vid"),
+        r.getAs[scala.collection.Seq[Float]]("v").toIndexedSeq.map(_.toDouble),
+        r.getAs[Double]("nrm")))
+    val want = queries.collect().flatMap { qr =>
+      val qid = qr.getLong(0)
+      val qv = qr.getSeq[Float](1).toIndexedSeq.map(_.toDouble)
+      val qn = math.sqrt(dot(qv, qv))
+      if (qn == 0) Array.empty[(Long, Long, Double)] else {
+        val probed = cents
+          .map { case (cid, cv, cn) => (-dot(qv, cv) / (qn * cn), cid) }
+          .sorted.take(3).map(_._2).toSet
+        lists.filter(l => probed(l._1))
+          .map(l => (qid, l._2, dot(qv, l._3) / (qn * l._4)))
+      }
+    }.toSet
+    assert(got == want)
+    // the probe plan must be window-free — the property that makes
+    // it legal on a streaming frame
+    assert(!Similarity
+      .litIndexCandidates(spark, queries, idx, "vec_id", "embedding", 3)
+      .queryExecution.executedPlan.toString.contains("Window"))
+    spark.catalog.clearCache()
+  }
+
   test("cluster report and balanced sample from a persisted index equal the fused forms") {
     // The d37 amortization applied to the clustering surface: one
     // index build serves search (probe), composition report (d42),

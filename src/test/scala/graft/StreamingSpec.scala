@@ -624,6 +624,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("c26's deployed update form: near-dup admission accumulates across micro-batches, window-free") {
+    // The admission gate's plan must (a) run unchanged across
+    // micro-batches with its running per-doc max/count state
+    // accumulating to the batch result, (b) contain no Window (the
+    // litIndexCandidates property that makes it streamable), and
+    // (c) carry exactly one stateful operator.
+    import graft.similarity.Similarity
+    import graft.functions.HashEmbed
+    val dim = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft_c26_upd").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_c26_idx").toString
+    def docsDf(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      rows.map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    val b1 = Seq(1L -> "alpha beta gamma delta", 2L -> "epsilon zeta eta",
+      3L -> "alpha beta gamma delta") // 3 duplicates 1
+    val b2 = Seq(4L -> "alpha beta gamma delta theta", // near-dups 1/3
+      5L -> "iota kappa lambda")
+    val corpus = HashEmbed.embed(docsDf(b1 ++ b2), "doc_id", "text", dim)
+      .select(col("doc_id"), Similarity.toDouble(col("emb")).as("ev"))
+    Similarity.buildIvfIndex(corpus, "doc_id", "ev", idx, kCentroids = 2)
+    def gate(docs: org.apache.spark.sql.DataFrame) = Similarity
+      .litIndexCandidates(spark,
+        HashEmbed.embed(docs, "doc_id", "text", dim)
+          .select(col("doc_id"), Similarity.toDouble(col("emb")).as("ev")),
+        idx, "doc_id", "ev", nprobe = 1)
+      .filter(col("n_id") < col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_cands"), max(col("cos")).as("max_cos"))
+      .withColumn("admit", col("max_cos") < lit(0.95))
+    docsDf(b1).coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(StreamingOps.documentsSchema)
+      .option("pathGlobFilter", "*.parquet").parquet(dir)
+    val q = gate(stream).writeStream.format("memory").queryName("c26_update")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      docsDf(b2).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("c26_update").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+        .groupBy(_._1).map { case (d, rows) => d -> rows.map(_._2).maxBy(_._1) }
+      val want = gate(docsDf(b1 ++ b2)).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+      assert(got == want,
+        s"update-mode final admission != batch gate:\ngot=$got\nwant=$want")
+      // the exact duplicate must be rejected, the unrelated doc absent
+      assert(want(3L)._3 == false, "exact duplicate of doc 1 must not be admitted")
+      assert(!want.contains(2L) || want(2L)._3,
+        "doc 2 has no near-dup and must be admitted if present")
+      assert(q.recentProgress.filter(_.numInputRows > 0)
+        .forall(p => p.stateOperators.length == 1),
+        "the gate must have exactly one stateful operator")
+      // (window-freeness of the probe plan itself is pinned in
+      // SimilaritySpec's litIndexCandidates case)
+    } finally q.stop()
+  }
+
   test("c25's deployed update form: per-batch gate deltas accumulate to the batch report") {
     // The catalog runs c25 in complete mode for the memory-sink
     // oracle; the DEPLOYED form is update mode — each micro-batch
