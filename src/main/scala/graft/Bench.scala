@@ -59,7 +59,7 @@ object Bench {
     // published in the JSON so nothing is hidden (BENCH_NOTES.md).
     val streamingKeys = Set("c9_stream_window", "c10_stream_dedup",
       "c12_stream_enrich", "c22_stream_join", "c24_stream_ewma",
-      "c25_stream_quality")
+      "c25_stream_quality", "c26_stream_neardup")
     // Guards: the baseline is only meaningful when the timed queries
     // read a different (larger) source than the warm dir it is
     // measured on — at sfDir == warmDir the subtraction would clamp
