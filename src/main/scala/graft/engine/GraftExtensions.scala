@@ -52,6 +52,10 @@ object GraftExtensions {
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - deterministic left-fold dot product"),
       (es: Seq[Expression]) => VecDot(es.head, es(1))),
+    ("hashed_projection",
+      info("hashed_projection",
+        "hashed_projection(token_hashes, dim) - signed hashing-trick projection sums"),
+      (es: Seq[Expression]) => HashedProjection(es.head, intArg(es(1)))),
     ("top_k",
       info("top_k", "top_k(score, id, k) - bounded-heap top-k aggregate"),
       (es: Seq[Expression]) =>

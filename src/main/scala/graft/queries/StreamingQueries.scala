@@ -243,39 +243,53 @@ object StreamingQueries {
        |FROM sc GROUP BY source""".stripMargin
 
   /** C26 — streaming near-duplicate ADMISSION: incoming documents
-    * are hash-embedded ([[graft.functions.HashEmbed]], the d44
-    * stage) and probed per micro-batch against a persisted IVF index
-    * (d37 machinery) built over the already-ingested corpus; a
-    * document is admitted when no earlier document in its probed
-    * lists reaches 0.95 cosine. The shape a crawl pipeline runs so
-    * near-duplicates are suppressed AT INGEST, before they ever
-    * reach storage — composing the embedder, the index, and the
-    * stream.
+    * (the `doc_id % 10 == 0` slice plays the arrival stream) are
+    * hash-embedded ([[graft.functions.HashEmbed]], the d44 stage)
+    * and probed per micro-batch against a persisted IVF index (d37
+    * machinery) built over the ALREADY-INGESTED corpus (the other
+    * 90%); an arrival is admitted when no ingested document in its
+    * probed lists reaches 0.95 cosine. The shape a crawl pipeline
+    * runs so near-duplicates are suppressed AT INGEST, before they
+    * ever reach storage — composing the embedder, the index, and
+    * the stream. (Admitting the whole corpus against itself — the
+    * first cut of this entry — probes N queries instead of the
+    * arrival fraction and is not the production shape.)
     *
     * The probe is [[graft.similarity.Similarity.litIndexCandidates]]
     * — centroid ranking as literal-array column arithmetic instead
     * of ivfProbe's window, because windows do not run on streaming
-    * frames; the candidate join is stream ⋈ static. One stateful
-    * operator (the per-doc max roll-up). Output rows are the
-    * documents with ≥ 1 earlier candidate in their probed lists
-    * (absent docs are trivially admitted); complete mode for the
-    * memory-sink oracle, update mode deployed.
+    * frames; the candidate join is stream ⋈ static. kc is sized so
+    * inverted lists stay ~256 docs (one metadata-only count; the
+    * oracle derives the same kc from the data): per-arrival probe
+    * work is then CONSTANT and total candidate volume linear — a
+    * flat kc makes it quadratic (measured 62 s at 50k docs before
+    * the rule). One stateful operator (the per-doc max roll-up).
+    * Output rows are the arrivals with ≥ 1 ingested candidate in
+    * their probed lists (absent arrivals are trivially admitted);
+    * complete mode for the memory-sink oracle, update mode deployed.
     */
   def c26(s: SparkSession, dir: String): DataFrame = {
     import graft.similarity.Similarity
     val dim = 16
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_c26_${java.lang.ProcessHandle.current().pid()}").toString
+    val ingested = spread(t(s, dir, "documents"))
+      .filter(col("doc_id") % 10 =!= 0)
+    // emb stays BIGINT: VecDot widens long elements exactly (< 2^53),
+    // so no toDouble pre-cast — that interpreted ArrayTransform would
+    // inline into every norm/cosine consumer (measured 8x on norms)
     val corpus = graft.functions.HashEmbed
-      .embed(spread(t(s, dir, "documents")), "doc_id", "text", dim)
-      .select(col("doc_id"), Similarity.toDouble(col("emb")).as("ev"))
-    Similarity.buildIvfIndex(corpus, "doc_id", "ev", idx, kCentroids = 16)
+      .embed(ingested, "doc_id", "text", dim)
+      .select(col("doc_id"), col("emb").as("ev"))
+    val kc = math.max(16L, t(s, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0).count() / 256L).toInt
+    Similarity.buildIvfIndex(corpus, "doc_id", "ev", idx, kCentroids = kc)
     val qstream = graft.functions.HashEmbed
-      .embed(StreamingOps.readDocumentsStream(s, dir), "doc_id", "text", dim)
-      .select(col("doc_id"), Similarity.toDouble(col("emb")).as("ev"))
+      .embed(StreamingOps.readDocumentsStream(s, dir)
+        .filter(col("doc_id") % 10 === 0), "doc_id", "text", dim)
+      .select(col("doc_id"), col("emb").as("ev"))
     val agg = Similarity
       .litIndexCandidates(s, qstream, idx, "doc_id", "ev", nprobe = 2)
-      .filter(col("n_id") < col("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_cands"), max(col("cos")).as("max_cos"))
       .withColumn("admit", col("max_cos") < 0.95)

@@ -808,20 +808,26 @@ object TrainingDataQueries {
        |  SELECT vec_id,
        |    list_transform(embedding, ed_x -> CAST(ed_x AS DOUBLE)) AS e
        |  FROM embeddings),
-       |${duckKmeansChain(dim = 64, kc = 16)}""".stripMargin
+       |${duckKmeansChain(dim = 64, kcSql = "16")}""".stripMargin
 
   /** The generic tail of the kmeans-assignment oracle: everything
     * after a caller-supplied `vn(vec_id, e)` CTE, parameterized on
     * the vector dimension and centroid count (c26 runs it at dim=16
-    * over d44-derived vectors; the embeddings instantiations at
-    * dim=64).
+    * over d44-derived vectors with a DATA-DERIVED kc; the embeddings
+    * instantiations at dim=64, kc=16). `kcSql` is a SQL expression —
+    * a literal (`"16"`) or a scalar subquery (c26's
+    * `GREATEST(16, count(*)//256)`) — applied through a row_number
+    * bound so a subquery is legal where LIMIT would not accept one.
     */
-  private[graft] def duckKmeansChain(dim: Int, kc: Int): String =
+  private[graft] def duckKmeansChain(dim: Int, kcSql: String): String =
     s"""v AS (SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM vn
        |      WHERE sqrt(${duckDot("e", "e")}) > 0),
        |seeds AS (
-       |  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kc),
+       |  SELECT cid, ce, cnrm FROM (
+       |    SELECT vec_id AS cid, e AS ce, nrm AS cnrm,
+       |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |        vec_id) AS krk
+       |    FROM v) WHERE krk <= $kcSql),
        |a0 AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT v.vec_id, c.cid,
@@ -2095,23 +2101,30 @@ object TrainingDataQueries {
        |vn AS (
        |  SELECT doc_id AS vec_id,
        |    list_transform(emb, ce_x -> CAST(ce_x AS DOUBLE)) AS e
-       |  FROM emb0),
-       |${duckKmeansChain(dim = 16, kc = 16)},
+       |  FROM emb0 WHERE doc_id % 10 <> 0),
+       |${duckKmeansChain(dim = 16, kcSql =
+         "(SELECT GREATEST(16, count(*) // 256) FROM documents " +
+           "WHERE doc_id % 10 <> 0)")},
+       |qn AS (
+       |  SELECT doc_id AS q_id,
+       |    list_transform(emb, cq_x -> CAST(cq_x AS DOUBLE)) AS e
+       |  FROM emb0 WHERE doc_id % 10 = 0),
+       |q AS (SELECT q_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM qn
+       |      WHERE sqrt(${duckDot("e", "e")}) > 0),
        |probes AS (
        |  SELECT q_id, cid FROM (
-       |    SELECT q.vec_id AS q_id, c.cid,
-       |      row_number() OVER (PARTITION BY q.vec_id
+       |    SELECT q.q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.q_id
        |        ORDER BY ${duckDot("q.e", "c.ce")} / (q.nrm * c.cnrm) DESC,
        |                 c.cid) AS crk
-       |    FROM v q CROSS JOIN cents c) WHERE crk <= 2),
+       |    FROM q CROSS JOIN cents c) WHERE crk <= 2),
        |cand AS (
        |  SELECT p.q_id, a.vec_id AS n_id,
        |    ${duckDot("q.e", "n.e")} / (q.nrm * n.nrm) AS cos
        |  FROM probes p
        |  JOIN assign a USING (cid)
-       |  JOIN v q ON p.q_id = q.vec_id
-       |  JOIN v n ON a.vec_id = n.vec_id
-       |  WHERE a.vec_id < p.q_id)
+       |  JOIN q ON p.q_id = q.q_id
+       |  JOIN v n ON a.vec_id = n.vec_id)
        |SELECT q_id AS doc_id, CAST(count(*) AS BIGINT) AS n_cands,
        |  max(cos) AS max_cos, max(cos) < 0.95 AS admit
        |FROM cand GROUP BY 1""".stripMargin

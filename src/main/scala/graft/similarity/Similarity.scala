@@ -361,7 +361,7 @@ object Similarity {
     * no window shuffle. The shared idiom of [[ivfTopK]] and d32's
     * semantic dedup.
     */
-  private def argmaxAssign(v: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def argmaxAssign(v: DataFrame, cents: DataFrame): DataFrame =
     v.crossJoin(broadcast(cents))
       .select(col("vid"), struct(
         (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim"),
@@ -545,7 +545,13 @@ object Similarity {
         .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
       cents.coalesce(1).write.mode("overwrite")
         .parquet(s"$indexDir/centroids")
+      // co-locate each inverted list in one task before the
+      // partitioned write: without this every task opens a writer
+      // per cid it happens to hold (tasks × kCentroids small files —
+      // measured as the dominant build cost at kc≈200), with it the
+      // file count is one per list
       v.join(argmaxAssign(v, cents), "vid")
+        .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$indexDir/lists")
       cents.unpersist()
