@@ -258,42 +258,61 @@ object StreamingQueries {
     * The probe is [[graft.similarity.Similarity.litIndexCandidates]]
     * — centroid ranking as literal-array column arithmetic instead
     * of ivfProbe's window, because windows do not run on streaming
-    * frames; the candidate join is stream ⋈ static. kc is sized so
-    * inverted lists stay ~256 docs (one metadata-only count; the
-    * oracle derives the same kc from the data): per-arrival probe
-    * work is then CONSTANT and total candidate volume linear — a
-    * flat kc makes it quadratic (measured 62 s at 50k docs before
-    * the rule). One stateful operator (the per-doc max roll-up).
-    * Output rows are the arrivals with ≥ 1 ingested candidate in
-    * their probed lists (absent arrivals are trivially admitted);
+    * frames; the candidate join is stream ⋈ static.
+    *
+    * Sizing policy (r12 — replaces the r11 `kc = N/256` rule, whose
+    * k-means build was N²/256 distance evaluations and whose
+    * literal-centroid plan grew linearly with the corpus):
+    * `kc = clamp(⌈√N⌉, 16, LitCentroidMax)` keeps the build at
+    * N^1.5, list depth at ~√N, and the literal plan bounded at the
+    * codegen-safe [[graft.similarity.Similarity.LitCentroidMax]]
+    * (past N = 360k the clamp binds and lists deepen instead — the
+    * probed FRACTION nprobe/kc is unchanged). `nprobe` is the
+    * deployed IVF-routing rule
+    * [[graft.similarity.Similarity.adaptiveNprobe]] = max(4, ⌈√kc⌉),
+    * so probed work per arrival is ~N^(3/4); planted-near-dup recall
+    * under exactly this policy is measured in StreamingSpec's
+    * admission-recall case and the AdmissionScale octave table
+    * (GATE_SF1.md r12). One stateful operator (the per-doc max
+    * roll-up). The oracle derives the same kc and nprobe from the
+    * data. Output rows are the arrivals with ≥ 1 ingested candidate
+    * in their probed lists (absent arrivals are trivially admitted);
     * complete mode for the memory-sink oracle, update mode deployed.
+    * The index is built in a per-invocation unique scratch dir
+    * (concurrent invocations can no longer clobber each other) and
+    * deleted once the stream has fully materialized.
     */
   def c26(s: SparkSession, dir: String): DataFrame = {
     import graft.similarity.Similarity
     val dim = 16
-    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_c26_${java.lang.ProcessHandle.current().pid()}").toString
-    val ingested = spread(t(s, dir, "documents"))
-      .filter(col("doc_id") % 10 =!= 0)
-    // emb stays BIGINT: VecDot widens long elements exactly (< 2^53),
-    // so no toDouble pre-cast — that interpreted ArrayTransform would
-    // inline into every norm/cosine consumer (measured 8x on norms)
-    val corpus = graft.functions.HashEmbed
-      .embed(ingested, "doc_id", "text", dim)
-      .select(col("doc_id"), col("emb").as("ev"))
-    val kc = math.max(16L, t(s, dir, "documents")
-      .filter(col("doc_id") % 10 =!= 0).count() / 256L).toInt
-    Similarity.buildIvfIndex(corpus, "doc_id", "ev", idx, kCentroids = kc)
-    val qstream = graft.functions.HashEmbed
-      .embed(StreamingOps.readDocumentsStream(s, dir)
-        .filter(col("doc_id") % 10 === 0), "doc_id", "text", dim)
-      .select(col("doc_id"), col("emb").as("ev"))
-    val agg = Similarity
-      .litIndexCandidates(s, qstream, idx, "doc_id", "ev", nprobe = 2)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_cands"), max(col("cos")).as("max_cos"))
-      .withColumn("admit", col("max_cos") < 0.95)
-    StreamingOps.runToTable(agg, s, "c26_stream_neardup", "complete")
+    val idx = graft.engine.Scratch.dir("graft_c26_")
+    try {
+      val ingested = spread(t(s, dir, "documents"))
+        .filter(col("doc_id") % 10 =!= 0)
+      // emb stays BIGINT: VecDot widens long elements exactly (< 2^53),
+      // so no toDouble pre-cast — that interpreted ArrayTransform would
+      // inline into every norm/cosine consumer (measured 8x on norms)
+      val corpus = graft.functions.HashEmbed
+        .embed(ingested, "doc_id", "text", dim)
+        .select(col("doc_id"), col("emb").as("ev"))
+      val n = t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0).count()
+      val kc = math.min(Similarity.LitCentroidMax.toLong,
+        math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+      Similarity.buildIvfIndex(corpus, "doc_id", "ev", idx, kCentroids = kc)
+      val qstream = graft.functions.HashEmbed
+        .embed(StreamingOps.readDocumentsStream(s, dir)
+          .filter(col("doc_id") % 10 === 0), "doc_id", "text", dim)
+        .select(col("doc_id"), col("emb").as("ev"))
+      val agg = Similarity
+        .litIndexCandidates(s, qstream, idx, "doc_id", "ev",
+          nprobe = Similarity.adaptiveNprobe(kc))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_cands"), max(col("cos")).as("max_cos"))
+        .withColumn("admit", col("max_cos") < 0.95)
+      // the memory sink materializes fully before runToTable returns,
+      // so the index can be deleted eagerly
+      StreamingOps.runToTable(agg, s, "c26_stream_neardup", "complete")
+    } finally graft.engine.Scratch.delete(idx)
   }
 
   val queries: Map[String, QFn] = Map(

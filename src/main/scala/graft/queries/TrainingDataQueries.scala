@@ -900,8 +900,10 @@ object TrainingDataQueries {
     */
   def d37(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_d37_${java.lang.ProcessHandle.current().pid()}").toString
+    // unique per invocation (concurrent runs can't clobber each
+    // other's index); the returned frame still lazily reads the
+    // index, so cleanup is the Scratch exit sweep, not eager delete
+    val idx = graft.engine.Scratch.dir("graft_d37_")
     graft.similarity.Similarity.buildIvfIndex(
       e, "vec_id", "embedding", idx, kCentroids = 16)
     graft.similarity.Similarity.ivfProbe(
@@ -2007,8 +2009,12 @@ object TrainingDataQueries {
     * diagnostic behind the IVF index.
     */
   def d42(s: SparkSession, dir: String): DataFrame =
+    // clusterReport keeps the label's native type (string topics are
+    // legal since r12); the catalog entry pins BIGINT to match its
+    // oracle's CAST
     graft.similarity.Similarity.clusterReport(
-      emb(s, dir), "vec_id", "embedding", "label", kCentroids = 16)
+      emb(s, dir).withColumn("label", col("label").cast("long")),
+      "vec_id", "embedding", "label", kCentroids = 16)
 
   val d42Sql: String =
     s"""WITH $duckKmeansAssign,
@@ -2070,9 +2076,19 @@ object TrainingDataQueries {
     * embedding stage (swap the arithmetic for a batched model UDF in
     * production; schema, scan shape, and determinism stay). Bridges
     * the `documents` table to every embedding-consuming operator.
+    *
+    * The CATALOG entry flattens the vector to a canonical
+    * comma-joined string (`emb_csv`): the driver's comparator
+    * row-sorts results in pandas, which cannot order ndarray cells —
+    * r11's `emb array<bigint>` shape error'd the gate without a
+    * wrong value anywhere. `HashEmbed.embed`'s array API is
+    * unchanged for c26 and every internal consumer; the CSV is an
+    * exact BIGINT rendering, so the oracle remains hash-exact.
     */
   def d44(s: SparkSession, dir: String): DataFrame =
     graft.functions.HashEmbed.embed(docs(s, dir), "doc_id", "text", dim = 16)
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(col("emb"), ",").as("emb_csv"))
 
   /** DuckDB fragment: the [[graft.functions.HashEmbed]] milli-vector
     * of the token-hash list `h` — shared by d44 and c26.
@@ -2086,25 +2102,32 @@ object TrainingDataQueries {
   val d44Sql: String =
     s"""WITH th AS (SELECT doc_id, $duckTokenHashes AS h FROM documents)
        |SELECT doc_id, CAST(len(h) AS BIGINT) AS n_tokens,
-       |  ${duckEmbExpr(16)} AS emb
+       |  array_to_string(${duckEmbExpr(16)}, ',') AS emb_csv
        |FROM th""".stripMargin
 
   /** Oracle of the c26 streaming near-dup admission gate
     * (StreamingQueries) — lives here because it composes this file's
     * fragments: d44 hash-embeddings → 16-dim kmeans assignment
-    * ([[duckKmeansChain]]) → 2-probe candidate scoring restricted to
-    * earlier doc ids → per-doc max-cosine admission report.
+    * ([[duckKmeansChain]]) → adaptive-nprobe candidate scoring
+    * restricted to earlier doc ids → per-doc max-cosine admission
+    * report. kc and nprobe are DERIVED FROM THE DATA exactly as the
+    * engine derives them: kc = clamp(⌈√N⌉, 16, LitCentroidMax) over
+    * the ingested slice, nprobe = max(4, ⌈√kc⌉) (the deployed
+    * adaptiveNprobe rule).
     */
-  private[graft] def c26NearDupSql: String =
+  private[graft] def c26NearDupSql: String = {
+    val kcExpr = "LEAST(" + graft.similarity.Similarity.LitCentroidMax +
+      ", GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)))"
+    val kcSub = s"(SELECT $kcExpr FROM documents WHERE doc_id % 10 <> 0)"
+    val npSub = s"(SELECT GREATEST(4, CAST(ceil(sqrt($kcExpr)) AS BIGINT)) " +
+      "FROM documents WHERE doc_id % 10 <> 0)"
     s"""WITH th AS (SELECT doc_id, $duckTokenHashes AS h FROM documents),
        |emb0 AS (SELECT doc_id, ${duckEmbExpr(16)} AS emb FROM th),
        |vn AS (
        |  SELECT doc_id AS vec_id,
        |    list_transform(emb, ce_x -> CAST(ce_x AS DOUBLE)) AS e
        |  FROM emb0 WHERE doc_id % 10 <> 0),
-       |${duckKmeansChain(dim = 16, kcSql =
-         "(SELECT GREATEST(16, count(*) // 256) FROM documents " +
-           "WHERE doc_id % 10 <> 0)")},
+       |${duckKmeansChain(dim = 16, kcSql = kcSub)},
        |qn AS (
        |  SELECT doc_id AS q_id,
        |    list_transform(emb, cq_x -> CAST(cq_x AS DOUBLE)) AS e
@@ -2117,7 +2140,7 @@ object TrainingDataQueries {
        |      row_number() OVER (PARTITION BY q.q_id
        |        ORDER BY ${duckDot("q.e", "c.ce")} / (q.nrm * c.cnrm) DESC,
        |                 c.cid) AS crk
-       |    FROM q CROSS JOIN cents c) WHERE crk <= 2),
+       |    FROM q CROSS JOIN cents c) WHERE crk <= $npSub),
        |cand AS (
        |  SELECT p.q_id, a.vec_id AS n_id,
        |    ${duckDot("q.e", "n.e")} / (q.nrm * n.nrm) AS cos
@@ -2128,6 +2151,7 @@ object TrainingDataQueries {
        |SELECT q_id AS doc_id, CAST(count(*) AS BIGINT) AS n_cands,
        |  max(cos) AS max_cos, max(cos) < 0.95 AS admit
        |FROM cand GROUP BY 1""".stripMargin
+  }
 
   /** D45 — curriculum staging by exact quality quartiles
     * ([[graft.sampling.Sampler.quartileStages]] over the d41

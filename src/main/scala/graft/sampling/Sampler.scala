@@ -62,14 +62,19 @@ object Sampler {
 
   /** Per-stratum before/after summary of the [[mixRates]] decision:
     * `docs_in, toks_in, rate_pm, docs_out, toks_out`. The bounded
-    * bucket frame is persisted and reused for both the rate
-    * derivation and the selected-count roll-up, so the corpus itself
-    * is scanned exactly once.
+    * bucket frame (≤ 1000 × #strata rows) is collected EAGERLY and
+    * both the rate derivation and the selected-count roll-up run on
+    * the driver-local literal — the corpus is scanned exactly once
+    * and, unlike the pre-r12 persist, nothing stays cached after the
+    * call (the old version leaked its persisted buckets into
+    * long-lived sessions).
     */
   def mixReport(docs: DataFrame, stratumCol: String, textCol: String,
       salt: String, budgetNumer: Long = 1L, budgetDenom: Long = 2L): DataFrame = {
-    val buckets = tokenBuckets(docs, stratumCol, textCol, salt)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = docs.sparkSession
+    val b = tokenBuckets(docs, stratumCol, textCol, salt)
+    val buckets = s.createDataFrame(
+      java.util.Arrays.asList(b.collect(): _*), b.schema)
     val rates = ratesFromBuckets(buckets, stratumCol, budgetNumer, budgetDenom)
     buckets.join(broadcast(rates), Seq(stratumCol))
       .groupBy(stratumCol, "docs_in", "toks_in", "rate_pm")
@@ -90,7 +95,7 @@ object Sampler {
     * distinct value (a combiner-friendly partial agg), the
     * cumulative walk and boundary extraction run on that bounded
     * frame, and each document gets its stage map-side from the
-    * broadcast one-row boundary table.
+    * three boundary LITERALS (collected eagerly — one row).
     *
     * `stage(d) = #{k in 1..3 : score(d) > q_k}` with
     * `q_k = min score whose cumulative count ≥ ceil(k·N/4)` — ties
@@ -106,7 +111,6 @@ object Sampler {
   def quartileStages(scored: DataFrame, idCol: String,
       scoreCol: String): DataFrame = {
     val slim = scored.select(col(idCol), col(scoreCol).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = slim.groupBy(scoreCol).agg(count(lit(1)).as("__cnt"))
     // both windows run on the bounded histogram, not the corpus: the
     // single-partition sort they imply holds ≤ #distinct-scores rows,
@@ -118,15 +122,24 @@ object Sampler {
         byScore.rowsBetween(Long.MinValue, 0)))
       .withColumn("__n", sum(col("__cnt")).over(
         byScore.rowsBetween(Long.MinValue, Long.MaxValue)))
-    val bounds = cum.agg(
+    // the three boundaries are collected EAGERLY (one row, three
+    // longs — far below any dim-table collect) and applied as plan
+    // literals: the returned frame is one zero-shuffle corpus
+    // projection that depends on no cached state. This trades the
+    // pre-r12 persisted (id, score) projection — a corpus-sized
+    // cache leaked into long-lived sessions — for one extra corpus
+    // scan of cheap column arithmetic, the right trade at 100 TB.
+    val b = cum.agg(
       min(when(expr(s"__cum >= (1 * __n + 3) div 4"), col(scoreCol))).as("q1"),
       min(when(expr(s"__cum >= (2 * __n + 3) div 4"), col(scoreCol))).as("q2"),
       min(when(expr(s"__cum >= (3 * __n + 3) div 4"), col(scoreCol))).as("q3"))
-    slim.crossJoin(broadcast(bounds))
-      .select(col(idCol), col(scoreCol),
-        ((col(scoreCol) > col("q1")).cast("long") +
-          (col(scoreCol) > col("q2")).cast("long") +
-          (col(scoreCol) > col("q3")).cast("long")).as("stage"))
+      .head()
+    def q(i: Int): Column =
+      if (b.isNullAt(i)) lit(null).cast("long") else lit(b.getLong(i))
+    slim.select(col(idCol), col(scoreCol),
+      ((col(scoreCol) > q(0)).cast("long") +
+        (col(scoreCol) > q(1)).cast("long") +
+        (col(scoreCol) > q(2)).cast("long")).as("stage"))
   }
 
   private def ratesFromBuckets(buckets: DataFrame, stratumCol: String,

@@ -598,6 +598,40 @@ object Similarity {
     probeTopK(queries, cents, lists, id, vec, k, nprobe)
   }
 
+  /** The zero-norm-guarded `(vid, v, nrm)` projection every
+    * clustering entry starts from.
+    */
+  private def vecFrame(corpus: DataFrame, id: String,
+      vec: String): DataFrame =
+    corpus.select(col(id).as("vid"), col(vec).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .filter(col("nrm") > 0)
+
+  /** Run the seeded k-means build EAGERLY and return the centroids
+    * as a driver-local literal frame (kCentroids rows — the same
+    * dim-table collect contract as [[litIndexCandidates]]). The
+    * corpus projection is persisted only for the duration of the
+    * build and unpersisted in a finally — the LAZY frames the
+    * clustering entries return therefore depend on no cached state,
+    * so a long-lived session leaks nothing (the one re-derivation
+    * they pay is a single corpus scan + map-side argmax per action,
+    * cheaper at scale than a corpus-sized cache pinned for the
+    * lifetime of a result nobody may ever act on).
+    */
+  private def collectedCentroids(v: DataFrame, kCentroids: Int,
+      lloydIters: Int): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
+    val vp = v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      kmeansCentroids(vp, kCentroids, lloydIters)
+        .select(col("cid"), toDouble(col("cv")).as("cv"), col("cnrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .toSeq.toDF("cid", "cv", "cnrm")
+    } finally { vp.unpersist(); () }
+  }
+
   /** Topic-clustering report over an embedded corpus: cluster every
     * vector with the deterministic seeded k-means quantizer
     * ([[kmeansCentroids]] — the d19/d37 coarse quantizer reused as a
@@ -610,26 +644,25 @@ object Similarity {
     * cluster-quality diagnostic for the IVF index (skewed or
     * label-impure lists → poor probed recall).
     *
-    * Ties on the majority label break to the SMALLEST label (same
-    * struct-max idiom as [[argmaxAssign]]), so the report is
-    * bit-stable and carries a full SQL oracle. Scale shape: centroids
-    * broadcast, assignment is map-side argmax; the label roll-up is
-    * two partial aggregations on frames bounded by
-    * `kCentroids × #labels` — nothing downstream of the one corpus
-    * scan is corpus-sized.
+    * The label keeps its NATIVE type (string topics are the common
+    * case; the old long cast silently nulled them) — ties on the
+    * majority label break to the smallest label in the type's
+    * natural ordering, so the report is bit-stable and carries a SQL
+    * oracle for any orderable label. Scale shape: the k-means build
+    * runs eagerly (centroids return as a kCentroids-row literal —
+    * [[collectedCentroids]], which also bounds cache residency);
+    * assignment is map-side argmax; the label roll-up is two partial
+    * aggregations on frames bounded by `kCentroids × #labels` —
+    * nothing downstream of the one corpus scan is corpus-sized.
     */
   def clusterReport(corpus: DataFrame, id: String, vec: String,
       labelCol: String, kCentroids: Int = 16,
       lloydIters: Int = 1): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val v = corpus.select(col(id).as("vid"), col(vec).as("v"))
-      .withColumn("nrm", norm2(col("v")))
-      .filter(col("nrm") > 0)
-      .persist(lvl)
-    val cents = kmeansCentroids(v, kCentroids, lloydIters).persist(lvl)
+    val v = vecFrame(corpus, id, vec)
+    val cents = collectedCentroids(v, kCentroids, lloydIters)
     labelRollup(argmaxAssign(v, cents)
-      .join(corpus.select(col(id).as("vid"),
-        col(labelCol).cast("long").as("__lbl")), "vid"))
+      .join(corpus.select(col(id).as("vid"), col(labelCol).as("__lbl")),
+        "vid"))
   }
 
   /** [[clusterReport]] against a PERSISTED IVF index
@@ -648,12 +681,15 @@ object Similarity {
     labelRollup(s.read.parquet(s"$indexDir/lists")
       .select(col("cid"), col("vid"))
       .join(labels.select(col(id).as("vid"),
-        col(labelCol).cast("long").as("__lbl")), "vid"))
+        col(labelCol).as("__lbl")), "vid"))
 
   /** Shared cluster×label roll-up of [[clusterReport]] and
     * [[clusterReportFromIndex]]: input `(cid, __lbl)` rows, output
     * the per-cluster report. Two partial aggregations on frames
-    * bounded by `kCentroids × #labels`.
+    * bounded by `kCentroids × #labels`. The majority pick is
+    * `min(struct(-n, label))` so it works — and tie-breaks by the
+    * natural ascending order — for ANY orderable label type,
+    * numeric or string.
     */
   private def labelRollup(assignWithLabel: DataFrame): DataFrame =
     assignWithLabel
@@ -661,10 +697,11 @@ object Similarity {
       .groupBy("cid").agg(
         sum(col("__n")).as("n_vecs"),
         count(lit(1)).as("n_labels"),
-        max(struct(col("__n").as("n"), (-col("__lbl")).as("negl"))).as("__top"))
+        min(struct((-col("__n")).as("negn"), col("__lbl").as("lbl")))
+          .as("__top"))
       .select(col("cid"), col("n_vecs"), col("n_labels"),
-        (-col("__top.negl")).as("top_label"), col("__top.n").as("top_n"),
-        expr("__top.n * 1000 div n_vecs").as("purity_pm"))
+        col("__top.lbl").as("top_label"), (-col("__top.negn")).as("top_n"),
+        expr("(-__top.negn) * 1000 div n_vecs").as("purity_pm"))
 
   /** Cluster-balanced sampling: assign vectors to k-means clusters
     * and emit the subset that downsamples every cluster toward an
@@ -688,14 +725,9 @@ object Similarity {
     require(budgetNumer >= 0 && budgetDenom > 0,
       s"budget fraction must be >= 0 with a positive denominator, " +
         s"got $budgetNumer/$budgetDenom")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val v = corpus.select(col(id).as("vid"), col(vec).as("v"))
-      .withColumn("nrm", norm2(col("v")))
-      .filter(col("nrm") > 0)
-      .persist(lvl)
-    val cents = kmeansCentroids(v, kCentroids, lloydIters).persist(lvl)
-    val assign = argmaxAssign(v, cents).persist(lvl)
-    balancedSelect(assign, id, budgetNumer, budgetDenom)
+    val v = vecFrame(corpus, id, vec)
+    val cents = collectedCentroids(v, kCentroids, lloydIters)
+    balancedSelect(argmaxAssign(v, cents), id, budgetNumer, budgetDenom)
   }
 
   /** [[clusterBalancedSample]] against a PERSISTED IVF index — same
@@ -710,24 +742,38 @@ object Similarity {
     require(budgetNumer >= 0 && budgetDenom > 0,
       s"budget fraction must be >= 0 with a positive denominator, " +
         s"got $budgetNumer/$budgetDenom")
+    // no persist: the assignment is a narrow (cid, vid) parquet read
+    // the sizing pass and the lazy selection each re-read — cheaper
+    // than pinning a cache for the lifetime of the returned frame
     balancedSelect(s.read.parquet(s"$indexDir/lists")
-        .select(col("cid"), col("vid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        .select(col("cid"), col("vid")),
       id, budgetNumer, budgetDenom)
   }
 
   /** Shared equal-share selection of [[clusterBalancedSample]] and
     * [[clusterBalancedSampleFromIndex]]: input `(cid, vid)`
-    * assignment rows (persisted by the caller — sized and walked
-    * twice: sizes, then selection), output the surviving
-    * `(id, cid, samp_pm, rate_pm)` rows.
+    * assignment rows, output the surviving
+    * `(id, cid, samp_pm, rate_pm)` rows. The per-cluster sizes are
+    * collected EAGERLY (≤ kCentroids rows — dim-table class, same
+    * contract as the centroid collect) and come back as a broadcast
+    * literal, so the returned lazy frame depends on no cached state;
+    * it re-derives the assignment once when acted on.
     */
   private def balancedSelect(assign: DataFrame, id: String,
       budgetNumer: Long, budgetDenom: Long): DataFrame = {
+    val s = assign.sparkSession
+    import s.implicits._
+    val cidType = assign.schema("cid").dataType
     val sizes = assign.groupBy("cid").agg(count(lit(1)).as("__nc"))
+      .collect()
+      .map(r => (r.getAs[Number]("cid").longValue(), r.getLong(1)))
+      .toSeq.toDF("cid", "__nc")
+      // keep the join key in the assignment's own cid type (an index
+      // read may surface the partition column as int)
+      .select(col("cid").cast(cidType).as("cid"), col("__nc"))
     val totals = sizes.agg(sum(col("__nc")).as("__tot"),
       count(lit(1)).as("__nclusters"))
-    val rates = sizes.crossJoin(broadcast(totals))
+    val rates = sizes.crossJoin(totals)
       .withColumn("rate_pm", least(lit(1000L),
         expr(s"__tot * $budgetNumer div ($budgetDenom * __nclusters) " +
           "* 1000 div greatest(__nc, 1)")))
@@ -742,6 +788,19 @@ object Similarity {
       .filter(col("samp_pm") < col("rate_pm"))
       .select(col("vid").as(id), col("cid"), col("samp_pm"), col("rate_pm"))
   }
+
+  /** Centroid-count ceiling for the literal-centroid streaming probe
+    * ([[litIndexCandidates]]): each centroid becomes one struct
+    * literal inside a single `array(...)` expression node, and this
+    * repo measured janino's generated-method-size cliff at ~736
+    * literal elements (r9, the ANN probe fan-out rebuild) — past it
+    * the stage silently drops to interpreted execution, if it
+    * compiles at all. 600 leaves margin. Streaming-admission callers
+    * must clamp their kc policy to this (c26 does); growth past it
+    * means larger inverted lists, not more literals — the probed
+    * fraction stays nprobe/kc either way.
+    */
+  val LitCentroidMax: Int = 600
 
   /** STREAMING-SAFE probe of a persisted IVF index
     * ([[buildIvfIndex]]): per query row, the cosine scores against
@@ -773,6 +832,15 @@ object Similarity {
     val centRows = s.read.parquet(s"$indexDir/centroids")
       .select(col("cid"), toDouble(col("cv")).as("cv"), col("cnrm"))
       .collect()
+    require(centRows.length <= LitCentroidMax,
+      s"litIndexCandidates: index at $indexDir carries " +
+        s"${centRows.length} centroids > $LitCentroidMax — the " +
+        "literal-centroid ranking would bake one struct literal per " +
+        "centroid into a single array() node, past the ~736-element " +
+        "janino method-size cliff this repo measured in r9 (silent " +
+        "interpreted fallback at best). Rebuild the index with " +
+        s"kCentroids <= $LitCentroidMax for streaming probes, or use " +
+        "the window-ranked ivfProbe in batch")
     val q = queries
       .select(col(id), col(vec).as("__qv"))
       .withColumn("__qnrm", norm2(col("__qv")))

@@ -183,10 +183,21 @@ class Round11OpsSpec extends AnyFunSuite {
     val got = graft.similarity.Similarity
       .clusterReport(df, "vec_id", "embedding", "label", kCentroids = 2)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        ((r.getLong(1), r.getLong(2),
+          // top_label keeps the label's NATIVE type (int here) — the
+          // long cast used to null string labels silently
+          r.getAs[Number](3).longValue(), r.getLong(4),
           r.getLong(5)))).toMap
     assert(got == want)
     assert(got.size == 2, "both seeds must retain members on this corpus")
+    // string labels must survive natively (the pre-r12 long cast
+    // collapsed them to one null label at purity 1000)
+    val sdf = clusterVecs.map { case (id, v) =>
+      (id, v, s"t${labelOf(id)}") }.toDF("vec_id", "embedding", "label")
+    val sgot = graft.similarity.Similarity
+      .clusterReport(sdf, "vec_id", "embedding", "label", kCentroids = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(sgot == want.map { case (cid, w) => cid -> s"t${w._3}" })
   }
 
   test("clusterBalancedSample: equal-share rates, content-hash selection") {
