@@ -1041,7 +1041,24 @@ object Dedup {
   def spanDedup(docs: DataFrame, id: String, text: String,
       width: Int = 8): DataFrame = {
     require(width >= 1, s"span width must be >= 1, got $width")
-    val keyed = docs
+    val keyed = spanSegments(docs, id, text, width)
+    val firsts = keyed
+      .groupBy("span_key")
+      .agg(min(struct(col(id), col("seg_idx"))).as("__first"))
+    spanRebuild(keyed.join(firsts, "span_key")
+      .withColumn("keep",
+        col(id) === col("__first")(id) &&
+          col("seg_idx") === col("__first")("seg_idx")), id)
+  }
+
+  /** Shared segmentation of [[spanDedup]] and the incremental pair:
+    * one `(id, seg_idx, span, span_key)` row per non-overlapping
+    * `width`-token span (zero-shuffle posexplode expansion; the key
+    * is the 128-bit md5 the owner aggregation groups on).
+    */
+  private def spanSegments(docs: DataFrame, id: String, text: String,
+      width: Int): DataFrame =
+    docs
       .select(col(id), split(trim(col(text)), "\\s+").as("__ws"))
       .select(col(id), col("__ws"),
         posexplode(sequence(lit(0), size(col("__ws")) - 1, lit(width))))
@@ -1049,14 +1066,13 @@ object Dedup {
         array_join(slice(col("__ws"), col("col") + 1, lit(width)), " ")
           .as("span"))
       .withColumn("span_key", md5(col("span").cast("binary")))
-    val firsts = keyed
-      .groupBy("span_key")
-      .agg(min(struct(col(id), col("seg_idx"))).as("__first"))
-    keyed.join(firsts, "span_key")
-      .withColumn("keep",
-        col(id) === col("__first")(id) &&
-          col("seg_idx") === col("__first")("seg_idx"))
-      .groupBy(col(id))
+
+  /** Shared per-document reassembly: input segment rows with a
+    * boolean `keep`, output `(id, n_spans, kept_spans,
+    * new_text_md5)` — one combiner-friendly groupBy on the doc id.
+    */
+  private def spanRebuild(marked: DataFrame, id: String): DataFrame =
+    marked.groupBy(col(id))
       .agg(
         count(lit(1)).as("n_spans"),
         sum(col("keep").cast("long")).as("kept_spans"),
@@ -1066,5 +1082,103 @@ object Dedup {
               struct(col("seg_idx"), col("span"))))),
             kv => kv.getField("span")),
           " ").cast("binary")).as("new_text_md5"))
+
+  /** Build the persisted span index incremental span dedup probes
+    * ([[spanDedupIncremental]]) — the d30 amortization split applied
+    * to d39: real crawl pipelines do not re-run corpus-global span
+    * dedup per snapshot; they dedup each NEW batch's spans against
+    * everything already ingested. Layout at `indexDir` (parquet,
+    * overwritten):
+    *
+    *   spans/ (span_key) — the DISTINCT md5 span keys of the
+    *          ingested corpus. Membership is all the probe needs
+    *          (any ingested occurrence beats every new one — see
+    *          the ordering note on [[spanDedupIncremental]]), so the
+    *          index is one 32-hex-char key per distinct span: far
+    *          smaller than the corpus, written by one
+    *          hash-partitioned distinct, never collected.
+    *   meta/  (width) — the span grain; the probe must segment
+    *          exactly like the writer did, so it adopts this value
+    *          and throws on a contradicting explicit width (the d30
+    *          contract: parameters travel with the index).
+    */
+  def buildSpanIndex(docs: DataFrame, id: String, text: String,
+      indexDir: String, width: Int = 8): Unit = {
+    require(width >= 1, s"span width must be >= 1, got $width")
+    val s = docs.sparkSession
+    import s.implicits._
+    Seq(width).toDF("width")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    spanSegments(docs, id, text, width)
+      .select("span_key").distinct()
+      .write.mode("overwrite").parquet(s"$indexDir/spans")
+  }
+
+  /** Append a new batch's surviving spans to a span index — after
+    * admitting a batch, its kept spans are ingested too. One
+    * distinct + anti-join pass; the index stays a set.
+    */
+  def appendSpanIndex(newDocs: DataFrame, id: String, text: String,
+      indexDir: String): Unit = {
+    val s = newDocs.sparkSession
+    val width = readSpanIndexWidth(s, indexDir)
+    val existing = s.read.parquet(s"$indexDir/spans")
+    spanSegments(newDocs, id, text, width)
+      .select("span_key").distinct()
+      .join(existing, Seq("span_key"), "left_anti")
+      .write.mode("append").parquet(s"$indexDir/spans")
+  }
+
+  private def readSpanIndexWidth(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): Int =
+    s.read.parquet(s"$indexDir/meta").select("width").head().getInt(0)
+
+  /** Dedup a NEW batch's spans against a persisted span index
+    * ([[buildSpanIndex]]) — same output shape as [[spanDedup]]
+    * (`n_spans`, `kept_spans`, rebuilt-text md5 per batch document),
+    * but the already-ingested corpus is represented ONLY by its
+    * index: a span survives iff it is absent from the index AND this
+    * occurrence is the batch-internal first owner (min `(id,
+    * seg_idx)` within the batch — d39's rule applied to the batch).
+    *
+    * Ordering semantics: "first" is INGESTION order, not id order —
+    * any indexed occurrence beats every new one regardless of ids
+    * (what a crawl pipeline means by first). When every ingested id
+    * precedes every batch id the result coincides with batch-global
+    * [[spanDedup]] restricted to the batch (pinned in
+    * SpanIndexSpec); with interleaved ids the incremental result is
+    * the ingestion-faithful one.
+    *
+    * Scale shape: the batch-first owner is the same partial-agg
+    * `min(struct)` as d39 (a boilerplate span repeated across the
+    * whole batch collapses map-side); the index probe is a LEFT
+    * equi-join of batch span keys against the `spans/` key set (AQE
+    * skew-split territory, never a rescan of ingested text); the
+    * rebuild is one combiner-friendly groupBy. `width = 0` (default)
+    * adopts the index's grain; a non-zero width contradicting the
+    * meta throws.
+    */
+  def spanDedupIncremental(newDocs: DataFrame, id: String, text: String,
+      indexDir: String, width: Int = 0): DataFrame = {
+    val s = newDocs.sparkSession
+    val mWidth = readSpanIndexWidth(s, indexDir)
+    if (width > 0 && width != mWidth)
+      throw new IllegalStateException(
+        s"spanDedupIncremental: index at $indexDir was built with " +
+          s"width=$mWidth, caller expects $width — rebuild the index " +
+          "or fix the caller")
+    val keyed = spanSegments(newDocs, id, text, mWidth)
+    val firsts = keyed
+      .groupBy("span_key")
+      .agg(min(struct(col(id), col("seg_idx"))).as("__first"))
+    val indexed = s.read.parquet(s"$indexDir/spans")
+      .select(col("span_key"), lit(true).as("__ingested"))
+    spanRebuild(keyed
+      .join(firsts, "span_key")
+      .join(indexed, Seq("span_key"), "left")
+      .withColumn("keep",
+        col("__ingested").isNull &&
+          col(id) === col("__first")(id) &&
+          col("seg_idx") === col("__first")("seg_idx")), id)
   }
 }

@@ -2153,6 +2153,54 @@ object TrainingDataQueries {
        |FROM cand GROUP BY 1""".stripMargin
   }
 
+  /** D46 — INCREMENTAL span dedup
+    * ([[graft.dedup.Dedup.buildSpanIndex]] /
+    * [[graft.dedup.Dedup.spanDedupIncremental]]): d39's
+    * duplicated-span removal in the shape a crawl pipeline actually
+    * runs it — the already-ingested corpus (here the
+    * `doc_id % 5 != 0` slice) persists only its DISTINCT span keys
+    * as a parquet index; each NEW batch (the `% 5 == 0` slice)
+    * probes that index and keeps a span iff it is absent from the
+    * index and first within the batch. Same d30 build-once/
+    * probe-many amortization, applied to the span grain; the index
+    * meta carries the span width and a contradicting probe throws.
+    */
+  def d46(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.engine.Scratch.dir("graft_d46_")
+    val d = docs(s, dir)
+    graft.dedup.Dedup.buildSpanIndex(
+      d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", idx, width = 8)
+    // lazy over the index — cleanup is the Scratch exit sweep (d37
+    // pattern)
+    graft.dedup.Dedup.spanDedupIncremental(
+      d.filter(col("doc_id") % 5 === 0), "doc_id", "text", idx)
+  }
+
+  val d46Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |seg AS (
+      |  SELECT doc_id, CAST(sd_i AS BIGINT) AS seg_idx,
+      |    array_to_string(
+      |      ws[CAST(sd_i*8+1 AS INT):CAST(sd_i*8+8 AS INT)], ' ') AS span
+      |  FROM w, unnest(range(0, (len(ws)+7)//8)) AS t(sd_i)),
+      |idx AS (
+      |  SELECT DISTINCT md5(span) AS k FROM seg WHERE doc_id % 5 <> 0),
+      |b AS (
+      |  SELECT doc_id, seg_idx, span,
+      |    row_number() OVER (PARTITION BY md5(span)
+      |      ORDER BY doc_id, seg_idx) AS rn,
+      |    md5(span) IN (SELECT k FROM idx) AS ingested
+      |  FROM seg WHERE doc_id % 5 = 0)
+      |SELECT doc_id, count(*) AS n_spans,
+      |  CAST(sum(CASE WHEN rn = 1 AND NOT ingested THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS kept_spans,
+      |  md5(coalesce(string_agg(
+      |    CASE WHEN rn = 1 AND NOT ingested THEN span END, ' '
+      |    ORDER BY seg_idx), '')) AS new_text_md5
+      |FROM b GROUP BY doc_id""".stripMargin
+
   /** D45 — curriculum staging by exact quality quartiles
     * ([[graft.sampling.Sampler.quartileStages]] over the d41
     * hashed-linear score): each document lands in stage 0-3 by the
@@ -2193,6 +2241,7 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d46_span_index" -> (d46 _),
     "d45_curriculum" -> (d45 _),
     "d44_embed_text" -> (d44 _),
     "d43_cluster_sample" -> (d43 _),
@@ -2240,6 +2289,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d46_span_index" -> d46Sql,
     "d45_curriculum" -> d45Sql,
     "d44_embed_text" -> d44Sql,
     "d43_cluster_sample" -> d43Sql,

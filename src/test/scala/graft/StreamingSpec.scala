@@ -685,6 +685,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("c26 admission recall: planted near-dups are caught under the deployed sqrt-kc policy") {
+    // The c26 oracle proves the gate computes its candidate scoring
+    // EXACTLY — it says nothing about whether the sublinear probe
+    // budget actually finds the near-duplicates. This plants ground
+    // truth: 100 arrivals that ARE near-dups of ingested documents
+    // (text + one appended token, cosine ≈ 0.99 against the source)
+    // and 100 fresh arrivals, then runs the admission cycle at the
+    // deployed r12 policy (kc = ⌈√N⌉ clamped, nprobe =
+    // adaptiveNprobe(kc)) via the same harness GATE_SF1.md's octave
+    // table uses.
+    val (kc, np, _, _, caught, nDup, admitted, nFresh, _) =
+      graft.tools.AdmissionScale.run(spark, n = 2000L,
+        nDup = 100, nFresh = 100)
+    assert(kc == 45 && np == 7, s"policy drift: kc=$kc nprobe=$np")
+    assert(caught >= (nDup * 95) / 100,
+      s"admission recall too low: caught $caught of $nDup planted near-dups")
+    assert(admitted >= (nFresh * 90) / 100,
+      s"false-rejection too high: only $admitted of $nFresh fresh admitted")
+    // and the r11 pinned nprobe=2 for comparison — must not beat the
+    // deployed policy (if it does, the adaptive rule is mis-tuned)
+    val (_, _, _, _, caught2, _, _, _, _) =
+      graft.tools.AdmissionScale.run(spark, n = 2000L,
+        nDup = 100, nFresh = 100, nprobeOverride = 2)
+    assert(caught2 <= caught,
+      s"nprobe=2 caught $caught2 > adaptive $caught — revisit the rule")
+  }
+
   test("c25's deployed update form: per-batch gate deltas accumulate to the batch report") {
     // The catalog runs c25 in complete mode for the memory-sink
     // oracle; the DEPLOYED form is update mode — each micro-batch
