@@ -1,7 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Merge-table-driven byte-pair encoding (SURVEY §2.D — the
   * tokenizer-faithful upgrade of d2's whitespace/regex proxy).
@@ -78,37 +82,50 @@ object Bpe {
     })
   }
 
-  /** Array of per-word BPE token counts for a lowercased text
-    * column: words pre-tokenized, delimited, folded through the
-    * merge passes; the count is delimiters minus one.
-    */
-  private def wordTokenCounts(text: Column, merges: Seq[(String, String)],
-      wordCap: Int): Column = {
-    val ml = mergeLit(merges)
-    val words = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
-    transform(words, w => {
-      val folded = aggregate(ml, delimit(substring(w, 1, wordCap)),
-        (acc, m) => replace(acc, m("_1"), m("_2")))
-      (length(folded) - length(replace(folded, lit("|"))) - lit(1))
-        .cast("long")
-    })
-  }
-
   /** Per-document token accounting under a caller-supplied merge
     * table (`rank`, `left`, `right` columns; rank defines merge
     * order): (id, n_words, n_tokens). The merge table is collected
-    * to the driver (vocab-sized by contract) and becomes plan
-    * constants — executors never shuffle or join it.
+    * to the driver (vocab-sized by contract) and ships as ONE
+    * reference object inside the native [[BpeTokenCount]] kernel —
+    * executors never shuffle or join it.
+    *
+    * r12: the kernel replaced the replace-fold in this hot path. The
+    * fold's cost is O(words × merges × Passes) string scans per row
+    * REGARDLESS of which merges fire — at a real tokenizer's 32k
+    * merges that is 640k scans per word (measured ~minutes per 1k
+    * docs; BpeScale carries the octave table). The kernel's
+    * rank-cursor scan costs O(L²) pair lookups per word (L =
+    * wordCap), INDEPENDENT of vocab size, and is proven equivalent
+    * to the fold on every table — including adversarial rank orders
+    * — in BpeSpec's randomized cross-validation.
+    * [[encodeDelimited]] keeps the declarative fold as the
+    * test/debug twin.
     */
   def tokenCount(docs: DataFrame, merges: DataFrame, id: String,
       text: String, wordCap: Int = WordCapDefault): DataFrame = {
     val ms = collectMerges(merges)
-    val counts = wordTokenCounts(col(text), ms, wordCap)
-    docs.select(col(id),
-      size(regexp_extract_all(lower(col(text)), lit("[a-z0-9]+"), lit(0)))
-        .cast("long").as("n_words"),
-      coalesce(aggregate(counts, lit(0L), (a, x) => a + x), lit(0L))
-        .as("n_tokens"))
+    docs
+      .select(col(id),
+        regexp_extract_all(lower(col(text)), lit("[a-z0-9]+"), lit(0))
+          .as("__words"))
+      .select(col(id),
+        size(col("__words")).cast("long").as("n_words"),
+        bpe_token_count(col("__words"), ms, wordCap).as("n_tokens"))
+  }
+
+  /** Column face of [[BpeTokenCount]] (validates the merge table
+    * like the fold does).
+    */
+  def bpe_token_count(words: Column, merges: Seq[(String, String)],
+      wordCap: Int = WordCapDefault): Column = {
+    require(merges.forall { case (l, r) =>
+      l.nonEmpty && r.nonEmpty && l != r && (l + r).matches("[a-z0-9]+")
+    }, "merge sides must be non-empty, distinct [a-z0-9]+ strings " +
+      "(same-symbol merges have order-sensitive pairing — see scaladoc)")
+    org.apache.spark.sql.graftshims.SparkShims.column(
+      BpeTokenCount(
+        org.apache.spark.sql.graftshims.SparkShims.expression(words),
+        merges.toIndexedSeq, wordCap))
   }
 
   /** The rank-ordered (left, right) merge list of a merge table. */
@@ -129,4 +146,113 @@ object Bpe {
     transform(words, w => aggregate(ml, delimit(substring(w, 1, wordCap)),
       (acc, m) => replace(acc, m("_1"), m("_2"))))
   }
+}
+
+/** Native BPE token-count kernel: per row, sum of per-word token
+  * counts of an `array<string>` word column under a fixed merge
+  * table (reference object — the [[HashedProjection]] shipping
+  * pattern).
+  *
+  * Algorithm (rank-cursor scan — PROVABLY the replace-fold's
+  * semantics): maintain the word as a symbol array and a rank
+  * cursor; repeatedly find the minimal-rank adjacent pair at or
+  * above the cursor, merge every occurrence in one left-to-right
+  * scan, and advance the cursor past that rank. One scan reaches the
+  * per-rank fixpoint because a distinct-sided merge never creates a
+  * new occurrence of itself (`lr` differs from both `l` and `r`),
+  * and new adjacencies only ever involve the freshly created symbol
+  * — so the sequence of (rank, fixpoint) applications is exactly the
+  * rank-ordered sequence the fold executes, skipped ranks being
+  * absent in the identical intermediate state in both. Holds for ANY
+  * table, including adversarial rank orders where a low-rank merge
+  * only becomes matchable after a high-rank one (both formulations
+  * leave it un-applied: its turn has passed). BpeSpec cross-validates
+  * kernel vs fold vs a naive reference on randomized tables.
+  *
+  * Cost: O(L) rank-map lookups per applied merge, ≤ L merges, so
+  * O(L²) with L = `wordCap` — independent of merge-table size, where
+  * the fold pays O(merges × Passes) full-string scans per word
+  * whether or not a merge fires.
+  */
+case class BpeTokenCount(child: Expression,
+    merges: IndexedSeq[(String, String)], wordCap: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  // (left -> right -> position-in-rank-order); duplicate pairs keep
+  // their first (lowest) position, exactly as the fold's first pass
+  // consumes them
+  @transient private lazy val rankOf:
+      java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+    var i = 0
+    while (i < merges.length) {
+      val (l, r) = merges(i)
+      val inner = m.computeIfAbsent(l,
+        _ => new java.util.HashMap[String, Integer]())
+      if (!inner.containsKey(r)) inner.put(r, Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  private def countWord(w0: String): Int = {
+    val w = if (w0.length > wordCap) w0.substring(0, wordCap) else w0
+    var n = w.length
+    if (n <= 1) return n
+    val syms = new Array[String](n)
+    var i = 0
+    while (i < n) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var cursor = 0
+    while (n > 1) {
+      var best = Int.MaxValue
+      i = 0
+      while (i < n - 1) {
+        val inner = rankOf.get(syms(i))
+        if (inner != null) {
+          val r = inner.get(syms(i + 1))
+          if (r != null && r.intValue() >= cursor && r.intValue() < best)
+            best = r.intValue()
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) return n
+      val (l, r) = merges(best)
+      val lr = l + r
+      var src = 0
+      var dst = 0
+      while (src < n) {
+        if (src + 1 < n && syms(src) == l && syms(src + 1) == r) {
+          syms(dst) = lr; src += 2
+        } else { syms(dst) = syms(src); src += 1 }
+        dst += 1
+      }
+      n = dst
+      cursor = best + 1
+    }
+    n
+  }
+
+  def compute(words: ArrayData): Long = {
+    var total = 0L
+    var i = 0
+    val n = words.numElements()
+    while (i < n) {
+      total += countWord(words.getUTF8String(i).toString)
+      i += 1
+    }
+    total
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeTokenCount", this,
+      classOf[BpeTokenCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeTokenCount =
+    copy(child = c)
 }

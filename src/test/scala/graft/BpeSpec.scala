@@ -77,7 +77,67 @@ class BpeSpec extends AnyFunSuite {
         assert(got(w) == naive(w, merges),
           s"round=$round merges=$merges word=<$w>")
       }
+      // the native kernel (r12 hot path) must count the identical
+      // normal form the fold produces
+      import spark.implicits._
+      val kc = words.toDF("text")
+        .select(col("text"), Bpe.bpe_token_count(
+          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)),
+          merges).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for (w <- words) {
+        assert(kc(w) == naive(w, merges).length.toLong,
+          s"kernel != naive: round=$round merges=$merges word=<$w>")
+      }
     }
+  }
+
+  test("kernel honors strict rank order on adversarial tables (low rank enabled by high rank)") {
+    // (ab, c) at rank 0 is only matchable AFTER (a, b) at rank 1 has
+    // fired — by then its turn has passed, so neither the fold nor
+    // the kernel may apply it: "abc" must end as [ab, c], not [abc].
+    val merges = Seq(("ab", "c"), ("a", "b"))
+    assert(naive("abc", merges) == Vector("ab", "c"))
+    assert(sparkTokens(Seq("abc"), merges)("abc") == Vector("ab", "c"))
+    import spark.implicits._
+    val n = Seq("abc").toDF("text")
+      .select(Bpe.bpe_token_count(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)),
+        merges).as("n")).head().getLong(0)
+    assert(n == 2L, "kernel must not revisit a passed rank")
+  }
+
+  test("kernel octave sanity: large merge tables stay cheap and agree with the fold at small scale") {
+    // The fold costs O(merges × Passes) scans per word whether or
+    // not a merge fires; the kernel is vocab-size independent. At 1k
+    // synthetic merges both still run here — they must agree — and
+    // the kernel at 32k merges must stay interactive (the fold at
+    // 32k is minutes-per-1000-docs territory and is not exercised;
+    // BpeScale carries the measured table).
+    import spark.implicits._
+    val docs = (1 to 200).map(i =>
+      (i.toLong, s"the quick brown fox jumps over lazy dog$i " * 4))
+      .toDF("doc_id", "text")
+    def table(m: Int) = graft.tools.BpeScale.syntheticMerges(m)
+    val mergesDf1k = table(1000).zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left", "right")
+    val a = Bpe.tokenCount(docs, mergesDf1k, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fold = docs.select(col("doc_id"),
+      Bpe.encodeDelimited(col("text"), table(1000)).as("enc"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[String](1).map(e =>
+          e.split('|').count(_.nonEmpty).toLong).sum
+      }.toMap
+    assert(a == fold, "kernel and fold disagree at 1k merges")
+    val t0 = System.nanoTime()
+    val merges32k = table(32000).zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left", "right")
+    Bpe.tokenCount(docs, merges32k, "doc_id", "text").collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 60, f"kernel at 32k merges took $sec%.1f s on 200 docs")
   }
 
   test("tokenCount: counts, word caps, empty and no-word docs") {
