@@ -86,6 +86,113 @@ object Curator {
       expr("n_stop * 10000 div ws_tokens") < 4000 &&
       col("ws_tokens").between(minTokens, maxTokens)
 
+  /** The FULL production curation DAG as one operator (SURVEY
+    * §2.D47) — the ordering a crawl pipeline actually runs, cheap
+    * passes first, with per-document fate attribution:
+    *
+    *  1. `norm_dup`     — d35 normalization dedup (md5 of the
+    *                      case/punct/whitespace-canonicalized text,
+    *                      min-id keeper);
+    *  2. `span_dup`     — d39 span dedup over the norm survivors:
+    *                      a document keeping fewer than
+    *                      `minSpanKeepPm` per-mille of its width-8
+    *                      spans is mostly duplicated content;
+    *  3. `low_quality`  — d41 hashed-linear model gate
+    *                      (caller-supplied weights, none bundled),
+    *                      `score_pm < thresholdPm` drops (a NULL
+    *                      score — empty text — drops here too, the
+    *                      Curator coalesce rule);
+    *  4. `mix_out`      — d40 equal-share source mixing over the
+    *                      stage-3 survivors' token mass
+    *                      (`budgetNumer/budgetDenom` of it),
+    *                      selection by the d20 content-hash
+    *                      per-mille;
+    *  5. `kept`         — survivors, each also assigned its d45
+    *                      curriculum stage (exact score quartiles
+    *                      over the KEPT population; NULL for
+    *                      non-kept rows).
+    *
+    * Output: `(id, fate, score_pm, stage)` — one row per input
+    * document.
+    *
+    * Scale shape: the raw corpus text is read exactly twice — once
+    * for the pass-1 narrow projection (score, norm hash, mix
+    * per-mille: all map-side column arithmetic plus the one
+    * norm-keeper window shuffle) and once by the span stage, which
+    * only segments norm survivors. Everything downstream runs on the
+    * PERSISTED narrow per-doc frame (no text column): mixture rates
+    * collect to ≤ #sources rows and broadcast back; quartile bounds
+    * are three literals ([[graft.sampling.Sampler.quartileStages]]).
+    * Same cache contract as [[curate]]: the returned plan reads the
+    * persisted frame, so long-lived sessions clearCache between
+    * batches.
+    */
+  def fullCurate(docs: DataFrame, weights: DataFrame, dim: Int,
+      id: String = "doc_id", text: String = "text",
+      source: String = "source", thresholdPm: Long = 0L,
+      minSpanKeepPm: Long = 500L, spanWidth: Int = 8,
+      budgetNumer: Long = 1L, budgetDenom: Long = 2L,
+      mixSalt: String = "curate"): DataFrame = {
+    require(budgetNumer >= 0 && budgetDenom > 0,
+      s"budget fraction must be >= 0 with a positive denominator, " +
+        s"got $budgetNumer/$budgetDenom")
+    val s = docs.sparkSession
+    import s.implicits._
+    val normed = trim(regexp_replace(
+      regexp_replace(lower(col(text)), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    val flags = graft.functions.HashedLinear
+      .scorePm(docs, weights, dim, id, text, thresholdPm,
+        passthrough = Seq(source, text))
+      .withColumn("norm_hash", md5(normed.cast("binary")))
+      .withColumn("samp_pm", pmod(graft.functions.TextHash.poly_hash(
+        concat(col(text), lit("|" + mixSalt))), lit(1000L)))
+      .withColumn("__keeper", min(col(id)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("norm_hash")))
+      .withColumn("norm_dup", col(id) =!= col("__keeper"))
+      .drop(text, "norm_hash", "__keeper", "keep")
+    // stage 2: span coverage of norm survivors — the second (and
+    // last) read of the raw text
+    val spanStats = Dedup.spanDedup(
+        docs.join(flags.filter(!col("norm_dup")).select(col(id)),
+          Seq(id), "left_semi"),
+        id, text, spanWidth)
+      .select(col(id),
+        expr(s"kept_spans * 1000 div n_spans").as("span_keep_pm"))
+    val curated = flags.join(spanStats, Seq(id), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val surv3 = curated.filter(!col("norm_dup") &&
+      col("span_keep_pm") >= minSpanKeepPm &&
+      col("score_pm") >= thresholdPm)
+    // stage 4 rates: ≤ #sources rows — dim-class eager collect, the
+    // d40 integer arithmetic verbatim
+    val rateRows = surv3.groupBy(source)
+      .agg(sum(col("n_tokens")).as("__toks")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val tot = rateRows.map(_._2).sum
+    val ns = math.max(rateRows.length.toLong, 1L)
+    val rates = rateRows.toSeq.map { case (src, toks) =>
+      (src, math.min(1000L,
+        tot * budgetNumer / (budgetDenom * ns) * 1000L / math.max(toks, 1L)))
+    }.toDF(source, "rate_pm")
+    val kept = surv3.join(broadcast(rates), Seq(source))
+      .filter(col("samp_pm") < col("rate_pm"))
+    // stage 5: d45 quartile staging over the kept population
+    val staged = graft.sampling.Sampler
+      .quartileStages(kept.select(col(id), col("score_pm")), id, "score_pm")
+      .select(col(id), col("stage"))
+    curated
+      .join(broadcast(rates), Seq(source), "left")
+      .join(staged, Seq(id), "left")
+      .select(col(id),
+        when(col("norm_dup"), "norm_dup")
+          .when(col("span_keep_pm") < minSpanKeepPm, "span_dup")
+          .when(!coalesce(col("score_pm") >= thresholdPm, lit(false)),
+            "low_quality")
+          .when(!(col("samp_pm") < col("rate_pm")), "mix_out")
+          .otherwise("kept").as("fate"),
+        col("score_pm"), col("stage"))
+  }
+
   /** Curation observability: every document's fate — `kept`,
     * `exact_dup`, `near_dup`, or `low_quality` — with identical
     * stage semantics to [[curate]] (the `kept` count equals

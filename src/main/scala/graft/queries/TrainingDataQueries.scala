@@ -2201,6 +2201,105 @@ object TrainingDataQueries {
       |    ORDER BY seg_idx), '')) AS new_text_md5
       |FROM b GROUP BY doc_id""".stripMargin
 
+  /** D47 — the FULL curation DAG as one operator
+    * ([[graft.dedup.Curator.fullCurate]]): norm dedup (d35) → span
+    * dedup coverage (d39) → hashed-linear quality gate (d41) →
+    * equal-share source mixing (d40) → curriculum staging (d45),
+    * with per-document fate attribution — the production ordering
+    * (cheap passes first) proving the stages compose without the
+    * raw corpus being read more than twice (pass-1 projection +
+    * span segmentation of norm survivors; plan pinned in
+    * PlanAuditSpec). Runs the d41 test model at threshold 0 and a
+    * half-token-budget mix.
+    */
+  def d47(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Curator.fullCurate(
+      docs(s, dir), d41Weights(s), d41Dim)
+
+  val d47Sql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, source, text, $duckTokenHashes AS h
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, source, CAST(len(h) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(h,
+       |      hq_h -> hq_h % $d41Dim * 37 % 21 - 10)) * 1000
+       |      // len(h) AS BIGINT) AS score_pm,
+       |    ${duckHash("(text || '|curate')")} % 1000 AS samp_pm,
+       |    md5(trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_hash
+       |  FROM th),
+       |normk AS (
+       |  SELECT *, doc_id <> min(doc_id) OVER (PARTITION BY norm_hash)
+       |    AS norm_dup
+       |  FROM base),
+       |w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM normk WHERE NOT norm_dup)),
+       |seg AS (
+       |  SELECT doc_id,
+       |    array_to_string(
+       |      ws[CAST(sd_i*8+1 AS INT):CAST(sd_i*8+8 AS INT)], ' ') AS span,
+       |    CAST(sd_i AS BIGINT) AS seg_idx
+       |  FROM w, unnest(range(0, (len(ws)+7)//8)) AS t(sd_i)),
+       |m AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY md5(span)
+       |      ORDER BY doc_id, seg_idx) AS rn
+       |  FROM seg),
+       |spk AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1000
+       |      // count(*) AS BIGINT) AS span_keep_pm
+       |  FROM m GROUP BY doc_id),
+       |f AS (
+       |  SELECT n.*, s.span_keep_pm
+       |  FROM normk n LEFT JOIN spk s USING (doc_id)),
+       |s3 AS (
+       |  SELECT * FROM f
+       |  WHERE NOT norm_dup AND span_keep_pm >= 500 AND score_pm >= 0),
+       |agg AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS toks
+       |  FROM s3 GROUP BY source),
+       |tt AS (SELECT CAST(sum(toks) AS BIGINT) AS tot,
+       |    CAST(count(*) AS BIGINT) AS ns FROM agg),
+       |r AS (
+       |  SELECT source, LEAST(1000, tot * 1 // (2 * ns) * 1000
+       |    // GREATEST(toks, 1)) AS rate_pm
+       |  FROM agg, tt),
+       |kept AS (
+       |  SELECT s3.doc_id, s3.score_pm
+       |  FROM s3 JOIN r USING (source) WHERE s3.samp_pm < r.rate_pm),
+       |hist AS (
+       |  SELECT score_pm, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM kept GROUP BY 1),
+       |c AS (
+       |  SELECT score_pm,
+       |    CAST(sum(cnt) OVER (ORDER BY score_pm) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+       |  FROM hist),
+       |b AS (
+       |  SELECT min(CASE WHEN cum >= (1*n+3)//4 THEN score_pm END) AS q1,
+       |         min(CASE WHEN cum >= (2*n+3)//4 THEN score_pm END) AS q2,
+       |         min(CASE WHEN cum >= (3*n+3)//4 THEN score_pm END) AS q3
+       |  FROM c),
+       |staged AS (
+       |  SELECT k.doc_id,
+       |    CAST((k.score_pm > b.q1)::BIGINT + (k.score_pm > b.q2)::BIGINT
+       |      + (k.score_pm > b.q3)::BIGINT AS BIGINT) AS stage
+       |  FROM kept k, b)
+       |SELECT f.doc_id,
+       |  CASE WHEN f.norm_dup THEN 'norm_dup'
+       |       WHEN f.span_keep_pm < 500 THEN 'span_dup'
+       |       WHEN NOT coalesce(f.score_pm >= 0, false) THEN 'low_quality'
+       |       WHEN NOT (f.samp_pm < r.rate_pm) THEN 'mix_out'
+       |       ELSE 'kept' END AS fate,
+       |  f.score_pm, st.stage
+       |FROM f
+       |LEFT JOIN r USING (source)
+       |LEFT JOIN staged st USING (doc_id)""".stripMargin
+
   /** D45 — curriculum staging by exact quality quartiles
     * ([[graft.sampling.Sampler.quartileStages]] over the d41
     * hashed-linear score): each document lands in stage 0-3 by the
@@ -2241,6 +2340,7 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d47_full_curate" -> (d47 _),
     "d46_span_index" -> (d46 _),
     "d45_curriculum" -> (d45 _),
     "d44_embed_text" -> (d44 _),
@@ -2289,6 +2389,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d47_full_curate" -> d47Sql,
     "d46_span_index" -> d46Sql,
     "d45_curriculum" -> d45Sql,
     "d44_embed_text" -> d44Sql,

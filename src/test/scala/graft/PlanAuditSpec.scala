@@ -257,6 +257,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(plan("d44_embed_text")) == 0)
   }
 
+  test("d47: fate attribution reads the persisted narrow frame; rates broadcast; no raw-text rescan") {
+    // Structural (tree, not string) check: in the plan TREE an
+    // InMemoryTableScanExec is a leaf — its cache-BUILD lineage
+    // (where the two legitimate documents reads live: the pass-1
+    // projection and the span segmentation of norm survivors) is not
+    // a child — so any FileSourceScanExec found here is a genuine
+    // extra read of the raw corpus by the returned plan.
+    val exec = SparkEntry.queries("d47_full_curate")(spark, sf)
+      .queryExecution.executedPlan match {
+        // collect does not descend into the AQE wrapper's plan
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    val fileScans = exec.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(!fileScans.exists(_.toString.contains("documents")),
+      "the returned plan must not rescan the raw corpus")
+    val imts = exec.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i }
+    assert(imts.length >= 2,
+      "fate and staging must both read the persisted narrow frame")
+    assert(exec.toString().contains("BroadcastHashJoin"))
+  }
+
   test("d45: curriculum staging returns a zero-shuffle literal-bounds projection") {
     val p = plan("d45_curriculum")
     // the histogram walk runs EAGERLY at build time (bounded frames

@@ -68,6 +68,52 @@ class Round12OpsSpec extends AnyFunSuite {
       "fixture must exercise both kept and dropped spans")
   }
 
+  test("fullCurate: every stage claims its forced documents, fates partition, stages only on kept") {
+    import spark.implicits._
+    import graft.functions.TextHash
+    // dim-2 model: bucket-0 tokens score +5, bucket-1 tokens -5 —
+    // docs composed purely of one bucket force the quality gate
+    val weights = Seq((0L, 5L), (1L, -5L)).toDF("feature", "weight")
+    val (good, bad) = (0 until 200).map(i => s"t$i")
+      .partition(t => TextHash.polyHashStr(t) % 2 == 0)
+    def text(pool: Seq[String], n: Int, off: Int) =
+      (0 until n).map(i => pool((off + i) % pool.size)).mkString(" ")
+    val base = text(good, 16, 0)                      // 2 full spans
+    val docs = Seq(
+      (1L, base, "big"),                              // span owner
+      (2L, base.toUpperCase + "!", "big"),            // norm-dup of 1
+      (3L, base + " " + text(good, 8, 50), "big"),    // 2 of 3 spans owned by 1 -> span_dup
+      (4L, text(bad, 16, 0), "big"),                  // all-negative -> low_quality
+      // a heavy source to force thinning plus a light one kept whole
+      (5L, text(good, 40, 20), "big"),
+      (6L, text(good, 40, 60), "big"),
+      (7L, text(good, 40, 100), "big"),
+      (8L, text(good, 40, 140), "big"),
+      (9L, text(good, 8, 90), "small")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.dedup.Curator
+      .fullCurate(docs, weights, dim = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(out.size == 9, "fates must partition the corpus")
+    assert(out(2L)._1 == "norm_dup")
+    assert(out(3L)._1 == "span_dup")
+    assert(out(4L)._1 == "low_quality")
+    assert(out(9L)._1 == "kept" || out(9L)._1 == "mix_out")
+    // the heavy source must be thinned: its budget share is far
+    // below its token mass, so not every big survivor stays
+    val bigSurvivors = Seq(1L, 5L, 6L, 7L, 8L).map(out(_)._1)
+    assert(bigSurvivors.contains("mix_out"),
+      s"equal-share mixing must thin the heavy source: $bigSurvivors")
+    // stage nullability: exactly the kept docs carry a stage 0..3
+    out.foreach { case (id, (fate, stage)) =>
+      if (fate == "kept")
+        assert(stage.exists(st => st >= 0 && st <= 3), s"doc $id: $stage")
+      else assert(stage.isEmpty, s"non-kept doc $id carries stage $stage")
+    }
+  }
+
   test("span index: probe adopts the meta width; a contradiction throws; append extends the set") {
     import spark.implicits._
     val idx = scratch()
