@@ -1158,6 +1158,37 @@ object Dedup {
     * adopts the index's grain; a non-zero width contradicting the
     * meta throws.
     */
+  /** STREAMING-SAFE span-novelty probe of a persisted span index
+    * ([[buildSpanIndex]]): per document, how much of its content is
+    * NEW relative to the ingested corpus — `(id, n_spans,
+    * novel_spans, novel_pm)` with `novel_pm = novel·1000 div total`.
+    * The ingest-gate shape (c27): no batch-first rule, each arrival
+    * is judged against the INDEX alone, so the result is
+    * arrival-order independent and the identical plan — segment
+    * (zero-shuffle generate) → LEFT equi-join against the static key
+    * set → one per-doc aggregation — runs on a batch or streaming
+    * frame (the aggregation is the single stateful operator).
+    * Admission policy is the caller's predicate on `novel_pm`;
+    * documents whose spans are mostly already ingested are the
+    * boilerplate/recrawl suppression C4-style pipelines drop at
+    * ingest. Width adopts the index meta ([[spanDedupIncremental]]'s
+    * contract).
+    */
+  def spanNovelty(newDocs: DataFrame, id: String, text: String,
+      indexDir: String): DataFrame = {
+    val s = newDocs.sparkSession
+    val width = readSpanIndexWidth(s, indexDir)
+    val indexed = s.read.parquet(s"$indexDir/spans")
+      .select(col("span_key"), lit(true).as("__ingested"))
+    spanSegments(newDocs, id, text, width)
+      .join(indexed, Seq("span_key"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__ingested").isNull, 1L).otherwise(0L))
+          .as("novel_spans"))
+      .withColumn("novel_pm", expr("novel_spans * 1000 div n_spans"))
+  }
+
   def spanDedupIncremental(newDocs: DataFrame, id: String, text: String,
       indexDir: String, width: Int = 0): DataFrame = {
     val s = newDocs.sparkSession

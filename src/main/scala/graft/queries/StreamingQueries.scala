@@ -315,7 +315,56 @@ object StreamingQueries {
     } finally graft.engine.Scratch.delete(idx)
   }
 
+  /** C27 — streaming span-novelty ADMISSION: the d46 span index (the
+    * already-ingested corpus's distinct span keys; the `doc_id % 10
+    * != 0` slice) probed by each ARRIVING document
+    * ([[graft.dedup.Dedup.spanNovelty]]) — the arrival is admitted
+    * iff at least half its width-8 spans are NEW (`novel_pm >=
+    * 500`), the C4-style recrawl/boilerplate suppression at ingest.
+    * Completes the streaming ingest-gate family: quality (c25),
+    * embedding near-dup (c26), span novelty (c27). No batch-first
+    * rule, so the report is arrival-order independent and the
+    * complete-mode oracle is exact; segment → static left join →
+    * ONE stateful per-doc aggregation, window-free by construction.
+    */
+  def c27(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.engine.Scratch.dir("graft_c27_")
+    try {
+      graft.dedup.Dedup.buildSpanIndex(
+        spread(t(s, dir, "documents")).filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", idx, width = 8)
+      val gated = graft.dedup.Dedup.spanNovelty(
+          StreamingOps.readDocumentsStream(s, dir)
+            .filter(col("doc_id") % 10 === 0), "doc_id", "text", idx)
+        .withColumn("admit", col("novel_pm") >= 500)
+      StreamingOps.runToTable(gated, s, "c27_stream_span_admission",
+        "complete")
+    } finally graft.engine.Scratch.delete(idx)
+  }
+
+  val c27Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |seg AS (
+      |  SELECT doc_id,
+      |    array_to_string(
+      |      ws[CAST(sd_i*8+1 AS INT):CAST(sd_i*8+8 AS INT)], ' ') AS span
+      |  FROM w, unnest(range(0, (len(ws)+7)//8)) AS t(sd_i)),
+      |idx AS (
+      |  SELECT DISTINCT md5(span) AS k FROM seg WHERE doc_id % 10 <> 0),
+      |g AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(CASE WHEN md5(span) IN (SELECT k FROM idx)
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS novel_spans
+      |  FROM seg WHERE doc_id % 10 = 0 GROUP BY doc_id)
+      |SELECT doc_id, n_spans, novel_spans,
+      |  CAST(novel_spans * 1000 // n_spans AS BIGINT) AS novel_pm,
+      |  novel_spans * 1000 // n_spans >= 500 AS admit
+      |FROM g""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "c27_stream_span_admission" -> (c27 _),
     "c26_stream_neardup" -> (c26 _),
     "c25_stream_quality" -> (c25 _),
     "c24_stream_ewma" -> (c24 _),
@@ -326,6 +375,7 @@ object StreamingQueries {
     "c12_stream_enrich" -> (c12 _))
 
   val oracles: Map[String, String] = Map(
+    "c27_stream_span_admission" -> c27Sql,
     "c26_stream_neardup" -> TrainingDataQueries.c26NearDupSql,
     "c25_stream_quality" -> c25Sql,
     "c24_stream_ewma" -> c24Sql,

@@ -685,6 +685,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("c27's deployed update form: span-novelty admission accumulates across micro-batches") {
+    // The span gate judges each arrival against the static index
+    // only (no batch-first rule), so per-doc reports must equal the
+    // batch run regardless of micro-batch splits, with exactly one
+    // stateful operator (the per-doc aggregation).
+    import graft.dedup.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_c27_upd").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_c27_idx").toString
+    def docsDf(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      rows.map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    Dedup.buildSpanIndex(
+      docsDf(Seq(1L -> "a b c d", 2L -> "e f g h")),
+      "doc_id", "text", idx, width = 2)
+    def gate(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.spanNovelty(docs, "doc_id", "text", idx)
+        .withColumn("admit", col("novel_pm") >= 500)
+    val b1 = Seq(10L -> "a b x y", 11L -> "c d e f")   // 1/2 novel, 0/2 novel
+    val b2 = Seq(12L -> "p q r s")                      // all novel
+    docsDf(b1).coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(StreamingOps.documentsSchema)
+      .option("pathGlobFilter", "*.parquet").parquet(dir)
+    val q = gate(stream).writeStream.format("memory").queryName("c27_update")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      docsDf(b2).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("c27_update").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .toMap
+      val want = gate(docsDf(b1 ++ b2)).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .toMap
+      assert(got == want,
+        s"update-mode final novelty != batch gate:\ngot=$got\nwant=$want")
+      assert(want(10L) == ((2L, 1L, 500L, true)))
+      assert(want(11L) == ((2L, 0L, 0L, false)),
+        "fully-ingested arrival must be suppressed")
+      assert(want(12L) == ((2L, 2L, 1000L, true)))
+      assert(q.recentProgress.filter(_.numInputRows > 0)
+        .forall(p => p.stateOperators.length == 1),
+        "the span gate must have exactly one stateful operator")
+    } finally q.stop()
+  }
+
   test("c26 admission recall: planted near-dups are caught under the deployed sqrt-kc policy") {
     // The c26 oracle proves the gate computes its candidate scoring
     // EXACTLY — it says nothing about whether the sublinear probe
