@@ -36,6 +36,21 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *     pairing that a declarative fold cannot pin down, so it is
   *     rejected rather than silently mis-paired.
   *
+  * Scope of the "canonical" claim: this repo's semantics — each rank
+  * visited once, in table order, to its fixpoint — coincide with
+  * greedy lowest-matchable-rank-first BPE apply on LEARNED merge
+  * tables, because a table produced by BPE training orders merges
+  * consistently (a merge producing symbol `lr` always outranks every
+  * merge consuming `lr`, so no lower rank first becomes matchable
+  * after a higher one fires). On HAND-MADE adversarial tables that
+  * violate this ordering, greedy apply CAN revisit a low rank whose
+  * turn has passed here; both the fold and the kernel deliberately
+  * leave it un-applied (rank order is a single forward pass), and
+  * BpeSpec pins that deviation explicitly. "Canonical Sennrich"
+  * therefore means: exact greedy-BPE token counts on any learned
+  * table, and a well-defined deterministic extension on arbitrary
+  * ones.
+  *
   * Execution shape — the whole computation is codegen'd Column
   * arithmetic, no UDFs and no custom expressions: a word travels as
   * a `|`-delimited symbol string (`"|t|a|b|"`; safe because the
@@ -238,7 +253,12 @@ case class BpeTokenCount(child: Expression,
     var i = 0
     val n = words.numElements()
     while (i < n) {
-      total += countWord(words.getUTF8String(i).toString)
+      // null elements contribute nothing (the fold twin null-
+      // propagates through aggregate; tokenCount's regexp_extract_all
+      // never yields them, but bpe_token_count is a public Column API
+      // and a caller-built array may carry nulls — skip, don't NPE)
+      if (!words.isNullAt(i))
+        total += countWord(words.getUTF8String(i).toString)
       i += 1
     }
     total

@@ -131,13 +131,26 @@ class BpeSpec extends AnyFunSuite {
           e.split('|').count(_.nonEmpty).toLong).sum
       }.toMap
     assert(a == fold, "kernel and fold disagree at 1k merges")
-    val t0 = System.nanoTime()
+    // smoke only: the 32k-merge kernel run must COMPLETE (the fold
+    // extrapolates to minutes here). No wall-clock assertion — that
+    // measured machine speed, not correctness, and flaked on loaded
+    // hosts; BpeScale carries the measured octave table.
     val merges32k = table(32000).zipWithIndex
       .map { case ((l, r), i) => (i.toLong, l, r) }
       .toDF("rank", "left", "right")
-    Bpe.tokenCount(docs, merges32k, "doc_id", "text").collect()
-    val sec = (System.nanoTime() - t0) / 1e9
-    assert(sec < 60, f"kernel at 32k merges took $sec%.1f s on 200 docs")
+    val rows32k = Bpe.tokenCount(docs, merges32k, "doc_id", "text").count()
+    assert(rows32k == 200L)
+  }
+
+  test("kernel skips null word-array elements instead of NPEing") {
+    import spark.implicits._
+    val merges = Seq((0L, "a", "b")).toDF("rank", "left", "right")
+    val mergePairs = Bpe.collectMerges(merges)
+    val n = Seq(Tuple1(Seq[String]("ab", null, "c"))).toDF("ws")
+      .select(Bpe.bpe_token_count(col("ws"), mergePairs).as("n"))
+      .head().getLong(0)
+    // "ab" merges to 1 token, null contributes nothing, "c" is 1
+    assert(n == 2L)
   }
 
   test("tokenCount: counts, word caps, empty and no-word docs") {

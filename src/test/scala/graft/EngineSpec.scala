@@ -46,4 +46,21 @@ class EngineSpec extends AnyFunSuite {
     assert(opts("partitionColumn") == "tagid")
     assert(opts("fetchsize") == "10000")
   }
+
+  test("Scratch registers live dirs and delete deregisters them") {
+    val before = graft.engine.Scratch.liveCount
+    val a = graft.engine.Scratch.dir("graft_enginespec_")
+    val b = graft.engine.Scratch.dir("graft_enginespec_")
+    assert(graft.engine.Scratch.liveCount == before + 2)
+    assert(new java.io.File(a).isDirectory && new java.io.File(b).isDirectory)
+    graft.engine.Scratch.delete(a)
+    assert(graft.engine.Scratch.liveCount == before + 1,
+      "eager delete must deregister the path from the exit sweep")
+    assert(!new java.io.File(a).exists())
+    graft.engine.Scratch.delete(b)
+    assert(graft.engine.Scratch.liveCount == before)
+    // double delete is a no-op
+    graft.engine.Scratch.delete(b)
+    assert(graft.engine.Scratch.liveCount == before)
+  }
 }
