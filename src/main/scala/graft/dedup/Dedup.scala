@@ -1087,8 +1087,8 @@ object Dedup {
     * ([[spanDedupIncremental]]) — the d30 amortization split applied
     * to d39: real crawl pipelines do not re-run corpus-global span
     * dedup per snapshot; they dedup each NEW batch's spans against
-    * everything already ingested. Layout at `indexDir` (parquet,
-    * overwritten):
+    * everything already ingested. Layout at `indexDir` (rebuilt from
+    * scratch, replacing any prior index there):
     *
     *   spans/ (span_key) — the DISTINCT md5 span keys of the
     *          ingested corpus. Membership is all the probe needs
@@ -1096,42 +1096,141 @@ object Dedup {
     *          the ordering note on [[spanDedupIncremental]]), so the
     *          index is one 32-hex-char key per distinct span: far
     *          smaller than the corpus, written by one
-    *          hash-partitioned distinct, never collected.
-    *   meta/  (width) — the span grain; the probe must segment
-    *          exactly like the writer did, so it adopts this value
-    *          and throws on a contradicting explicit width (the d30
-    *          contract: parameters travel with the index).
+    *          hash-partitioned distinct, never collected. Written
+    *          BUCKETED by `span_key` (an external bucketed parquet
+    *          table — Spark bucket file naming, re-attachable in any
+    *          later session): the index side of every probe join
+    *          reports its hash distribution from the file layout, so
+    *          neither batch probes nor streaming micro-batch triggers
+    *          re-shuffle the corpus-sized key set — only the (small)
+    *          arrival side shuffles, into `buckets` partitions. At
+    *          100 TB the index is the big side of the join; paying
+    *          its shuffle once at build instead of per trigger is the
+    *          difference between per-batch cost tracking the BATCH
+    *          and tracking the CORPUS.
+    *   meta/  (width, buckets) — the span grain and bucket count;
+    *          the probe must segment exactly like the writer did, so
+    *          it adopts these values and throws on a contradicting
+    *          explicit width (the d30 contract: parameters travel
+    *          with the index).
     */
   def buildSpanIndex(docs: DataFrame, id: String, text: String,
-      indexDir: String, width: Int = 8): Unit = {
+      indexDir: String, width: Int = 8, buckets: Int = 32): Unit = {
     require(width >= 1, s"span width must be >= 1, got $width")
+    require(buckets >= 1, s"bucket count must be >= 1, got $buckets")
     val s = docs.sparkSession
     import s.implicits._
-    Seq(width).toDF("width")
+    val tbl = spanTableName(indexDir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.engine.Scratch.delete(s"$indexDir/spans")
+    Seq((width, buckets)).toDF("width", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
     spanSegments(docs, id, text, width)
       .select("span_key").distinct()
-      .write.mode("overwrite").parquet(s"$indexDir/spans")
+      .write
+      .bucketBy(buckets, "span_key").sortBy("span_key")
+      .option("path", s"$indexDir/spans")
+      .format("parquet")
+      .saveAsTable(tbl)
   }
 
   /** Append a new batch's surviving spans to a span index — after
     * admitting a batch, its kept spans are ingested too. One
-    * distinct + anti-join pass; the index stays a set.
+    * distinct + anti-join pass; the index stays a set and stays
+    * bucketed (the delta is inserted through the table API, so new
+    * files carry bucket ids like the originals).
+    *
+    * Crash-safe by staging (r13 — the direct read-append this
+    * replaces read `spans/` and appended to the same path inside one
+    * job): the delta is MATERIALIZED to a scratch directory first,
+    * so the anti-join's read of the index completes before anything
+    * writes to the index location; the append job then reads only
+    * the staged files. A crash mid-append leaves at worst a
+    * partially visible delta — re-running the same batch converges
+    * (already-visible keys drop out of the anti-join, missing ones
+    * are re-staged; the key set never gains duplicates) — and a
+    * crash before the append leaves the index untouched with only an
+    * orphaned scratch dir, which the [[graft.engine.Scratch]] exit
+    * sweep removes.
     */
   def appendSpanIndex(newDocs: DataFrame, id: String, text: String,
       indexDir: String): Unit = {
     val s = newDocs.sparkSession
     val width = readSpanIndexWidth(s, indexDir)
-    val existing = s.read.parquet(s"$indexDir/spans")
-    spanSegments(newDocs, id, text, width)
-      .select("span_key").distinct()
-      .join(existing, Seq("span_key"), "left_anti")
-      .write.mode("append").parquet(s"$indexDir/spans")
+    val stage = graft.engine.Scratch.dir("graft_span_append_")
+    try {
+      spanSegments(newDocs, id, text, width)
+        .select("span_key").distinct()
+        .join(spanIndexKeys(s, indexDir), Seq("span_key"), "left_anti")
+        .write.mode("overwrite").parquet(s"$stage/delta")
+      val buckets = readSpanIndexBuckets(s, indexDir)
+      s.read.parquet(s"$stage/delta")
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "span_key").sortBy("span_key")
+        .saveAsTable(spanTableName(indexDir))
+    } finally graft.engine.Scratch.delete(stage)
+  }
+
+  /** The bucketed key set of a span index, as a catalog-backed frame
+    * (probes join against this; the bucketed scan's hash
+    * distribution is what keeps the index side exchange-free). The
+    * table name is a pure function of the index path, so any session
+    * can re-attach an index built by another: if the catalog does
+    * not know the table yet, it is (re)declared over the existing
+    * bucketed files with the bucket spec from `meta/`.
+    */
+  def spanIndexKeys(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val tbl = spanTableName(indexDir)
+    if (!s.catalog.tableExists(tbl)) {
+      val buckets = readSpanIndexBuckets(s, indexDir)
+      s.sql(
+        s"""CREATE TABLE $tbl (span_key STRING) USING PARQUET
+           |CLUSTERED BY (span_key) SORTED BY (span_key)
+           |INTO $buckets BUCKETS
+           |LOCATION '$indexDir/spans'""".stripMargin)
+    }
+    s.table(tbl).select("span_key")
+  }
+
+  /** Drop the span index's catalog entry and delete its files —
+    * callers that build a throwaway index (c27, specs) pair this
+    * with their scratch-dir cleanup so session catalogs do not
+    * accumulate one external table per invocation.
+    */
+  def deleteSpanIndex(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS ${spanTableName(indexDir)}")
+    graft.engine.Scratch.delete(indexDir)
+  }
+
+  /** Deterministic catalog name for the index at `indexDir` (the
+    * path IS the identity; md5 keeps it a valid identifier).
+    */
+  private def spanTableName(indexDir: String): String = {
+    val canonical = new java.io.File(indexDir).getAbsolutePath
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    s"graft_span_idx_$h"
   }
 
   private def readSpanIndexWidth(s: org.apache.spark.sql.SparkSession,
       indexDir: String): Int =
     s.read.parquet(s"$indexDir/meta").select("width").head().getInt(0)
+
+  private def readSpanIndexBuckets(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): Int = {
+    val df = s.read.parquet(s"$indexDir/meta")
+    // pre-r13 indexes carry no bucket meta — their spans/ files are
+    // unbucketed, which a bucket-spec'd table would silently misread
+    // (bucket pruning against wrong file naming), so refuse loudly
+    if (!df.columns.contains("buckets"))
+      throw new IllegalStateException(
+        s"span index at $indexDir predates the bucketed layout " +
+          "(no bucket meta) — rebuild it with buildSpanIndex")
+    df.select("buckets").head().getInt(0)
+  }
 
   /** Dedup a NEW batch's spans against a persisted span index
     * ([[buildSpanIndex]]) — same output shape as [[spanDedup]]
@@ -1167,7 +1266,11 @@ object Dedup {
     * arrival-order independent and the identical plan — segment
     * (zero-shuffle generate) → LEFT equi-join against the static key
     * set → one per-doc aggregation — runs on a batch or streaming
-    * frame (the aggregation is the single stateful operator).
+    * frame (the aggregation is the single stateful operator). The
+    * key set comes from the BUCKETED index table ([[spanIndexKeys]]):
+    * its scan already carries the join's hash distribution, so only
+    * the arrival side exchanges — per-trigger cost tracks the
+    * micro-batch, not the ingested corpus.
     * Admission policy is the caller's predicate on `novel_pm`;
     * documents whose spans are mostly already ingested are the
     * boilerplate/recrawl suppression C4-style pipelines drop at
@@ -1178,7 +1281,7 @@ object Dedup {
       indexDir: String): DataFrame = {
     val s = newDocs.sparkSession
     val width = readSpanIndexWidth(s, indexDir)
-    val indexed = s.read.parquet(s"$indexDir/spans")
+    val indexed = spanIndexKeys(s, indexDir)
       .select(col("span_key"), lit(true).as("__ingested"))
     spanSegments(newDocs, id, text, width)
       .join(indexed, Seq("span_key"), "left")
@@ -1202,7 +1305,7 @@ object Dedup {
     val firsts = keyed
       .groupBy("span_key")
       .agg(min(struct(col(id), col("seg_idx"))).as("__first"))
-    val indexed = s.read.parquet(s"$indexDir/spans")
+    val indexed = spanIndexKeys(s, indexDir)
       .select(col("span_key"), lit(true).as("__ingested"))
     spanRebuild(keyed
       .join(firsts, "span_key")

@@ -326,6 +326,10 @@ object StreamingQueries {
     * rule, so the report is arrival-order independent and the
     * complete-mode oracle is exact; segment → static left join →
     * ONE stateful per-doc aggregation, window-free by construction.
+    * The index side of the static join is the BUCKETED span table
+    * (r13), so a micro-batch trigger shuffles only its arrivals —
+    * the corpus-sized key set is never re-exchanged per trigger
+    * (plan pinned in PlanAuditSpec).
     */
   def c27(s: SparkSession, dir: String): DataFrame = {
     val idx = graft.engine.Scratch.dir("graft_c27_")
@@ -339,7 +343,7 @@ object StreamingQueries {
         .withColumn("admit", col("novel_pm") >= 500)
       StreamingOps.runToTable(gated, s, "c27_stream_span_admission",
         "complete")
-    } finally graft.engine.Scratch.delete(idx)
+    } finally graft.dedup.Dedup.deleteSpanIndex(s, idx)
   }
 
   val c27Sql: String =
