@@ -260,24 +260,31 @@ object StreamingQueries {
     * of ivfProbe's window, because windows do not run on streaming
     * frames; the candidate join is stream ⋈ static.
     *
-    * Sizing policy (r12 — replaces the r11 `kc = N/256` rule, whose
-    * k-means build was N²/256 distance evaluations and whose
-    * literal-centroid plan grew linearly with the corpus):
-    * `kc = clamp(⌈√N⌉, 16, LitCentroidMax)` keeps the build at
-    * N^1.5, list depth at ~√N, and the literal plan bounded at the
-    * codegen-safe [[graft.similarity.Similarity.LitCentroidMax]]
-    * (past N = 360k the clamp binds and lists deepen instead — the
-    * probed FRACTION nprobe/kc is unchanged). `nprobe` is the
-    * deployed IVF-routing rule
+    * Sizing policy (r13 — the r12 `clamp(⌈√N⌉, 16, LitCentroidMax)`
+    * rule saturated at N ≈ 360k, past which lists deepened linearly
+    * and per-arrival probe work degraded toward N/24):
+    * `kc = clamp(⌈√N⌉, 16, KCentroidsMax)` — the SAME ceiling as the
+    * batch router — keeps the build at N^1.5 and list depth at ~√N
+    * to ~4·10⁹ ingested docs. The literal-plan bound that forced the
+    * old clamp is gone: past
+    * [[graft.similarity.Similarity.LitCentroidMax]] centroids the
+    * probe ranks the centroid table as ONE boxed typedLit data node
+    * (`Similarity.litArrayCandidates` — no per-element expression
+    * literals, so no janino cliff at any kc, and selection stays
+    * EXACT: the gate's semantics are scale-continuous across the
+    * boundary), still window-free with ONE stateful operator.
+    * `nprobe` is the deployed IVF-routing rule
     * [[graft.similarity.Similarity.adaptiveNprobe]] = max(4, ⌈√kc⌉),
-    * so probed work per arrival is ~N^(3/4); planted-near-dup recall
-    * under exactly this policy is measured in StreamingSpec's
-    * admission-recall case and the AdmissionScale octave table
-    * (GATE_SF1.md r12). One stateful operator (the per-doc max
-    * roll-up). The oracle derives the same kc and nprobe from the
-    * data. Output rows are the arrivals with ≥ 1 ingested candidate
-    * in their probed lists (absent arrivals are trivially admitted);
-    * complete mode for the memory-sink oracle, update mode deployed.
+    * so probed work per arrival is ~N^(3/4) at every scale;
+    * planted-near-dup recall under exactly this policy is measured
+    * in StreamingSpec's admission-recall case and the AdmissionScale
+    * octave table (GATE_SF1.md), including octaves past the retired
+    * clamp where the boxed-literal path carries the probe. The
+    * oracle derives the same kc and nprobe from the data (both
+    * ranking paths select identically, pinned in SimilaritySpec). Output rows are the arrivals with ≥ 1
+    * ingested candidate in their probed lists (absent arrivals are
+    * trivially admitted); complete mode for the memory-sink oracle,
+    * update mode deployed.
     * The index is built in a per-invocation unique scratch dir
     * (concurrent invocations can no longer clobber each other) and
     * deleted once the stream has fully materialized.
@@ -296,7 +303,7 @@ object StreamingQueries {
         .embed(ingested, "doc_id", "text", dim)
         .select(col("doc_id"), col("emb").as("ev"))
       val n = t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0).count()
-      val kc = math.min(Similarity.LitCentroidMax.toLong,
+      val kc = math.min(Similarity.KCentroidsMax.toLong,
         math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
       Similarity.buildIvfIndex(corpus, "doc_id", "ev", idx, kCentroids = kc)
       val qstream = graft.functions.HashEmbed

@@ -2111,12 +2111,16 @@ object TrainingDataQueries {
     * ([[duckKmeansChain]]) → adaptive-nprobe candidate scoring
     * restricted to earlier doc ids → per-doc max-cosine admission
     * report. kc and nprobe are DERIVED FROM THE DATA exactly as the
-    * engine derives them: kc = clamp(⌈√N⌉, 16, LitCentroidMax) over
+    * engine derives them: kc = clamp(⌈√N⌉, 16, KCentroidsMax) over
     * the ingested slice, nprobe = max(4, ⌈√kc⌉) (the deployed
-    * adaptiveNprobe rule).
+    * adaptiveNprobe rule). At every oracle scale kc is far below
+    * LitCentroidMax, so the engine's exact single-level literal
+    * ranking — which this SQL mirrors — is the plan under test (the
+    * two-level path past it is approximate by design and measured by
+    * AdmissionScale instead).
     */
   private[graft] def c26NearDupSql: String = {
-    val kcExpr = "LEAST(" + graft.similarity.Similarity.LitCentroidMax +
+    val kcExpr = "LEAST(" + graft.similarity.Similarity.KCentroidsMax +
       ", GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)))"
     val kcSub = s"(SELECT $kcExpr FROM documents WHERE doc_id % 10 <> 0)"
     val npSub = s"(SELECT GREATEST(4, CAST(ceil(sqrt($kcExpr)) AS BIGINT)) " +

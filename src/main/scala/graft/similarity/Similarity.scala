@@ -337,7 +337,7 @@ object Similarity {
       // nprobe·N/kc ≈ N^(3/4) — sublinear — while the build stays
       // one broadcast-argmax pass.
       val kc = if (kCentroids > 0) kCentroids
-        else math.min(65536L, math.max(16L,
+        else math.min(KCentroidsMax.toLong, math.max(16L,
           math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
       val np = if (nprobe > 0) nprobe else adaptiveNprobe(kc)
       logger.info(s"ANN routing: corpus n=$n > $annMaxCorpus — " +
@@ -515,7 +515,6 @@ object Similarity {
     *              expectations against this row, so an index built
     *              under one configuration cannot silently serve
     *              another
-    *
     * Directory count equals kCentroids (≤ 65536 at the router's √N
     * clamp) — at boundary scale each list holds ≥ √N ≈ 2900 vectors,
     * well above small-file territory. Zero-norm vectors are excluded
@@ -556,6 +555,49 @@ object Similarity {
         .parquet(s"$indexDir/lists")
       cents.unpersist()
     } finally v.unpersist()
+  }
+
+  /** Append new vectors to a persisted IVF index under its FROZEN
+    * quantizer — the ingest-loop step after an admission gate admits
+    * a batch (gate → admit → append → next batch): each new vector
+    * is argmax-assigned to the EXISTING centroids and lands in that
+    * list's partition; centroids, super-quantizer, and meta are
+    * untouched, so concurrent probes keep their contract and the
+    * assignment rule never shifts under a reader.
+    *
+    * Idempotent and crash-safe the same way as the span index's
+    * staged append: already-indexed vids are anti-joined out (a
+    * vid-column-only read of the lists — columnar, no payload I/O),
+    * the delta is MATERIALIZED to a scratch dir before anything
+    * writes to the index location, and a retry after a partial
+    * append converges without duplicating a vid.
+    *
+    * Drift contract: kc was sized ⌈√N⌉ at build. Appends deepen
+    * lists without adding centroids, so probe cost grows linearly in
+    * appended volume at fixed kc — fine while the corpus stays
+    * within a small factor of its build size; REBUILD the index
+    * (one [[buildIvfIndex]] call) once ingestion roughly quadruples
+    * the corpus (kc then lags √N by 2×). The span index needs no
+    * such rule because its key set carries no quantizer.
+    */
+  def appendIvfIndex(newVecs: DataFrame, id: String, vec: String,
+      indexDir: String): Unit = {
+    val s = newVecs.sparkSession
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val fresh = newVecs.select(col(id).as("vid"), col(vec).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .filter(col("nrm") > 0)
+      .join(s.read.parquet(s"$indexDir/lists").select("vid"),
+        Seq("vid"), "left_anti")
+    val stage = graft.engine.Scratch.dir("graft_ivf_append_")
+    try {
+      fresh.join(argmaxAssign(fresh, cents), "vid")
+        .write.mode("overwrite").parquet(s"$stage/delta")
+      s.read.parquet(s"$stage/delta")
+        .repartition(col("cid"))
+        .write.mode("append").partitionBy("cid")
+        .parquet(s"$indexDir/lists")
+    } finally graft.engine.Scratch.delete(stage)
   }
 
   /** The (quantizer, lloydIters, kCentroids) a persisted IVF index
@@ -795,12 +837,26 @@ object Similarity {
     * repo measured janino's generated-method-size cliff at ~736
     * literal elements (r9, the ANN probe fan-out rebuild) — past it
     * the stage silently drops to interpreted execution, if it
-    * compiles at all. 600 leaves margin. Streaming-admission callers
-    * must clamp their kc policy to this (c26 does); growth past it
-    * means larger inverted lists, not more literals — the probed
-    * fraction stays nprobe/kc either way.
+    * compiles at all. 600 leaves margin. This bounds the number of
+    * per-element EXPRESSION literals, not the index size: an index
+    * past this many centroids streams through the boxed-literal
+    * ranking ([[litArrayCandidates]] — one typedLit array NODE
+    * holding the centroid table as data, exact selection, no codegen
+    * cliff; r13, retiring the kc clamp that used to bind c26 at
+    * N ≈ 360k).
     */
   val LitCentroidMax: Int = 600
+
+  /** Centroid-count ceiling for the √N kc policy (annOrIvfTopK, c26):
+    * at the 2^23-vector routing boundary √N ≈ 2900 and lists hold
+    * ~√N vectors each; 65536 leaves the policy headroom to ~4·10⁹
+    * vectors per index before lists deepen past √N. Streaming probes
+    * of an index past [[LitCentroidMax]] centroids route through the
+    * boxed-literal exact ranking ([[litArrayCandidates]] — one
+    * typedLit data node, no per-element expression literals, so no
+    * janino cliff at any kc).
+    */
+  val KCentroidsMax: Int = 65536
 
   /** STREAMING-SAFE probe of a persisted IVF index
     * ([[buildIvfIndex]]): per query row, the cosine scores against
@@ -827,41 +883,91 @@ object Similarity {
     */
   def litIndexCandidates(s: org.apache.spark.sql.SparkSession,
       queries: DataFrame, indexDir: String, id: String, vec: String,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, litMax: Int = LitCentroidMax): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val centRows = s.read.parquet(s"$indexDir/centroids")
       .select(col("cid"), toDouble(col("cv")).as("cv"), col("cnrm"))
       .collect()
-    require(centRows.length <= LitCentroidMax,
-      s"litIndexCandidates: index at $indexDir carries " +
-        s"${centRows.length} centroids > $LitCentroidMax — the " +
-        "literal-centroid ranking would bake one struct literal per " +
-        "centroid into a single array() node, past the ~736-element " +
-        "janino method-size cliff this repo measured in r9 (silent " +
-        "interpreted fallback at best). Rebuild the index with " +
-        s"kCentroids <= $LitCentroidMax for streaming probes, or use " +
-        "the window-ranked ivfProbe in batch")
     val q = queries
       .select(col(id), col(vec).as("__qv"))
       .withColumn("__qnrm", norm2(col("__qv")))
       .filter(col("__qnrm") > 0)
+    val probed =
+      if (centRows.length <= litMax)
+        litRankCandidates(q, id, centRows, nprobe)
+      else
+        litArrayCandidates(q, id, centRows, nprobe)
+    probed
+      .join(s.read.parquet(s"$indexDir/lists"), "cid")
+      .select(col(id), col("vid").as("n_id"),
+        (dot(col("__qv"), col("v")) / (col("__qnrm") * col("nrm")))
+          .as("cos"))
+  }
+
+  /** Single-level literal ranking (kc ≤ `litMax`): every centroid a
+    * struct literal in one array node; EXACT top-`nprobe` centroid
+    * selection per query — the plan the SQL oracle mirrors.
+    */
+  private def litRankCandidates(q: DataFrame, id: String,
+      centRows: Array[org.apache.spark.sql.Row],
+      nprobe: Int): DataFrame = {
     val ranked = centRows.map { r =>
       struct(
         (negate(dot(col("__qv"), typedLit(r.getSeq[Double](1).toIndexedSeq)))
           / (col("__qnrm") * lit(r.getDouble(2)))).as("negsim"),
         lit(r.getLong(0)).as("cid"))
     }
-    val probed = q
-      .withColumn("__probe",
+    q.withColumn("__probe",
         explode(slice(array_sort(array(ranked.toIndexedSeq: _*)), 1,
           math.min(nprobe, centRows.length))))
       .select(col(id), col("__qv"), col("__qnrm"),
         col("__probe.cid").as("cid"))
-    probed
-      .join(s.read.parquet(s"$indexDir/lists"), "cid")
-      .select(col(id), col("vid").as("n_id"),
-        (dot(col("__qv"), col("v")) / (col("__qnrm") * col("nrm")))
-          .as("cos"))
+  }
+
+  /** BOXED-LITERAL streaming centroid selection (kc > `litMax` —
+    * r13, retiring the hard ceiling that clamped c26's kc policy at
+    * N ≈ 360k): the whole centroid table rides the plan as ONE
+    * `typedLit` array value — a single Literal NODE holding kc
+    * (cid, cv, cnrm) structs as boxed data — and per-row ranking is
+    * `slice(array_sort(transform(...)), 1, nprobe)` over it. The r9
+    * janino cliff that [[LitCentroidMax]] guards is about
+    * per-element EXPRESSION nodes (an `array(struct, struct, ...)`
+    * with one codegen'd child per centroid blows the generated
+    * method size at ~736 elements); a boxed literal is referenced by
+    * the generated code as one object, so plan compilation is
+    * independent of kc — bounded at every scale the √N policy
+    * reaches (the literal is data: ~9 MB at the 65536-centroid
+    * ceiling, serialized once per stage).
+    *
+    * Selection is EXACT — identical top-`nprobe` (ties to smallest
+    * cid) as [[litRankCandidates]], so the gate's recall is
+    * scale-continuous: no approximation cliff appears when an index
+    * crosses litMax (SimilaritySpec pins path equality on the same
+    * index). Two hierarchical-pruning cuts were tried first and
+    * measured short on planted-dup recall (AdmissionScale, 800k/1.6M
+    * octaves: 0.86/0.82 pruning super-cells, 0.945/0.90 top-1 per
+    * cell, 0.990/0.975 with 2× within-cell overscan — vs 0.995 exact
+    * at the small octaves); exactness costs kc ≈ √N interpreted
+    * sims + one kc-element sort per row, subdominant by ~nprobe× to
+    * the codegen'd list scan (nprobe·N/kc ≈ N^(3/4)) that follows.
+    * Still window- and aggregation-free, so the plan runs on a
+    * streaming frame with the downstream per-doc roll-up as the
+    * query's single stateful operator.
+    */
+  private def litArrayCandidates(q: DataFrame, id: String,
+      centRows: Array[org.apache.spark.sql.Row],
+      nprobe: Int): DataFrame = {
+    val centLit = typedLit(centRows.map(r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq)
+    q.withColumn("__probe",
+        explode(slice(array_sort(transform(centLit, c =>
+          struct(
+            (negate(dot(col("__qv"), c.getField("_2")))
+              / (col("__qnrm") * c.getField("_3"))).as("negsim"),
+            c.getField("_1").as("cid")))), 1,
+          math.min(nprobe, centRows.length))))
+      .select(col(id), col("__qv"), col("__qnrm"),
+        col("__probe.cid").as("cid"))
   }
 
   /** Near-duplicate pairs above a cosine threshold, blocked by a

@@ -9,13 +9,17 @@ import graft.similarity.Similarity
 /** Admission-path (c26) scale + recall measurement: wall time of the
   * index build and the streaming-shaped probe, plus GROUND-TRUTH
   * admission recall on planted near-duplicates, across synthetic
-  * corpus octaves under exactly the deployed r12 sizing policy —
-  * `kc = clamp(⌈√N⌉, 16, LitCentroidMax)`,
+  * corpus octaves under exactly the deployed r13 sizing policy —
+  * `kc = clamp(⌈√N⌉, 16, KCentroidsMax)`,
   * `nprobe = adaptiveNprobe(kc) = max(4, ⌈√kc⌉)`. The r11 verdict's
   * open question was whether the admission gate actually CATCHES
   * near-dups under a sublinear probe budget; this is the harness
-  * behind the GATE_SF1.md r12 table (the c26 oracle proves
-  * exactness of the computation, not recall of the policy).
+  * behind the GATE_SF1.md admission-recall table (the c26 oracle
+  * proves exactness of the computation, not recall of the policy).
+  * The 800k/1.6M octaves sit PAST the retired 600-centroid clamp
+  * (kc = ⌈√N⌉ > LitCentroidMax there), so they exercise the
+  * two-level literal router end to end — recall and per-arrival
+  * candidate growth at those octaves are the scale evidence for it.
   *
   * Corpus: deterministic token sequences (xxhash64-derived — no RNG
   * state, reproducible anywhere). Arrivals are half PLANTED
@@ -26,7 +30,7 @@ import graft.similarity.Similarity
   * correctly admitted when absent from the report or `admit = true`.
   *
   * Usage: java -cp ... graft.tools.AdmissionScale [nDocs ...]
-  *        (default octaves: 12500 50000 200000)
+  *        (default octaves: 12500 50000 200000 800000)
   */
 object AdmissionScale {
 
@@ -73,7 +77,7 @@ object AdmissionScale {
     try {
       val corpus = HashEmbed.embed(ingested(s, n), "doc_id", "text", dim)
         .select(col("doc_id"), col("emb").as("ev"))
-      val kc = math.min(Similarity.LitCentroidMax.toLong,
+      val kc = math.min(Similarity.KCentroidsMax.toLong,
         math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
       val np = if (nprobeOverride > 0) nprobeOverride
         else Similarity.adaptiveNprobe(kc)
@@ -114,7 +118,7 @@ object AdmissionScale {
 
   def main(args: Array[String]): Unit = {
     val octaves = if (args.nonEmpty) args.toSeq.map(_.toLong)
-      else Seq(12500L, 50000L, 200000L)
+      else Seq(12500L, 50000L, 200000L, 800000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.engine.Session
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt,

@@ -201,6 +201,39 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("boxed-literal litIndexCandidates selects identically to the expression-literal path") {
+    // Past litMax centroids the streaming probe switches from
+    // per-element expression literals (the janino-bounded array()
+    // form) to ONE boxed typedLit data node ranked with
+    // transform/array_sort/slice. The two paths must be EXACTLY
+    // interchangeable — same candidates, same cosines, same
+    // tie-breaks — so the gate's semantics are scale-continuous when
+    // an index crosses the boundary. Forced here with a tiny litMax
+    // on the same index.
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_litarray_spec_${java.lang.ProcessHandle.current().pid()}").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, kCentroids = 30)
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    val nprobe = 4
+    def run(litMax: Int) = Similarity
+      .litIndexCandidates(spark, queries, idx, "vec_id", "embedding",
+        nprobe, litMax = litMax)
+    val boxed = run(litMax = 8)     // 30 centroids > 8 -> boxed path
+    val exprLit = run(litMax = 600) // expression-literal path
+    val got = boxed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = exprLit.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      "boxed-literal ranking must equal the expression-literal ranking bit-for-bit")
+    assert(got.nonEmpty)
+    // still window-free — the property that makes it streamable —
+    // and the boxed plan must carry no kc-wide array() expression
+    val plan = boxed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    spark.catalog.clearCache()
+  }
+
   test("cluster report and balanced sample from a persisted index equal the fused forms") {
     // The d37 amortization applied to the clustering surface: one
     // index build serves search (probe), composition report (d42),
