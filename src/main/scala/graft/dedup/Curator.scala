@@ -115,24 +115,54 @@ object Curator {
     * Output: `(id, fate, score_pm, stage)` — one row per input
     * document.
     *
-    * Scale shape: the raw corpus text is read exactly twice — once
-    * for the pass-1 narrow projection (score, norm hash, mix
-    * per-mille: all map-side column arithmetic plus the one
-    * norm-keeper window shuffle) and once by the span stage, which
-    * only segments norm survivors. Everything downstream runs on the
-    * PERSISTED narrow per-doc frame (no text column): mixture rates
-    * collect to ≤ #sources rows and broadcast back; quartile bounds
-    * are three literals ([[graft.sampling.Sampler.quartileStages]]).
-    * Same cache contract as [[curate]]: the returned plan reads the
-    * persisted frame, so long-lived sessions clearCache between
-    * batches.
+    * Scale shape: the raw corpus text is read exactly twice, both
+    * times inside BUILD-time staging jobs — scan 1 materializes the
+    * pass-1 narrow projection (score, norm hash, mix per-mille: all
+    * map-side column arithmetic plus the one norm-keeper window
+    * shuffle) to a scratch parquet; scan 2 is the span stage, which
+    * segments norm survivors (ids semi-joined from the STAGED frame,
+    * never re-derived from text) and lands the joined narrow
+    * per-doc frame (no text column) in the same scratch dir.
+    * Everything downstream — the ≤ #sources rates collect, the
+    * quartile-bound literals
+    * ([[graft.sampling.Sampler.quartileStages]]), and the returned
+    * fate plan — reads that staged artifact, so NO session-lifetime
+    * cache exists (r13: replaces the persisted frame +
+    * documented-clearCache convention). Lifecycle is mechanical:
+    * [[fullCurateRun]] returns the frame behind a handle whose
+    * `release()` deletes the scratch artifact once the caller has
+    * materialized what it needs; this entry defers cleanup to the
+    * [[graft.engine.Scratch]] JVM-exit sweep (the d37/d46 pattern
+    * for lazily-consumed artifacts).
     */
   def fullCurate(docs: DataFrame, weights: DataFrame, dim: Int,
       id: String = "doc_id", text: String = "text",
       source: String = "source", thresholdPm: Long = 0L,
       minSpanKeepPm: Long = 500L, spanWidth: Int = 8,
       budgetNumer: Long = 1L, budgetDenom: Long = 2L,
-      mixSalt: String = "curate"): DataFrame = {
+      mixSalt: String = "curate"): DataFrame =
+    fullCurateRun(docs, weights, dim, id, text, source, thresholdPm,
+      minSpanKeepPm, spanWidth, budgetNumer, budgetDenom, mixSalt).result
+
+  /** A staged curation result: `result` is the fate frame (lazy,
+    * reading the scratch-staged narrow artifact); `release()` deletes
+    * the artifact — call it after materializing `result` (acting on
+    * the frame afterwards fails; hold the handle as long as the
+    * frame). The mechanical replacement for the session-cache +
+    * clearCache convention.
+    */
+  final class CurationRun private[dedup] (val result: DataFrame,
+      scratchDir: String) {
+    def release(): Unit = graft.engine.Scratch.delete(scratchDir)
+  }
+
+  /** [[fullCurate]] with an explicit artifact-lifecycle handle. */
+  def fullCurateRun(docs: DataFrame, weights: DataFrame, dim: Int,
+      id: String = "doc_id", text: String = "text",
+      source: String = "source", thresholdPm: Long = 0L,
+      minSpanKeepPm: Long = 500L, spanWidth: Int = 8,
+      budgetNumer: Long = 1L, budgetDenom: Long = 2L,
+      mixSalt: String = "curate"): CurationRun = {
     require(budgetNumer >= 0 && budgetDenom > 0,
       s"budget fraction must be >= 0 with a positive denominator, " +
         s"got $budgetNumer/$budgetDenom")
@@ -150,16 +180,28 @@ object Curator {
         org.apache.spark.sql.expressions.Window.partitionBy("norm_hash")))
       .withColumn("norm_dup", col(id) =!= col("__keeper"))
       .drop(text, "norm_hash", "__keeper", "keep")
+    // stage the pass-1 narrow frame: raw-text scan #1 happens HERE,
+    // once — the span stage's survivor semi-join and every later
+    // consumer read the parquet, not the text lineage (the pre-r13
+    // persist version re-evaluated the flags subtree inside the
+    // semi-join: three text scans, and a cache pinned for the
+    // session)
+    val scratch = graft.engine.Scratch.dir("graft_curate_")
+    flags.write.parquet(s"$scratch/flags")
+    val flagsP = s.read.parquet(s"$scratch/flags")
     // stage 2: span coverage of norm survivors — the second (and
-    // last) read of the raw text
-    val spanStats = Dedup.spanDedup(
-        docs.join(flags.filter(!col("norm_dup")).select(col(id)),
-          Seq(id), "left_semi"),
-        id, text, spanWidth)
-      .select(col(id),
-        expr(s"kept_spans * 1000 div n_spans").as("span_keep_pm"))
-    val curated = flags.join(spanStats, Seq(id), "left")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // last) read of the raw text, landed with the join so the
+    // returned plan and both eager passes below never touch text
+    flagsP.join(
+        Dedup.spanDedup(
+            docs.join(flagsP.filter(!col("norm_dup")).select(col(id)),
+              Seq(id), "left_semi"),
+            id, text, spanWidth)
+          .select(col(id),
+            expr(s"kept_spans * 1000 div n_spans").as("span_keep_pm")),
+        Seq(id), "left")
+      .write.parquet(s"$scratch/curated")
+    val curated = s.read.parquet(s"$scratch/curated")
     val surv3 = curated.filter(!col("norm_dup") &&
       col("span_keep_pm") >= minSpanKeepPm &&
       col("score_pm") >= thresholdPm)
@@ -180,7 +222,7 @@ object Curator {
     val staged = graft.sampling.Sampler
       .quartileStages(kept.select(col(id), col("score_pm")), id, "score_pm")
       .select(col(id), col("stage"))
-    curated
+    val fates = curated
       .join(broadcast(rates), Seq(source), "left")
       .join(staged, Seq(id), "left")
       .select(col(id),
@@ -191,6 +233,7 @@ object Curator {
           .when(!(col("samp_pm") < col("rate_pm")), "mix_out")
           .otherwise("kept").as("fate"),
         col("score_pm"), col("stage"))
+    new CurationRun(fates, scratch)
   }
 
   /** Curation observability: every document's fate — `kept`,

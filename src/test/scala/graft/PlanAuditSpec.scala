@@ -257,13 +257,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(plan("d44_embed_text")) == 0)
   }
 
-  test("d47: fate attribution reads the persisted narrow frame; rates broadcast; no raw-text rescan") {
-    // Structural (tree, not string) check: in the plan TREE an
-    // InMemoryTableScanExec is a leaf — its cache-BUILD lineage
-    // (where the two legitimate documents reads live: the pass-1
-    // projection and the span segmentation of norm survivors) is not
-    // a child — so any FileSourceScanExec found here is a genuine
-    // extra read of the raw corpus by the returned plan.
+  test("d47: fate attribution reads the staged narrow artifact; rates broadcast; no raw-text rescan, no cache") {
+    // Structural (tree, not string) check: the two legitimate
+    // documents reads (pass-1 projection, span segmentation of norm
+    // survivors) happen inside fullCurate's BUILD-time staging jobs —
+    // the returned plan must read only the scratch-staged narrow
+    // parquet, with no session cache left behind (r13: the persisted
+    // frame + clearCache convention is retired).
     val exec = SparkEntry.queries("d47_full_curate")(spark, sf)
       .queryExecution.executedPlan match {
         // collect does not descend into the AQE wrapper's plan
@@ -275,10 +275,12 @@ class PlanAuditSpec extends AnyFunSuite {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
     assert(!fileScans.exists(_.toString.contains("documents")),
       "the returned plan must not rescan the raw corpus")
+    assert(fileScans.exists(_.toString.contains("graft_curate_")),
+      "fate attribution must read the staged narrow artifact")
     val imts = exec.collect {
       case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i }
-    assert(imts.length >= 2,
-      "fate and staging must both read the persisted narrow frame")
+    assert(imts.isEmpty,
+      "fullCurate must leave no session-lifetime cache behind")
     assert(exec.toString().contains("BroadcastHashJoin"))
   }
 
