@@ -775,6 +775,93 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$indexDir/sigs")
   }
 
+  /** Append an ADMITTED batch to a persisted dedup index
+    * ([[buildIndex]]) — the step that closes the MinHash family's
+    * ingest loop (build → [[incremental]] → append → next batch),
+    * the same seam [[appendSpanIndex]] and
+    * [[graft.similarity.Similarity.appendIvfIndex]] close for the
+    * span and embedding gates. `admitted` is the slice the caller
+    * decided to ingest (typically the `kept` fate rows of
+    * incremental's report joined back to the batch docs); the index
+    * never re-derives fates.
+    *
+    * What lands (each table's delta staged to scratch before
+    * anything writes to the index — the [[appendSpanIndex]]
+    * crash-retry contract):
+    *
+    *   content/ — (content_hash, keeper_id): the batch's per-hash
+    *              keepers, minus hashes the index already maps;
+    *   sigs/    — signatures of the batch's content representatives
+    *              (minus ids already present);
+    *   bands/   — the representatives' band keys, capped in
+    *              INGESTION order: a bucket already at `max_bucket`
+    *              takes nothing, one with headroom takes the
+    *              smallest new ids up to capacity. A from-scratch
+    *              rebuild caps on globally smallest ids; append
+    *              capping is ingestion-faithful (d46's "first is
+    *              ingestion order" rule) — under-cap buckets, the
+    *              overwhelming majority, are identical either way.
+    *
+    * Idempotent per table: every delta is an anti-join against its
+    * OWN table (content by hash, sigs by id, bands by full key), so
+    * a retry after any partial append converges — a table that
+    * committed contributes an empty delta, one that did not is
+    * re-staged, and no table ever gains duplicate rows. Banding
+    * parameters come from the index meta (the d30 contract);
+    * pre-meta legacy indexes refuse loudly.
+    */
+  def appendIndex(admitted: DataFrame, id: String, text: String,
+      indexDir: String): Unit = {
+    val s = admitted.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val (shK, np, nb, mb) = readIndexMeta(s, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"appendIndex: index at $indexDir carries no meta — pre-meta " +
+          "legacy indexes cannot be appended to; rebuild with buildIndex"))
+    val stage = graft.engine.Scratch.dir("graft_dedup_append_")
+    try {
+      val reps = contentReps(admitted.select(col(id), col(text)), id, text)
+      reps.write.mode("overwrite").parquet(s"$stage/reps")
+      val repsP = s.read.parquet(s"$stage/reps")
+
+      exact(admitted, id, text).select("content_hash", "keeper_id")
+        .join(s.read.parquet(s"$indexDir/content").select("content_hash"),
+          Seq("content_hash"), "left_anti")
+        .write.mode("overwrite").parquet(s"$stage/content")
+
+      repsP.filter(length(lower(trim(col(text)))) >= shK)
+        .select(col(id), minhashSignature(col(text), shK, np).as("sig"))
+        .join(s.read.parquet(s"$indexDir/sigs").select(col(id)),
+          Seq(id), "left_anti")
+        .write.mode("overwrite").parquet(s"$stage/sigs")
+
+      // band delta: drop rows already present (retry convergence),
+      // then fill each bucket's remaining capacity smallest-id-first
+      val existing = s.read.parquet(s"$indexDir/bands")
+      val fresh = lshBandsResolved(repsP, id, text, shK, np, nb)
+        .join(existing, Seq("band", "band_hash", id), "left_anti")
+      val room = existing
+        .join(fresh.select("band", "band_hash").distinct(),
+          Seq("band", "band_hash"), "left_semi")
+        .groupBy("band", "band_hash").agg(count(lit(1)).as("__n"))
+      fresh
+        .join(room, Seq("band", "band_hash"), "left")
+        .withColumn("__n", coalesce(col("__n"), lit(0L)))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("band", "band_hash").orderBy(col(id))))
+        .filter(col("__rk") + col("__n") <= mb)
+        .select(col("band"), col("band_hash"), col(id))
+        .write.mode("overwrite").parquet(s"$stage/bands")
+
+      s.read.parquet(s"$stage/content")
+        .write.mode("append").parquet(s"$indexDir/content")
+      s.read.parquet(s"$stage/sigs")
+        .write.mode("append").parquet(s"$indexDir/sigs")
+      s.read.parquet(s"$stage/bands")
+        .write.mode("append").parquet(s"$indexDir/bands")
+    } finally graft.engine.Scratch.delete(stage)
+  }
+
   /** The banding parameters a persisted index was written with
     * ([[buildIndex]]'s meta table), or None for a pre-meta index.
     */

@@ -1376,6 +1376,152 @@ object TrainingDataQueries {
        |LEFT JOIN ei USING (doc_id) LEFT JOIN eb USING (doc_id)
        |LEFT JOIN ni USING (doc_id) LEFT JOIN nb USING (doc_id)""".stripMargin
 
+  /** D48 — the dedup-index INGEST LOOP as one operator
+    * ([[graft.dedup.Dedup.buildIndex]] →
+    * [[graft.dedup.Dedup.incremental]] →
+    * [[graft.dedup.Dedup.appendIndex]] → incremental again): what a
+    * crawl pipeline actually runs across snapshots — batch 1 is
+    * deduped against the ingested corpus, its KEPT documents are
+    * appended to the index, and batch 2 must then dedup against
+    * corpus + batch-1 admissions. One row per batch document:
+    * `(batch, doc_id, fate, match_id)` — a batch-2 near-dup of a
+    * batch-1 ADMITTED doc carries that doc's id as `match_id` with
+    * fate `near_index`/`exact_index`, the cross-batch catch that
+    * makes the loop real (and that a per-batch-only view would
+    * miss). Batch-1 fates are STAGED to scratch parquet before the
+    * append mutates the index (the returned plan must not re-probe
+    * the post-append state for batch 1).
+    *
+    * Scale shape: three equi-join probe rounds plus one staged
+    * append — nothing corpus-sized is collected, re-scanned, or
+    * broadcast; append capping is ingestion-ordered (existing
+    * entries keep their slots, new ids fill remaining capacity —
+    * [[graft.dedup.Dedup.appendIndex]]). The oracle replays both
+    * rounds with the index-2 CTEs built from round-1's kept set.
+    */
+  def d48(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idx = graft.engine.Scratch.dir("graft_d48_")
+    val old = d.filter(col("doc_id") % 10 < 6)
+    val b1 = d.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 < 8)
+    val b2 = d.filter(col("doc_id") % 10 >= 8)
+    graft.dedup.Dedup.buildIndex(old, "doc_id", "text", idx,
+      numPerms = queryPerms)
+    graft.dedup.Dedup.incremental(b1, "doc_id", "text", idx)
+      .write.parquet(s"$idx/f1_report")
+    val f1 = s.read.parquet(s"$idx/f1_report")
+    graft.dedup.Dedup.appendIndex(
+      b1.join(f1.filter(col("fate") === "kept").select("doc_id"),
+        Seq("doc_id"), "left_semi"),
+      "doc_id", "text", idx)
+    val f2 = graft.dedup.Dedup.incremental(b2, "doc_id", "text", idx)
+    f1.select(lit(1).as("batch"), col("doc_id"), col("fate"),
+        col("match_id"))
+      .unionByName(f2.select(lit(2).as("batch"), col("doc_id"),
+        col("fate"), col("match_id")))
+  }
+
+  /** Oracle of [[d48]]: round 1 replays d30's probe against the
+    * build corpus; index 2 is rebuilt in SQL from round-1's kept set
+    * (content union, sig union, bands union capped in ingestion
+    * order — existing entries first, then new ids ascending, the
+    * exact appendIndex rule); round 2 replays the probe against it.
+    */
+  val d48Sql: String = {
+    def bandsFrom(sigCte: String): String =
+      s"""SELECT doc_id, band,
+         |    list_reduce(list_prepend(CAST(band AS BIGINT), sg[band*$oracleRpb+1:band*$oracleRpb+$oracleRpb]),
+         |      (bh_a, bh_x) -> (bh_a*31 + bh_x) % 1000000007) AS band_hash
+         |  FROM (SELECT doc_id, sg, unnest([0,1,2,3]) AS band FROM $sigCte)""".stripMargin
+    def round(b: String, ic: String, isig: String, ibc: String,
+        docsCte: String): String =
+      s"""${b}ch AS (SELECT doc_id, md5(lower(trim(text))) AS ch,
+         |               lower(trim(text)) AS s FROM $docsCte),
+         |${b}ei AS (SELECT n.doc_id, o.keeper AS m1 FROM ${b}ch n JOIN $ic o USING (ch)),
+         |${b}bmin AS (SELECT ch, min(doc_id) AS m FROM ${b}ch
+         |         WHERE ch NOT IN (SELECT ch FROM $ic) GROUP BY ch),
+         |${b}eb AS (SELECT n.doc_id, b.m AS m2 FROM ${b}ch n JOIN ${b}bmin b USING (ch)
+         |       WHERE n.doc_id > b.m),
+         |${b}reps AS (SELECT n.doc_id, n.s FROM ${b}ch n JOIN ${b}bmin b
+         |         ON n.ch = b.ch AND n.doc_id = b.m),
+         |${b}sh AS (SELECT doc_id, ${duckShingles("s", 8)} AS h FROM ${b}reps
+         |          WHERE length(s) >= 8),
+         |${b}sig AS (SELECT doc_id, $duckMinhashSig AS sg FROM ${b}sh),
+         |${b}bands AS (
+         |  ${bandsFrom(s"${b}sig")}),
+         |${b}bandc AS (
+         |  SELECT * FROM ${b}bands
+         |  QUALIFY row_number() OVER (PARTITION BY band, band_hash
+         |    ORDER BY doc_id) <= 512),
+         |${b}ni AS (
+         |  SELECT nid AS doc_id, min(oid) AS m3 FROM (
+         |    SELECT DISTINCT r.doc_id AS nid, o.doc_id AS oid
+         |    FROM ${b}bands r JOIN $ibc o USING (band, band_hash)) c
+         |  JOIN ${b}sig rs ON c.nid = rs.doc_id
+         |  JOIN $isig os ON c.oid = os.doc_id
+         |  WHERE len(list_filter(range(1, ${oraclePerms + 1}), z_i -> rs.sg[z_i] = os.sg[z_i])) >= ${oraclePerms / 2}
+         |  GROUP BY 1),
+         |${b}nb AS (
+         |  SELECT d2 AS doc_id, min(d1) AS m4 FROM (
+         |    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |    FROM ${b}bandc a JOIN ${b}bandc b
+         |      ON a.band = b.band AND a.band_hash = b.band_hash
+         |        AND a.doc_id < b.doc_id) c
+         |  JOIN ${b}sig r1 ON c.d1 = r1.doc_id
+         |  JOIN ${b}sig r2 ON c.d2 = r2.doc_id
+         |  WHERE len(list_filter(range(1, ${oraclePerms + 1}), z_i -> r1.sg[z_i] = r2.sg[z_i])) >= ${oraclePerms / 2}
+         |  GROUP BY 1),
+         |${b}fates AS (
+         |  SELECT n.doc_id,
+         |    CASE WHEN ${b}ei.m1 IS NOT NULL THEN 'exact_index'
+         |         WHEN ${b}eb.m2 IS NOT NULL THEN 'exact_batch'
+         |         WHEN ${b}ni.m3 IS NOT NULL THEN 'near_index'
+         |         WHEN ${b}nb.m4 IS NOT NULL THEN 'near_batch'
+         |         ELSE 'kept' END AS fate,
+         |    COALESCE(${b}ei.m1, ${b}eb.m2, ${b}ni.m3, ${b}nb.m4) AS match_id
+         |  FROM $docsCte n
+         |  LEFT JOIN ${b}ei USING (doc_id) LEFT JOIN ${b}eb USING (doc_id)
+         |  LEFT JOIN ${b}ni USING (doc_id) LEFT JOIN ${b}nb USING (doc_id))""".stripMargin
+    s"""WITH old_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 6),
+       |b1_docs AS (SELECT doc_id, text FROM documents
+       |            WHERE doc_id % 10 >= 6 AND doc_id % 10 < 8),
+       |b2_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+       |oldc AS (SELECT md5(lower(trim(text))) AS ch, min(doc_id) AS keeper
+       |         FROM old_docs GROUP BY 1),
+       |oldrep AS (SELECT doc_id, lower(trim(text)) AS s FROM old_docs
+       |           QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+       |             ORDER BY doc_id) = 1),
+       |oldsh AS (SELECT doc_id, ${duckShingles("s", 8)} AS h FROM oldrep
+       |          WHERE length(s) >= 8),
+       |oldsig AS (SELECT doc_id, $duckMinhashSig AS sg FROM oldsh),
+       |oldbands AS (
+       |  ${bandsFrom("oldsig")}),
+       |oldbandc AS (
+       |  SELECT * FROM oldbands
+       |  QUALIFY row_number() OVER (PARTITION BY band, band_hash
+       |    ORDER BY doc_id) <= 512),
+       |${round("b1", "oldc", "oldsig", "oldbandc", "b1_docs")},
+       |kept1 AS (SELECT doc_id FROM b1fates WHERE fate = 'kept'),
+       |c2 AS (SELECT ch, keeper FROM oldc
+       |       UNION ALL
+       |       SELECT n.ch, n.doc_id AS keeper FROM b1ch n JOIN kept1 USING (doc_id)),
+       |sig2 AS (SELECT doc_id, sg FROM oldsig
+       |         UNION ALL
+       |         SELECT s.doc_id, s.sg FROM b1sig s JOIN kept1 USING (doc_id)),
+       |bandc2 AS (
+       |  SELECT doc_id, band, band_hash FROM (
+       |    SELECT doc_id, band, band_hash, 0 AS src FROM oldbandc
+       |    UNION ALL
+       |    SELECT b.doc_id, b.band, b.band_hash, 1 AS src
+       |    FROM b1bands b JOIN kept1 USING (doc_id))
+       |  QUALIFY row_number() OVER (PARTITION BY band, band_hash
+       |    ORDER BY src, doc_id) <= 512),
+       |${round("b2", "c2", "sig2", "bandc2", "b2_docs")}
+       |SELECT 1 AS batch, doc_id, fate, match_id FROM b1fates
+       |UNION ALL
+       |SELECT 2 AS batch, doc_id, fate, match_id FROM b2fates""".stripMargin
+  }
+
   /** D31 — intra-document repetition filter (the Gopher/MassiveText
     * repetition signals, cf. Rae et al. 2021 §A1.1): fraction of
     * duplicate word 2-grams / 3-grams within each document, plus the
@@ -2344,6 +2490,7 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d48_index_loop" -> (d48 _),
     "d47_full_curate" -> (d47 _),
     "d46_span_index" -> (d46 _),
     "d45_curriculum" -> (d45 _),
@@ -2393,6 +2540,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d48_index_loop" -> d48Sql,
     "d47_full_curate" -> d47Sql,
     "d46_span_index" -> d46Sql,
     "d45_curriculum" -> d45Sql,

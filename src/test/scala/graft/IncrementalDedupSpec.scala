@@ -105,4 +105,88 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"no duplicates detected: $byFate")
     spark.catalog.clearCache()
   }
+
+  test("appendIndex closes the loop: batch-2 dups of batch-1 admissions are caught; re-append is a no-op") {
+    import spark.implicits._
+    val old = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "an entirely fresh admitted document about stream processing"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again"), // exact_index -> NOT admitted
+      (12L, "tiny")) // kept but below shingle length: no sig/bands land
+      .toDF("doc_id", "text")
+    val idx = freshIdx("append")
+    Dedup.buildIndex(old, "doc_id", "text", idx)
+    val f1 = Dedup.incremental(b1, "doc_id", "text", idx)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f1(10L) == "kept" && f1(11L) == "exact_index" && f1(12L) == "kept")
+    val kept1 = b1.filter(col("doc_id").isin(
+      f1.filter(_._2 == "kept").keys.toSeq: _*))
+    Dedup.appendIndex(kept1, "doc_id", "text", idx)
+
+    def tableCounts() = Seq("content", "sigs", "bands")
+      .map(t => t -> spark.read.parquet(s"$idx/$t").count()).toMap
+    val after1 = tableCounts()
+    Dedup.appendIndex(kept1, "doc_id", "text", idx)
+    assert(tableCounts() == after1,
+      "re-appending the same admitted batch must change nothing")
+    // content gained both kept hashes; sigs/bands only the long doc
+    assert(after1("content") == 1 + 2)
+
+    val b2 = Seq(
+      (20L, "an entirely fresh admitted document about stream processing"),  // exact copy of ADMITTED 10
+      (21L, "an entirely fresh admitted document about stream processing!"), // tail-append near-dup of 10
+      (22L, "the quick brown fox jumps over the lazy dog again and again"),  // still caught vs the build corpus
+      (23L, "yet another unrelated novel snippet of completely new words"))
+      .toDF("doc_id", "text")
+    val f2 = Dedup.incremental(b2, "doc_id", "text", idx)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(f2(20L) == (("exact_index", 10L)),
+      "exact copy of a batch-1 ADMISSION must match its batch-1 id")
+    assert(f2(21L) == (("near_index", 10L)),
+      "near-dup of a batch-1 ADMISSION must match its batch-1 id")
+    assert(f2(22L) == (("exact_index", 0L)))
+    assert(f2(23L)._1 == "kept")
+    spark.catalog.clearCache()
+  }
+
+  test("appendIndex band capping is ingestion-ordered: a full bucket takes nothing") {
+    import spark.implicits._
+    // maxBucket=2 at build; the build corpus already fills the shared
+    // bucket(s) of this repeated-text family with ids 0,1 — batch
+    // entries that land in the same buckets must NOT be appended
+    // (existing entries keep their slots), while novel-bucket entries
+    // append normally.
+    val mkText = (tag: String) =>
+      s"shared boilerplate navigation header text $tag"
+    val old = Seq(
+      (0L, mkText("alpha")), (1L, mkText("beta")), (2L, mkText("gamma")))
+      .toDF("doc_id", "text")
+    val idx = freshIdx("cap")
+    Dedup.buildIndex(old, "doc_id", "text", idx, maxBucket = 2)
+    val bandsBefore = spark.read.parquet(s"$idx/bands")
+      .groupBy("band", "band_hash").count().collect()
+      .map(r => (r.getAs[Number]("band").longValue(),
+        r.getAs[Number]("band_hash").longValue()) -> r.getLong(2)).toMap
+    assert(bandsBefore.values.forall(_ <= 2))
+    Dedup.appendIndex(
+      Seq((10L, mkText("delta"))).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val bandsAfter = spark.read.parquet(s"$idx/bands")
+      .groupBy("band", "band_hash").count().collect()
+      .map(r => (r.getAs[Number]("band").longValue(),
+        r.getAs[Number]("band_hash").longValue()) -> r.getLong(2)).toMap
+    assert(bandsAfter.values.forall(_ <= 2),
+      s"append must respect the bucket cap: $bandsAfter")
+    // every pre-existing entry survived (ingestion order: old wins)
+    bandsBefore.foreach { case (k, n) =>
+      assert(bandsAfter.getOrElse(k, 0L) >= n,
+        s"append evicted existing entries from $k")
+    }
+    spark.catalog.clearCache()
+  }
 }

@@ -234,6 +234,42 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("boxed-literal probe at a real past-the-cliff centroid count (kc > LitCentroidMax)") {
+    // The scale the clamp used to forbid, exercised for real: an
+    // index with MORE centroids than LitCentroidMax, probed through
+    // the DEFAULT routing (no forced litMax). 640 sits past the 600
+    // guard but under the measured ~736 janino cliff, so the
+    // expression-literal path still compiles correctly here and
+    // serves as the exactness reference for the boxed path at the
+    // boundary the production policy actually crosses.
+    import spark.implicits._
+    val n = 2000
+    val dim = 8
+    val vecs = (0 until n).map { i =>
+      val rnd = new scala.util.Random(i * 7919)
+      (i.toLong, Array.fill(dim)(rnd.nextDouble() - 0.5))
+    }.toDF("vec_id", "embedding")
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_kc640_spec_${java.lang.ProcessHandle.current().pid()}").toString
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", idx,
+      kCentroids = 640)
+    val kcBuilt = spark.read.parquet(s"$idx/centroids").count()
+    assert(kcBuilt > Similarity.LitCentroidMax,
+      s"test needs a past-the-clamp index, got $kcBuilt centroids")
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val boxed = Similarity
+      .litIndexCandidates(spark, queries, idx, "vec_id", "embedding",
+        nprobe = Similarity.adaptiveNprobe(kcBuilt.toInt))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exprLit = Similarity
+      .litIndexCandidates(spark, queries, idx, "vec_id", "embedding",
+        nprobe = Similarity.adaptiveNprobe(kcBuilt.toInt), litMax = 736)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(boxed == exprLit && boxed.nonEmpty,
+      "boxed ranking must stay exact past the retired clamp")
+    spark.catalog.clearCache()
+  }
+
   test("cluster report and balanced sample from a persisted index equal the fused forms") {
     // The d37 amortization applied to the clustering surface: one
     // index build serves search (probe), composition report (d42),
