@@ -172,6 +172,63 @@ object StreamingOps {
       .select("user_id", "event_type", "day")
   }
 
+  /** STREAMING ingest loop with index FEEDBACK — the production
+    * composition of the c27 span-novelty gate and d46's
+    * `appendSpanIndex`: each micro-batch is judged against the span
+    * index AS OF ITS TRIGGER, admitted documents land in the sink
+    * AND their spans are appended, so a near-dup arriving in a
+    * LATER micro-batch of the same stream is rejected.
+    *
+    * This is a `foreachBatch` job by necessity, not convenience: a
+    * continuous stream-static join (the c27 catalog shape) resolves
+    * its static side's file listing once at plan time, so index
+    * rows appended mid-stream are invisible to later triggers —
+    * the batch-per-trigger re-plan here is what makes the feedback
+    * real. Per-trigger cost stays batch-sized: the index side of
+    * the probe join is the bucketed span table (exchange-free), and
+    * the append touches only the batch's novel keys.
+    *
+    * Exactly-once posture on retries: a re-delivered micro-batch
+    * (crash between foreachBatch and commit) re-runs both effects —
+    * the sink write is per-epoch `overwrite` (same epoch → same
+    * path, idempotent) and `appendSpanIndex` converges by
+    * construction, so duplicates cannot enter the sink or the
+    * index. Admission is vs the INGESTED corpus only (c27's rule):
+    * two copies inside one micro-batch both admit — run
+    * [[graft.dedup.Dedup.spanDedupIncremental]] downstream when
+    * intra-batch dedup is also wanted.
+    *
+    * Output: admitted source rows under `outDir/epoch=<n>/`
+    * (readers union the epoch dirs). Returns the started query;
+    * callers drive it (processAllAvailable / awaitTermination).
+    */
+  def spanIngestLoop(stream: DataFrame, id: String, text: String,
+      indexDir: String, outDir: String, checkpoint: String,
+      minNovelPm: Long = 500L,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val gateAndAppend = (batch: DataFrame, epochId: Long) => {
+      val admitted = batch.join(
+          graft.dedup.Dedup.spanNovelty(batch, id, text, indexDir)
+            .filter(col("novel_pm") >= minNovelPm).select(col(id)),
+          Seq(id), "left_semi")
+        .persist()
+      try {
+        val n = admitted.count()
+        admitted.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+        if (n > 0)
+          graft.dedup.Dedup.appendSpanIndex(admitted, id, text, indexDir)
+        logger.info(s"spanIngestLoop epoch $epochId: admitted $n")
+      } finally { admitted.unpersist(); () }
+      ()
+    }
+    stream.writeStream
+      .foreachBatch(gateAndAppend)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Run a streaming frame to completion against the currently
     * available data and return the result as a batch table
     * (memory sink + processAllAvailable). Local-test harness only;

@@ -821,4 +821,51 @@ class StreamingSpec extends AnyFunSuite {
         "gate must add no stateful operator beyond the aggregation")
     } finally q.stop()
   }
+
+  test("spanIngestLoop: later micro-batches see earlier admissions (index feedback)") {
+    // The production ingest loop in STREAMING form: foreachBatch
+    // gate -> sink admitted -> appendSpanIndex, so an intra-stream
+    // near-dup of an earlier ADMITTED doc is rejected — the feedback
+    // a plan-time-static c27 join cannot provide. Batches arrive as
+    // separate triggers (write, processAllAvailable, write, ...).
+    import graft.dedup.Dedup
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_loop_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_loop_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_loop_ck").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_loop_idx").toString
+    def docsDf(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      rows.map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    Dedup.buildSpanIndex(docsDf(Seq(1L -> "a b c d", 2L -> "e f g h")),
+      "doc_id", "text", idx, width = 2)
+    val b1 = Seq(10L -> "p q r s",   // fresh -> admitted, spans appended
+      11L -> "a b c d")              // fully ingested -> rejected
+    val b2 = Seq(20L -> "p q r s",   // dup of ADMITTED 10 -> rejected
+      21L -> "w x y z")              // fresh -> admitted
+    docsDf(b1).coalesce(1).write.mode("append").parquet(srcDir)
+    val q = StreamingOps.spanIngestLoop(
+      spark.readStream.schema(StreamingOps.documentsSchema).parquet(srcDir),
+      "doc_id", "text", idx, outDir, ckpt,
+      // a continuous trigger: AvailableNow would terminate after
+      // batch 1 and never see batch 2
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      q.processAllAvailable()
+      docsDf(b2).coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.read
+      .option("basePath", outDir).parquet(s"$outDir/epoch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(10L, 21L),
+      s"loop must admit exactly the novel docs, got $admitted")
+    // the index absorbed the admitted spans: a batch probe agrees
+    val novel = Dedup.spanNovelty(
+        docsDf(Seq(30L -> "p q w x")), "doc_id", "text", idx)
+      .head().getLong(2)
+    assert(novel == 0L,
+      "spans of both admitted docs must be in the index after the loop")
+  }
 }
