@@ -154,6 +154,61 @@ class IncrementalDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("append equals rebuild: batch-2 fates match a from-scratch index over corpus + admissions") {
+    // On an id-ordered ingestion with no bucket at cap — the common
+    // case — appending batch-1's kept docs must leave the index
+    // OBSERVATIONALLY identical to rebuilding it over
+    // old ∪ kept: every batch-2 fate and match id agrees. (At cap
+    // the two diverge by design: rebuild keeps globally smallest
+    // ids, append is ingestion-faithful — the capping test below
+    // pins that side.) numPerms pinned so the tuner cannot resolve
+    // differently on the two build corpora.
+    import spark.implicits._
+    val mk = (i: Long) => {
+      val shared = s"sh${i % 5} ared${i % 5} tail${i % 5} common words here"
+      val unique = s"u$i v$i w$i x$i y$i z$i filler$i more$i text$i pad$i"
+      (i, if (i % 7 == 0) shared else s"$shared $unique")
+    }
+    val all0 = (0L until 100L).map(mk).toMap
+    // plant batch-2 dups of batch-1 UNIQUE (hence kept) docs: 96/97
+    // copy 61/62 exactly, 98 near-dups 64 (one appended token)
+    val all = all0 ++ Map(96L -> all0(61L), 97L -> all0(62L),
+      98L -> (all0(64L) + " zz"))
+    val old = all.toSeq.filter(_._1 < 60).toDF("doc_id", "text")
+    val b1 = all.toSeq.filter(t => t._1 >= 60 && t._1 < 80)
+      .toDF("doc_id", "text")
+    val b2 = all.toSeq.filter(_._1 >= 80).toDF("doc_id", "text")
+
+    val idxA = freshIdx("eqA")
+    Dedup.buildIndex(old, "doc_id", "text", idxA, numPerms = 16)
+    // materialize the kept ids BEFORE appending: a lazy kept frame
+    // re-evaluated after the append would probe the mutated index
+    // and see its own docs as exact_index (the trap d48's entry
+    // stages its batch-1 report to parquet to avoid)
+    val keptIds = Dedup.incremental(b1, "doc_id", "text", idxA)
+      .filter(col("fate") === "kept").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val kept1 = b1.filter(col("doc_id").isin(keptIds: _*))
+    Dedup.appendIndex(kept1, "doc_id", "text", idxA)
+
+    val idxB = freshIdx("eqB")
+    Dedup.buildIndex(old.unionByName(kept1), "doc_id", "text", idxB,
+      numPerms = 16)
+
+    def fates(idx: String) = Dedup.incremental(b2, "doc_id", "text", idx)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val a = fates(idxA)
+    assert(a == fates(idxB),
+      "appended index must be observationally identical to a rebuild")
+    // and the corpus actually exercised cross-batch matching
+    assert(a.exists { case (_, fate, m) =>
+      fate != "kept" && m >= 60 && m < 80 },
+      s"no batch-2 doc matched a batch-1 admission: $a")
+    spark.catalog.clearCache()
+  }
+
   test("appendIndex band capping is ingestion-ordered: a full bucket takes nothing") {
     import spark.implicits._
     // maxBucket=2 at build; the build corpus already fills the shared
