@@ -2259,11 +2259,11 @@ object TrainingDataQueries {
     * report. kc and nprobe are DERIVED FROM THE DATA exactly as the
     * engine derives them: kc = clamp(⌈√N⌉, 16, KCentroidsMax) over
     * the ingested slice, nprobe = max(4, ⌈√kc⌉) (the deployed
-    * adaptiveNprobe rule). At every oracle scale kc is far below
-    * LitCentroidMax, so the engine's exact single-level literal
-    * ranking — which this SQL mirrors — is the plan under test (the
-    * two-level path past it is approximate by design and measured by
-    * AdmissionScale instead).
+    * adaptiveNprobe rule). Both of the engine's ranking paths —
+    * expression-literal below LitCentroidMax, boxed-literal above —
+    * select the EXACT same top-nprobe (pinned in SimilaritySpec), so
+    * this SQL mirrors the plan at every scale; the oracle-tested SFs
+    * happen to run the expression-literal form.
     */
   private[graft] def c26NearDupSql: String = {
     val kcExpr = "LEAST(" + graft.similarity.Similarity.KCentroidsMax +

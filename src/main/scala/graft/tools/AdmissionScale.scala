@@ -18,7 +18,7 @@ import graft.similarity.Similarity
   * proves exactness of the computation, not recall of the policy).
   * The 800k/1.6M octaves sit PAST the retired 600-centroid clamp
   * (kc = ⌈√N⌉ > LitCentroidMax there), so they exercise the
-  * two-level literal router end to end — recall and per-arrival
+  * boxed-literal exact ranking end to end — recall and per-arrival
   * candidate growth at those octaves are the scale evidence for it.
   *
   * Corpus: deterministic token sequences (xxhash64-derived — no RNG
