@@ -87,8 +87,12 @@ object Curator {
       col("ws_tokens").between(minTokens, maxTokens)
 
   /** The FULL production curation DAG as one operator (SURVEY
-    * §2.D47) — the ordering a crawl pipeline actually runs, cheap
-    * passes first, with per-document fate attribution:
+    * §2.D47). LONG-LIVED SESSIONS: use [[fullCurateRun]] and call
+    * `release()` after materializing — this handle-less overload
+    * defers scratch cleanup to the JVM-exit sweep, so repeated calls
+    * accumulate one narrow-corpus parquet copy on disk per call
+    * until exit. The DAG is the ordering a crawl pipeline actually
+    * runs, cheap passes first, with per-document fate attribution:
     *
     *  1. `norm_dup`     — d35 normalization dedup (md5 of the
     *                      case/punct/whitespace-canonicalized text,

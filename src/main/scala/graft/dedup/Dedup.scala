@@ -820,7 +820,17 @@ object Dedup {
           "legacy indexes cannot be appended to; rebuild with buildIndex"))
     val stage = graft.engine.Scratch.dir("graft_dedup_append_")
     try {
+      // Defensive: drop representatives whose CONTENT is already
+      // indexed before deriving the sig/band deltas. Callers normally
+      // pass only kept rows, but an exact_index row slipping in would
+      // otherwise land its sigs/bands under the NEW id (the per-table
+      // anti-joins key on id / full band key, not content), double-
+      // representing that content in the LSH tables forever.
       val reps = contentReps(admitted.select(col(id), col(text)), id, text)
+        .withColumn("__ch", contentHash(col(text)))
+        .join(s.read.parquet(s"$indexDir/content")
+          .select(col("content_hash").as("__ch")), Seq("__ch"), "left_anti")
+        .drop("__ch")
       reps.write.mode("overwrite").parquet(s"$stage/reps")
       val repsP = s.read.parquet(s"$stage/reps")
 
@@ -1200,6 +1210,19 @@ object Dedup {
     *          it adopts these values and throws on a contradicting
     *          explicit width (the d30 contract: parameters travel
     *          with the index).
+    *
+    * Rebuild is STAGED (r14 — the direct drop-delete-write it
+    * replaces destroyed the prior index before the new one existed):
+    * the new bucketed table lands under a hidden stage path first,
+    * then swaps into `spans/` by rename, and `meta/` is written LAST
+    * — a crash before the swap leaves the prior index fully intact
+    * (plus an orphaned stage dir the [[graft.engine.Scratch]] exit
+    * sweep removes), and a probe can never see a meta row whose
+    * spans/ has not landed ([[spanIndexKeys]] additionally refuses a
+    * spans location with no data files). The one residual window — a
+    * crash between the swap and the meta write, when the rebuild
+    * CHANGED the width — leaves new keys under the old grain until
+    * the rebuild is re-run; re-running converges.
     */
   def buildSpanIndex(docs: DataFrame, id: String, text: String,
       indexDir: String, width: Int = 8, buckets: Int = 32): Unit = {
@@ -1208,17 +1231,40 @@ object Dedup {
     val s = docs.sparkSession
     import s.implicits._
     val tbl = spanTableName(indexDir)
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    graft.engine.Scratch.delete(s"$indexDir/spans")
-    Seq((width, buckets)).toDF("width", "buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    val stage = graft.engine.Scratch.dir("graft_span_build_")
+    val stageTbl = s"${tbl}_stage"
+    // 1. Build the new bucketed table into the stage path; the live
+    //    index (if any) is untouched and still probe-able.
+    s.sql(s"DROP TABLE IF EXISTS $stageTbl")
     spanSegments(docs, id, text, width)
       .select("span_key").distinct()
       .write
       .bucketBy(buckets, "span_key").sortBy("span_key")
-      .option("path", s"$indexDir/spans")
+      .option("path", s"$stage/spans")
       .format("parquet")
-      .saveAsTable(tbl)
+      .saveAsTable(stageTbl)
+    s.sql(s"DROP TABLE IF EXISTS $stageTbl") // files stay; name freed
+    // 2. Swap: catalog entry out, old files out, staged files in.
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val spansPath = new org.apache.hadoop.fs.Path(s"$indexDir/spans")
+    val fs = spansPath.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(spansPath, true)
+    fs.mkdirs(spansPath.getParent)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$stage/spans"), spansPath))
+      throw new java.io.IOException(
+        s"buildSpanIndex: rename $stage/spans -> $spansPath failed")
+    graft.engine.Scratch.delete(stage)
+    // 3. Meta last: readers adopt the new grain only once its keys
+    //    are fully in place.
+    Seq((width, buckets)).toDF("width", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    // 4. Re-declare the catalog table over the swapped files (same
+    //    DDL path probes use to re-attach in a fresh session).
+    //    Declare WITHOUT resolving: resolving here would cache this
+    //    session's file listing, and appends from another session (a
+    //    streaming loop's cloned micro-batch session) would then be
+    //    invisible to this session's later probes.
+    declareSpanTable(s, indexDir, tbl)
   }
 
   /** Append a new batch's surviving spans to a span index — after
@@ -1269,15 +1315,46 @@ object Dedup {
   def spanIndexKeys(s: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
     val tbl = spanTableName(indexDir)
-    if (!s.catalog.tableExists(tbl)) {
-      val buckets = readSpanIndexBuckets(s, indexDir)
-      s.sql(
-        s"""CREATE TABLE $tbl (span_key STRING) USING PARQUET
-           |CLUSTERED BY (span_key) SORTED BY (span_key)
-           |INTO $buckets BUCKETS
-           |LOCATION '$indexDir/spans'""".stripMargin)
-    }
+    if (!s.catalog.tableExists(tbl)) declareSpanTable(s, indexDir, tbl)
+    else
+      // The index is a SHARED artifact: another session (a streaming
+      // ingest loop's cloned micro-batch session, another JVM) may
+      // have appended since this session cached the table's file
+      // listing. Refresh before resolving so probes always see the
+      // current key set — one directory re-listing per probe, bounded
+      // by the bucket file count, not the corpus.
+      s.catalog.refreshTable(tbl)
     s.table(tbl).select("span_key")
+  }
+
+  /** Declare the catalog table over an existing span index's bucketed
+    * files (no resolution, so nothing is cached in this session).
+    */
+  private def declareSpanTable(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, tbl: String): Unit = {
+    val buckets = readSpanIndexBuckets(s, indexDir)
+    // Refuse to declare a table over a location with no data files:
+    // meta/ without spans/ is a half-built index (crash mid-rebuild),
+    // and an empty external table would silently score every span
+    // novel instead of failing.
+    val spansPath = new org.apache.hadoop.fs.Path(s"$indexDir/spans")
+    val fs = spansPath.getFileSystem(s.sessionState.newHadoopConf())
+    val hasData = fs.exists(spansPath) &&
+      fs.listStatus(spansPath).exists(st =>
+        st.isFile && st.getLen > 0 && !st.getPath.getName.startsWith("_"))
+    if (!hasData)
+      throw new IllegalStateException(
+        s"span index at $indexDir has meta but no span data files — " +
+          "half-built index (crash mid-rebuild?); re-run buildSpanIndex")
+    // LOCATION is a SQL string literal: ''-escape any quote in the
+    // filesystem path rather than interpolating it raw.
+    val loc = s"$indexDir/spans".replace("'", "''")
+    s.sql(
+      s"""CREATE TABLE $tbl (span_key STRING) USING PARQUET
+         |CLUSTERED BY (span_key) SORTED BY (span_key)
+         |INTO $buckets BUCKETS
+         |LOCATION '$loc'""".stripMargin)
+    ()
   }
 
   /** Drop the span index's catalog entry and delete its files —

@@ -188,13 +188,26 @@ object StreamingOps {
     * the probe join is the bucketed span table (exchange-free), and
     * the append touches only the batch's novel keys.
     *
-    * Exactly-once posture on retries: a re-delivered micro-batch
-    * (crash between foreachBatch and commit) re-runs both effects —
-    * the sink write is per-epoch `overwrite` (same epoch → same
-    * path, idempotent) and `appendSpanIndex` converges by
-    * construction, so duplicates cannot enter the sink or the
-    * index. Admission is vs the INGESTED corpus only (c27's rule):
-    * two copies inside one micro-batch both admit — run
+    * Exactly-once posture on retries — INCLUDING the
+    * crash-after-append window (r14): a re-delivered micro-batch
+    * re-gates against an index the first attempt may have already
+    * mutated, so its admitted docs would now score `novel_pm = 0`
+    * and the per-epoch overwrite would drop them from the sink
+    * forever (their spans stay ingested, so every future copy is
+    * rejected too — silent loss). The epoch function is therefore
+    * RETRY-AWARE: if `outDir/epoch=<n>` already holds a committed
+    * result, its doc ids are honored as this epoch's prior
+    * admissions and unioned into the admit set, so replay converges
+    * to the first attempt's output. The sink write lands BEFORE the
+    * index append: a crash during the write (no `_SUCCESS`) means
+    * the index was not yet mutated and a plain re-gate reproduces
+    * the same set; a crash during/after the append finds the
+    * committed output and honors it. `appendSpanIndex` itself
+    * converges on partial appends, so no ordering of failures
+    * duplicates or drops a row (pinned in StreamingSpec, including
+    * a literal kill-restart replay). Admission is vs the INGESTED
+    * corpus only (c27's rule): two copies inside one micro-batch
+    * both admit — run
     * [[graft.dedup.Dedup.spanDedupIncremental]] downstream when
     * intra-batch dedup is also wanted.
     *
@@ -206,27 +219,68 @@ object StreamingOps {
       indexDir: String, outDir: String, checkpoint: String,
       minNovelPm: Long = 500L,
       trigger: Trigger = Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val gateAndAppend = (batch: DataFrame, epochId: Long) => {
-      val admitted = batch.join(
-          graft.dedup.Dedup.spanNovelty(batch, id, text, indexDir)
-            .filter(col("novel_pm") >= minNovelPm).select(col(id)),
-          Seq(id), "left_semi")
-        .persist()
-      try {
-        val n = admitted.count()
-        admitted.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
-        if (n > 0)
-          graft.dedup.Dedup.appendSpanIndex(admitted, id, text, indexDir)
-        logger.info(s"spanIngestLoop epoch $epochId: admitted $n")
-      } finally { admitted.unpersist(); () }
-      ()
-    }
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
-      .foreachBatch(gateAndAppend)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val n = spanIngestEpoch(batch, epochId, id, text, indexDir,
+          outDir, minNovelPm)
+        logger.info(s"spanIngestLoop epoch $epochId: admitted $n")
+      }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** One epoch of [[spanIngestLoop]] — gate, sink, append. Factored
+    * out so the crash-retry path is directly testable: calling it
+    * twice with the same `epochId` is exactly what a checkpoint
+    * replay does, and the second call must converge to the first's
+    * admitted set. Returns the admitted-row count.
+    */
+  private[graft] def spanIngestEpoch(batch: DataFrame, epochId: Long,
+      id: String, text: String, indexDir: String, outDir: String,
+      minNovelPm: Long): Long = {
+    val s = batch.sparkSession
+    val epochPath = s"$outDir/epoch=$epochId"
+    val retryStage = priorEpochStage(s, epochPath, id)
+    try {
+      val novel = graft.dedup.Dedup.spanNovelty(batch, id, text, indexDir)
+        .filter(col("novel_pm") >= minNovelPm).select(col(id))
+      val admitIds = retryStage match {
+        case Some(st) =>
+          novel.unionByName(s.read.parquet(s"$st/ids")).distinct()
+        case None => novel
+      }
+      val admitted = batch.join(admitIds, Seq(id), "left_semi").persist()
+      try {
+        val n = admitted.count()
+        admitted.write.mode("overwrite").parquet(epochPath)
+        if (n > 0)
+          graft.dedup.Dedup.appendSpanIndex(admitted, id, text, indexDir)
+        n
+      } finally { admitted.unpersist(); () }
+    } finally retryStage.foreach(graft.engine.Scratch.delete)
+  }
+
+  /** Retry detection shared by the ingest-loop epoch functions: if
+    * `epochPath` already holds a COMMITTED result (`_SUCCESS`
+    * present — a half-written dir from a crash mid-write is ignored;
+    * the index was not yet mutated in that window, so a plain
+    * re-gate reproduces the same set), its admitted ids are STAGED
+    * to a scratch dir and the stage path returned. Staging is
+    * mandatory, not an optimization: the epoch's own overwrite
+    * deletes the very files a lazy plan would read.
+    */
+  private def priorEpochStage(s: SparkSession, epochPath: String,
+      id: String): Option[String] = {
+    val marker = new org.apache.hadoop.fs.Path(s"$epochPath/_SUCCESS")
+    val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) None
+    else {
+      val st = graft.engine.Scratch.dir("graft_epoch_retry_")
+      s.read.parquet(epochPath).select(col(id))
+        .write.mode("overwrite").parquet(s"$st/ids")
+      Some(st)
+    }
   }
 
   /** Run a streaming frame to completion against the currently
