@@ -303,8 +303,7 @@ object StreamingQueries {
         .embed(ingested, "doc_id", "text", dim)
         .select(col("doc_id"), col("emb").as("ev"))
       val n = t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0).count()
-      val kc = math.min(Similarity.KCentroidsMax.toLong,
-        math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+      val kc = Similarity.sqrtKc(n)
       Similarity.buildIvfIndex(corpus, "doc_id", "ev", idx, kCentroids = kc)
       val qstream = graft.functions.HashEmbed
         .embed(StreamingOps.readDocumentsStream(s, dir)

@@ -499,34 +499,66 @@ object Similarity {
     * d30 proved for the dedup index, applied to d19 (whose kmeans
     * quantizer costs two broadcast corpus passes per [[ivfTopK]]
     * call, the most expensive build step in the family). Layout at
-    * `indexDir` (all parquet, overwritten):
+    * `indexDir` (all parquet, GENERATION-versioned since r14 so a
+    * build over an existing index is non-destructive):
     *
-    *   centroids/ (cid, cv, cnrm)        — the coarse quantizer,
+    *   gen-<g>/centroids/ (cid, cv, cnrm) — the coarse quantizer,
     *              kCentroids rows, broadcast at probe time
-    *   lists/     (vid, v, nrm) PARTITIONED BY (cid) — the inverted
-    *              lists as parquet partitions: a probe's cid
-    *              equi-join prunes to the probed directories
+    *   gen-<g>/lists/ (vid, v, nrm) PARTITIONED BY (cid) — the
+    *              inverted lists as parquet partitions: a probe's
+    *              cid equi-join prunes to the probed directories
     *              (dynamic partition pruning), so probe I/O is
     *              O(nprobe/kCentroids) of the corpus, not a full
     *              scan — the actual IVF win at 100 TB, where the
     *              corpus does not fit an executor cache
-    *   meta/      (quantizer, lloyd_iters, k_centroids) — the build
-    *              parameters; [[ivfProbe]] validates caller
-    *              expectations against this row, so an index built
-    *              under one configuration cannot silently serve
-    *              another
-    * Directory count equals kCentroids (≤ 65536 at the router's √N
-    * clamp) — at boundary scale each list holds ≥ √N ≈ 2900 vectors,
-    * well above small-file territory. Zero-norm vectors are excluded
-    * at build (the [[ivfTopK]] NaN guard).
+    *   meta/      (quantizer, lloyd_iters, k_centroids, n_build,
+    *              gen) — the build parameters plus the indexed count
+    *              and the LIVE generation; [[ivfProbe]] validates
+    *              caller expectations against this row, so an index
+    *              built under one configuration cannot silently
+    *              serve another. Meta is written LAST via an
+    *              atomic-rename swap ([[commitIvfMeta]]): readers see
+    *              either the complete old index or the complete new
+    *              one, never a half-built generation, and a crash
+    *              mid-build leaves the live index intact (pre-r14
+    *              indexes with flat `centroids`/`lists` and a 3-column
+    *              meta keep reading as generation -1).
+    * Per-generation directory count equals kCentroids (≤ 65536 at
+    * the router's √N clamp) — at boundary scale each list holds
+    * ≥ √N ≈ 2900 vectors, well above small-file territory. Zero-norm
+    * vectors are excluded at build (the [[ivfTopK]] NaN guard).
     */
   def buildIvfIndex(corpus: DataFrame, id: String, vec: String,
       indexDir: String, kCentroids: Int = 16, quantizer: String = "kmeans",
       lloydIters: Int = 1): Unit = {
     val s = corpus.sparkSession
-    import s.implicits._
+    // Next generation: one past the live index's (a legacy flat index
+    // counts as gen -1, so its successor is gen-0). The live data
+    // stays fully probe-able until the meta commit swings readers to
+    // the new generation.
+    val prevGen = ivfMetaFullIfExists(s, indexDir).map(_._5)
+    val newGen = prevGen.map(g => math.max(g, -1) + 1).getOrElse(0)
+    buildIvfGeneration(corpus.select(col(id).as("vid"), col(vec).as("v")),
+      indexDir, newGen, kCentroids, quantizer, lloydIters)
+    sweepIvfGenerations(s, indexDir, keepGen = newGen,
+      sweepLegacyFlat = prevGen.isDefined)
+  }
+
+  /** Build one index generation's data dirs and COMMIT it by the
+    * meta swap — the shared core of [[buildIvfIndex]] and
+    * [[rebuildIvfIndex]]. Input is the `(vid, v)` projection;
+    * zero-norm vectors are excluded (the ivfTopK NaN guard). Meta is
+    * written LAST: a crash anywhere before the commit leaves the
+    * prior generation live and intact (plus an orphaned gen dir the
+    * next build overwrites or sweeps).
+    */
+  private def buildIvfGeneration(vidV: DataFrame, indexDir: String,
+      gen: Int, kCentroids: Int, quantizer: String,
+      lloydIters: Int): Unit = {
+    val s = vidV.sparkSession
+    val dataDir = ivfGenDir(indexDir, gen)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val v = corpus.select(col(id).as("vid"), col(vec).as("v"))
+    val v = vidV
       .withColumn("nrm", norm2(col("v")))
       .filter(col("nrm") > 0)
       .persist(lvl)
@@ -539,11 +571,8 @@ object Similarity {
         case other => throw new IllegalArgumentException(
           s"unknown quantizer: $other (kmeans|lowid)")
       }).persist(lvl)
-      Seq((quantizer, lloydIters, kCentroids))
-        .toDF("quantizer", "lloyd_iters", "k_centroids")
-        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
       cents.coalesce(1).write.mode("overwrite")
-        .parquet(s"$indexDir/centroids")
+        .parquet(s"$dataDir/centroids")
       // co-locate each inverted list in one task before the
       // partitioned write: without this every task opens a writer
       // per cid it happens to hold (tasks × kCentroids small files —
@@ -552,10 +581,145 @@ object Similarity {
       v.join(argmaxAssign(v, cents), "vid")
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$indexDir/lists")
+        .parquet(s"$dataDir/lists")
       cents.unpersist()
+      commitIvfMeta(s, indexDir, quantizer, lloydIters, kCentroids,
+        nBuild = v.count(), gen = gen)
     } finally v.unpersist()
   }
+
+  /** REBUILD a persisted IVF index from its own inverted lists under
+    * a fresh quantizer — the drift-contract action
+    * ([[appendIvfIndex]]: appends deepen lists at frozen kc; once
+    * ingestion roughly quadruples the corpus, kc lags √N by 2× and
+    * probe cost degrades toward linear). `kCentroids = 0` (the
+    * default) resizes by the deployed policy `clamp(⌈√N⌉, 16,
+    * KCentroidsMax)` over the CURRENT corpus size.
+    *
+    * Non-destructive: the new generation is built while the live one
+    * keeps serving reads (the build's input is the live lists
+    * themselves — their files persist until the post-commit sweep),
+    * and the meta swap is the single commit point. A crash mid-
+    * rebuild leaves the prior index fully intact; re-running
+    * converges. NOT safe under concurrent probes in OTHER sessions
+    * that resolved the generation before the commit and read after
+    * the sweep — single-writer ingest loops (the intended caller)
+    * re-resolve per epoch.
+    */
+  def rebuildIvfIndex(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, kCentroids: Int = 0): Unit = {
+    val (quant, iters, _, _, gen) = ivfMetaFull(s, indexDir)
+    val vidV = ivfLists(s, indexDir).select(col("vid"), col("v"))
+    val kc = if (kCentroids > 0) kCentroids else sqrtKc(vidV.count())
+    val newGen = math.max(gen, -1) + 1
+    buildIvfGeneration(vidV, indexDir, newGen, kc, quant, iters)
+    sweepIvfGenerations(s, indexDir, keepGen = newGen,
+      sweepLegacyFlat = true)
+  }
+
+  /** The deployed centroid-count policy shared by the batch router,
+    * c26, and the ingest-loop rebuild: `clamp(⌈√N⌉, 16,
+    * KCentroidsMax)` — build cost N^1.5, list depth ~√N, probed work
+    * ~N^(3/4) at [[adaptiveNprobe]].
+    */
+  def sqrtKc(n: Long): Int =
+    math.min(KCentroidsMax.toLong,
+      math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  private def ivfGenDir(indexDir: String, gen: Int): String =
+    if (gen < 0) indexDir else s"$indexDir/gen-$gen"
+
+  /** Commit a generation by swapping `meta` — write `meta.next`
+    * fully, delete `meta`, rename `meta.next` → `meta`. The rename is
+    * the atomic commit; the one residual window (crash between the
+    * delete and the rename) is self-healing: [[ivfMetaDf]] completes
+    * the rename on the next read.
+    */
+  private def commitIvfMeta(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, quantizer: String, lloydIters: Int,
+      kCentroids: Int, nBuild: Long, gen: Int): Unit = {
+    import s.implicits._
+    Seq((quantizer, lloydIters, kCentroids, nBuild, gen))
+      .toDF("quantizer", "lloyd_iters", "k_centroids", "n_build", "gen")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta.next")
+    val meta = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val next = new org.apache.hadoop.fs.Path(s"$indexDir/meta.next")
+    val fs = meta.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(meta, true)
+    if (!fs.rename(next, meta))
+      throw new java.io.IOException(
+        s"commitIvfMeta: rename $next -> $meta failed")
+  }
+
+  /** Drop every generation dir except `keepGen` (and, when asked,
+    * the legacy flat `centroids`/`lists` dirs) — run AFTER the meta
+    * commit, so a crash before the sweep only orphans files the next
+    * sweep removes.
+    */
+  private def sweepIvfGenerations(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, keepGen: Int, sweepLegacyFlat: Boolean): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        (n.startsWith("gen-") && n != s"gen-$keepGen") ||
+          (sweepLegacyFlat && (n == "centroids" || n == "lists"))
+      if (stale) fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Read the meta frame, completing a crashed [[commitIvfMeta]]
+    * swap first (meta absent, meta.next present → finish the
+    * rename).
+    */
+  private def ivfMetaDf(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val meta = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val next = new org.apache.hadoop.fs.Path(s"$indexDir/meta.next")
+    val fs = meta.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(meta) && fs.exists(next)) fs.rename(next, meta)
+    s.read.parquet(s"$indexDir/meta")
+  }
+
+  /** Full meta row with legacy defaults: `(quantizer, lloydIters,
+    * kCentroids, nBuild, gen)` — pre-r14 indexes carry neither
+    * `n_build` (→ -1: the drift check cannot run) nor `gen` (→ -1:
+    * the flat `centroids`/`lists` layout).
+    */
+  private[graft] def ivfMetaFull(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): (String, Int, Int, Long, Int) = {
+    val df = ivfMetaDf(s, indexDir)
+    val cols = df.columns.toSet
+    val r = df.select(col("quantizer"), col("lloyd_iters"),
+      col("k_centroids"),
+      (if (cols("n_build")) col("n_build") else lit(-1L)).as("n_build"),
+      (if (cols("gen")) col("gen") else lit(-1)).as("gen")).head()
+    (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4))
+  }
+
+  private def ivfMetaFullIfExists(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[(String, Int, Int, Long, Int)] = {
+    val meta = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val next = new org.apache.hadoop.fs.Path(s"$indexDir/meta.next")
+    val fs = meta.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(meta) || fs.exists(next)) Some(ivfMetaFull(s, indexDir))
+    else None
+  }
+
+  /** The live generation's centroid table (kCentroids rows). */
+  def ivfCentroids(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    s.read.parquet(
+      s"${ivfGenDir(indexDir, ivfMetaFull(s, indexDir)._5)}/centroids")
+
+  /** The live generation's inverted lists `(vid, v, nrm)`
+    * partitioned by `cid`.
+    */
+  def ivfLists(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    s.read.parquet(
+      s"${ivfGenDir(indexDir, ivfMetaFull(s, indexDir)._5)}/lists")
 
   /** Append new vectors to a persisted IVF index under its FROZEN
     * quantizer — the ingest-loop step after an admission gate admits
@@ -576,18 +740,24 @@ object Similarity {
     * lists without adding centroids, so probe cost grows linearly in
     * appended volume at fixed kc — fine while the corpus stays
     * within a small factor of its build size; REBUILD the index
-    * (one [[buildIvfIndex]] call) once ingestion roughly quadruples
-    * the corpus (kc then lags √N by 2×). The span index needs no
-    * such rule because its key set carries no quantizer.
+    * (one [[rebuildIvfIndex]] call — generation-staged, crash-safe)
+    * once ingestion roughly quadruples the corpus (kc then lags √N
+    * by 2×). [[graft.streaming.StreamingOps.ivfIngestLoop]] honors
+    * this rule automatically mid-stream via meta's `n_build`. The
+    * span index needs no such rule because its key set carries no
+    * quantizer.
     */
   def appendIvfIndex(newVecs: DataFrame, id: String, vec: String,
       indexDir: String): Unit = {
     val s = newVecs.sparkSession
-    val cents = s.read.parquet(s"$indexDir/centroids")
+    // resolve the live generation ONCE; every read and the append
+    // land in the same generation's dirs
+    val dataDir = ivfGenDir(indexDir, ivfMetaFull(s, indexDir)._5)
+    val cents = s.read.parquet(s"$dataDir/centroids")
     val fresh = newVecs.select(col(id).as("vid"), col(vec).as("v"))
       .withColumn("nrm", norm2(col("v")))
       .filter(col("nrm") > 0)
-      .join(s.read.parquet(s"$indexDir/lists").select("vid"),
+      .join(s.read.parquet(s"$dataDir/lists").select("vid"),
         Seq("vid"), "left_anti")
     val stage = graft.engine.Scratch.dir("graft_ivf_append_")
     try {
@@ -596,7 +766,7 @@ object Similarity {
       s.read.parquet(s"$stage/delta")
         .repartition(col("cid"))
         .write.mode("append").partitionBy("cid")
-        .parquet(s"$indexDir/lists")
+        .parquet(s"$dataDir/lists")
     } finally graft.engine.Scratch.delete(stage)
   }
 
@@ -605,9 +775,8 @@ object Similarity {
     */
   def ivfIndexMeta(s: org.apache.spark.sql.SparkSession,
       indexDir: String): (String, Int, Int) = {
-    val r = s.read.parquet(s"$indexDir/meta")
-      .select("quantizer", "lloyd_iters", "k_centroids").head()
-    (r.getString(0), r.getInt(1), r.getInt(2))
+    val (q, i, kc, _, _) = ivfMetaFull(s, indexDir)
+    (q, i, kc)
   }
 
   /** Probe a persisted IVF index ([[buildIvfIndex]]) — identical
@@ -635,9 +804,8 @@ object Similarity {
       contradict("kCentroids", expectKCentroids, mkc)
     if (expectLloydIters > 0 && expectLloydIters != mi)
       contradict("lloydIters", expectLloydIters, mi)
-    val cents = s.read.parquet(s"$indexDir/centroids")
-    val lists = s.read.parquet(s"$indexDir/lists")
-    probeTopK(queries, cents, lists, id, vec, k, nprobe)
+    probeTopK(queries, ivfCentroids(s, indexDir), ivfLists(s, indexDir),
+      id, vec, k, nprobe)
   }
 
   /** The zero-norm-guarded `(vid, v, nrm)` projection every
@@ -720,7 +888,7 @@ object Similarity {
   def clusterReportFromIndex(s: org.apache.spark.sql.SparkSession,
       indexDir: String, labels: DataFrame, id: String,
       labelCol: String): DataFrame =
-    labelRollup(s.read.parquet(s"$indexDir/lists")
+    labelRollup(ivfLists(s, indexDir)
       .select(col("cid"), col("vid"))
       .join(labels.select(col(id).as("vid"),
         col(labelCol).as("__lbl")), "vid"))
@@ -787,7 +955,7 @@ object Similarity {
     // no persist: the assignment is a narrow (cid, vid) parquet read
     // the sizing pass and the lazy selection each re-read — cheaper
     // than pinning a cache for the lifetime of the returned frame
-    balancedSelect(s.read.parquet(s"$indexDir/lists")
+    balancedSelect(ivfLists(s, indexDir)
         .select(col("cid"), col("vid")),
       id, budgetNumer, budgetDenom)
   }
@@ -885,7 +1053,7 @@ object Similarity {
       queries: DataFrame, indexDir: String, id: String, vec: String,
       nprobe: Int, litMax: Int = LitCentroidMax): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val centRows = s.read.parquet(s"$indexDir/centroids")
+    val centRows = ivfCentroids(s, indexDir)
       .select(col("cid"), toDouble(col("cv")).as("cv"), col("cnrm"))
       .collect()
     val q = queries
@@ -898,7 +1066,7 @@ object Similarity {
       else
         litArrayCandidates(q, id, centRows, nprobe)
     probed
-      .join(s.read.parquet(s"$indexDir/lists"), "cid")
+      .join(ivfLists(s, indexDir), "cid")
       .select(col(id), col("vid").as("n_id"),
         (dot(col("__qv"), col("v")) / (col("__qnrm") * col("nrm")))
           .as("cos"))

@@ -261,6 +261,136 @@ object StreamingOps {
     } finally retryStage.foreach(graft.engine.Scratch.delete)
   }
 
+  /** STREAMING ingest loop for the EMBEDDING gate — the IVF twin of
+    * [[spanIngestLoop]], completing the ingest-loop family: each
+    * micro-batch of vectors is probed against the persisted IVF
+    * index ([[graft.similarity.Similarity.litIndexCandidates]] — the
+    * window-free probe) AS OF ITS TRIGGER; arrivals whose best
+    * ingested candidate stays below `maxCos` are admitted, land in
+    * the sink, and their vectors are appended to the index
+    * ([[graft.similarity.Similarity.appendIvfIndex]]) — so a
+    * near-dup arriving in a LATER micro-batch of the same stream is
+    * rejected against the earlier admission. The c26 catalog shape
+    * cannot do this: its stream ⋈ static join resolves the index
+    * file listing once at plan time, so mid-stream appends are
+    * invisible to later triggers; the foreachBatch re-plan per epoch
+    * is what makes the feedback real.
+    *
+    * DRIFT CONTRACT, honored mid-stream: appends deepen lists at the
+    * frozen build-time kc, so probe cost grows linearly in appended
+    * volume; once the ingested count reaches `rebuildFactor ×` the
+    * index's build size (meta `n_build`), the epoch rebuilds the
+    * index in place ([[graft.similarity.Similarity.rebuildIvfIndex]]
+    * — generation-staged, crash-safe, resized to clamp(⌈√N⌉, 16,
+    * KCentroidsMax)) and the loop's next probe re-resolves kc and
+    * nprobe from the new meta. The ingested count is tracked
+    * incrementally (one lists count at the first epoch, then
+    * += admitted per epoch — no per-epoch index scan); a retried
+    * epoch may double-count its admissions, which only makes the
+    * rebuild fire EARLIER, never later. `rebuildFactor = 0` disables
+    * the check; a pre-r14 index without `n_build` in meta logs once
+    * and skips it.
+    *
+    * Exactly-once posture on retries is [[spanIngestLoop]]'s: the
+    * sink write lands before the append; a committed
+    * `outDir/epoch=<n>` is honored as that epoch's prior admissions
+    * on replay (else the replay would re-gate against an index the
+    * first attempt already mutated and drop its own admissions);
+    * `appendIvfIndex` anti-joins already-indexed vids, so partial
+    * appends converge. Admission is vs the INGESTED corpus only:
+    * two near-dups inside one micro-batch both admit (run a batch
+    * near-dup pass downstream when intra-batch dedup is wanted).
+    * Rows with a zero-norm vector are admitted (no candidates) but
+    * never indexed (the build-time NaN guard); `id` must be unique
+    * within a batch.
+    *
+    * Output: admitted source rows under `outDir/epoch=<n>/`. Returns
+    * the started query; callers drive it.
+    */
+  def ivfIngestLoop(stream: DataFrame, id: String, vec: String,
+      indexDir: String, outDir: String, checkpoint: String,
+      maxCos: Double = 0.95, rebuildFactor: Double = 4.0,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ingested = new java.util.concurrent.atomic.AtomicLong(-1L)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val n = ivfIngestEpoch(batch, epochId, id, vec, indexDir,
+          outDir, maxCos, rebuildFactor, ingested)
+        logger.info(s"ivfIngestLoop epoch $epochId: admitted $n")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One epoch of [[ivfIngestLoop]] — probe, gate, sink, append,
+    * drift-check. Factored out so the crash-retry path is directly
+    * testable (same contract as [[spanIngestEpoch]]: re-invoking with
+    * the same `epochId` converges to the first call's admitted set).
+    * Returns the admitted-row count.
+    */
+  private[graft] def ivfIngestEpoch(batch: DataFrame, epochId: Long,
+      id: String, vec: String, indexDir: String, outDir: String,
+      maxCos: Double, rebuildFactor: Double,
+      ingested: java.util.concurrent.atomic.AtomicLong): Long = {
+    import graft.similarity.Similarity
+    val s = batch.sparkSession
+    val epochPath = s"$outDir/epoch=$epochId"
+    val retryStage = priorEpochStage(s, epochPath, id)
+    try {
+      val kc = Similarity.ivfIndexMeta(s, indexDir)._3
+      val dup = Similarity.litIndexCandidates(s, batch, indexDir, id,
+          vec, nprobe = Similarity.adaptiveNprobe(kc))
+        .groupBy(col(id)).agg(max(col("cos")).as("__mc"))
+        .filter(col("__mc") >= maxCos).select(col(id))
+      val novel = batch.select(col(id)).join(dup, Seq(id), "left_anti")
+      val admitIds = retryStage match {
+        case Some(st) =>
+          novel.unionByName(s.read.parquet(s"$st/ids")).distinct()
+        case None => novel
+      }
+      val admitted = batch.join(admitIds, Seq(id), "left_semi").persist()
+      try {
+        val n = admitted.count()
+        admitted.write.mode("overwrite").parquet(epochPath)
+        if (n > 0) {
+          Similarity.appendIvfIndex(admitted, id, vec, indexDir)
+          if (rebuildFactor > 0)
+            maybeRebuildIvf(s, indexDir, rebuildFactor, ingested, n)
+        }
+        n
+      } finally { admitted.unpersist(); () }
+    } finally retryStage.foreach(graft.engine.Scratch.delete)
+  }
+
+  /** [[ivfIngestLoop]]'s drift check: track the ingested count
+    * incrementally (seeded from one lists count at the first epoch —
+    * which already includes that epoch's append) and rebuild once it
+    * reaches `factor × n_build`.
+    */
+  private def maybeRebuildIvf(s: SparkSession, indexDir: String,
+      factor: Double,
+      ingested: java.util.concurrent.atomic.AtomicLong,
+      admittedN: Long): Unit = {
+    import graft.similarity.Similarity
+    if (ingested.get() < 0L)
+      ingested.set(Similarity.ivfLists(s, indexDir).count())
+    else ingested.addAndGet(admittedN)
+    val nBuild = Similarity.ivfMetaFull(s, indexDir)._4
+    if (nBuild < 0L)
+      logger.warn(s"ivfIngestLoop: index at $indexDir carries no " +
+        "n_build (pre-r14 build) — drift check skipped; rebuild with " +
+        "buildIvfIndex to enable it")
+    else if (ingested.get() >= (factor * nBuild).toLong) {
+      logger.info(s"ivfIngestLoop: ingested ${ingested.get()} >= " +
+        s"$factor x n_build $nBuild — rebuilding index at $indexDir")
+      Similarity.rebuildIvfIndex(s, indexDir)
+      // rebuild recounted and stamped the new n_build; re-seed lazily
+      ingested.set(-1L)
+    }
+  }
+
   /** Retry detection shared by the ingest-loop epoch functions: if
     * `epochPath` already holds a COMMITTED result (`_SUCCESS`
     * present — a half-written dir from a crash mid-write is ignored;

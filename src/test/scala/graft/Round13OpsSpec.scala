@@ -157,9 +157,9 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(g1(100L), "fresh content admits")
     Similarity.appendIvfIndex(embed(b1), "doc_id", "ev", idx)
 
-    val listCount = spark.read.parquet(s"$idx/lists").count()
+    val listCount = Similarity.ivfLists(spark, idx).count()
     Similarity.appendIvfIndex(embed(b1), "doc_id", "ev", idx)
-    assert(spark.read.parquet(s"$idx/lists").count() == listCount,
+    assert(Similarity.ivfLists(spark, idx).count() == listCount,
       "re-appending the same batch must be a no-op")
 
     val b2 = docsDf(Seq(200L -> freshText,             // dup of admitted 100
@@ -170,7 +170,7 @@ class Round13OpsSpec extends AnyFunSuite {
     // the appended vector landed under the frozen quantizer: probing
     // found it at cosine 1.0 via its assigned list, and centroid count
     // is unchanged
-    assert(spark.read.parquet(s"$idx/centroids").count() == 8L)
+    assert(Similarity.ivfCentroids(spark, idx).count() == 8L)
   }
 
   test("fullCurateRun: release deletes the staged artifact after materialization") {

@@ -128,6 +128,173 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no span data files"))
   }
 
+  // --- the IVF ingest loop (r14: the embedding gate's feedback) ---
+
+  import graft.similarity.Similarity
+
+  private def vecsDf(rows: Seq[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "vec")
+  }
+
+  /** Deterministic 16-dim gaussian vector per id (seeded — distinct
+    * ids are near-orthogonal, so only exact dups cross the 0.95
+    * admission bar).
+    */
+  private def tv(i: Long): Seq[Double] = {
+    val r = new scala.util.Random(i * 2654435761L)
+    Seq.fill(16)(r.nextGaussian())
+  }
+
+  private val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("vec",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+
+  private def freshCounter() = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  private def vecSinkIds(outDir: String): Set[Long] =
+    spark.read.option("basePath", outDir).parquet(s"$outDir/epoch=*")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("ivfIngestEpoch: a re-delivered epoch converges to the first attempt's admitted set") {
+    // Same ADVICE-r13 loss window as the span loop, on the embedding
+    // gate: attempt 1 admits a vector and appends it to the index;
+    // the replayed epoch re-probes the MUTATED index, scores the
+    // admission cos = 1.0 against itself, and without retry awareness
+    // would drop it from the sink forever.
+    val idx = scratch(); val out = scratch()
+    Similarity.buildIvfIndex(
+      vecsDf((0L until 30L).map(i => i -> tv(i))), "vec_id", "vec", idx,
+      kCentroids = 16)
+    val batch = vecsDf(Seq(
+      100L -> tv(500L), // fresh -> admitted
+      101L -> tv(3L)))  // exact dup of an ingested vector -> rejected
+    def epoch(): Long = StreamingOps.ivfIngestEpoch(batch, 0L,
+      "vec_id", "vec", idx, out, maxCos = 0.95, rebuildFactor = 0.0,
+      ingested = freshCounter())
+    val n1 = epoch()
+    assert(n1 == 1L && vecSinkIds(out) == Set(100L))
+    val n2 = epoch()
+    assert(n2 == 1L, "replay must converge, not re-gate the admission away")
+    assert(vecSinkIds(out) == Set(100L),
+      "the sink must still carry attempt 1's admitted vector after replay")
+    // append idempotence: the replay added nothing to the lists
+    val lists = Similarity.ivfLists(spark, idx).count()
+    epoch()
+    assert(Similarity.ivfLists(spark, idx).count() == lists)
+  }
+
+  test("ivfIngestLoop: later micro-batches see earlier admissions, and rejection resolves to the admitted id") {
+    val srcDir = scratch(); val outDir = scratch()
+    val ckpt = scratch(); val idx = scratch()
+    Similarity.buildIvfIndex(
+      vecsDf((0L until 30L).map(i => i -> tv(i))), "vec_id", "vec", idx,
+      kCentroids = 16)
+    val b1 = Seq(100L -> tv(500L),  // fresh -> admitted
+      101L -> tv(3L))               // ingested dup -> rejected
+    val b2 = Seq(200L -> tv(500L),  // dup of ADMITTED 100 -> rejected
+      201L -> tv(700L))             // fresh -> admitted
+    vecsDf(b1).coalesce(1).write.mode("append").parquet(srcDir)
+    val q = StreamingOps.ivfIngestLoop(
+      spark.readStream.schema(vecSchema).parquet(srcDir),
+      "vec_id", "vec", idx, outDir, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      q.processAllAvailable()
+      vecsDf(b2).coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally { q.stop(); q.awaitTermination() }
+    assert(vecSinkIds(outDir) == Set(100L, 201L),
+      "the loop must admit exactly the novel vectors")
+    // the batch-2 rejection resolves to the batch-1 ADMITTED id: the
+    // probe's best candidate for 200's vector is 100 at cos 1.0
+    val best = Similarity.litIndexCandidates(spark,
+        vecsDf(Seq(999L -> tv(500L))), idx, "vec_id", "vec", nprobe = 4)
+      .orderBy(col("cos").desc, col("n_id")).select("n_id").head().getLong(0)
+    assert(best == 100L,
+      s"the near-dup must resolve to the admitted batch-1 id, got $best")
+  }
+
+  test("ivfIngestLoop honors the drift contract mid-stream: a 4x-grown index rebuilds with kc resized to sqrt(N)") {
+    val srcDir = scratch(); val outDir = scratch()
+    val ckpt = scratch(); val idx = scratch()
+    // build small: 20 vectors at the kc floor (16); n_build = 20
+    Similarity.buildIvfIndex(
+      vecsDf((0L until 20L).map(i => i -> tv(i))), "vec_id", "vec", idx,
+      kCentroids = 16)
+    assert(Similarity.ivfMetaFull(spark, idx)._5 == 0, "fresh build is gen-0")
+    // one epoch of 300 fresh vectors: ingested 320 >= 4 x 20 -> rebuild
+    vecsDf((1000L until 1300L).map(i => i -> tv(i)))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q = StreamingOps.ivfIngestLoop(
+      spark.readStream.schema(vecSchema).parquet(srcDir),
+      "vec_id", "vec", idx, outDir, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      q.processAllAvailable()
+      val (_, _, kc1, nBuild1, gen1) = Similarity.ivfMetaFull(spark, idx)
+      assert(gen1 == 1, s"the drift rebuild must commit a new generation, got $gen1")
+      assert(kc1 == Similarity.sqrtKc(nBuild1) && kc1 > 16,
+        s"rebuild must resize kc to sqrt(N): kc=$kc1 nBuild=$nBuild1")
+      assert(nBuild1 >= 300L)
+      // the loop keeps gating correctly THROUGH the rebuild: a dup of
+      // a pre-rebuild admission is rejected by the rebuilt index
+      vecsDf(Seq(5000L -> tv(1100L), 5001L -> tv(9999L)))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(!vecSinkIds(outDir).contains(5000L),
+        "a dup of a pre-rebuild admission must be rejected post-rebuild")
+      assert(vecSinkIds(outDir).contains(5001L))
+    } finally { q.stop(); q.awaitTermination() }
+    // the old generation was swept after the commit
+    assert(!new java.io.File(s"$idx/gen-0").exists(),
+      "the pre-rebuild generation must be swept after the meta commit")
+  }
+
+  test("IVF meta commit is self-healing: a crash between delete and rename recovers on the next read") {
+    val idx = scratch()
+    Similarity.buildIvfIndex(
+      vecsDf((0L until 25L).map(i => i -> tv(i))), "vec_id", "vec", idx,
+      kCentroids = 16)
+    val before = Similarity.ivfProbe(vecsDf(Seq(900L -> tv(3L))), idx,
+      "vec_id", "vec", k = 1).collect().toSeq
+    // simulate the one residual commit window: meta deleted, meta.next
+    // fully written but not yet renamed
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/meta"),
+      new org.apache.hadoop.fs.Path(s"$idx/meta.next")))
+    val after = Similarity.ivfProbe(vecsDf(Seq(900L -> tv(3L))), idx,
+      "vec_id", "vec", k = 1).collect().toSeq
+    assert(after == before, "the reader must complete the crashed swap")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/meta")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/meta.next")))
+  }
+
+  test("rebuildIvfIndex is non-destructive: content identical, generation bumped, old generation swept") {
+    val idx = scratch()
+    val corpus = (0L until 60L).map(i => i -> tv(i))
+    Similarity.buildIvfIndex(vecsDf(corpus), "vec_id", "vec", idx,
+      kCentroids = 4)
+    val vidsBefore = Similarity.ivfLists(spark, idx)
+      .select("vid").collect().map(_.getLong(0)).toSet
+    Similarity.rebuildIvfIndex(spark, idx) // policy kc: sqrtKc(60) = 16
+    val (_, _, kc, nBuild, gen) = Similarity.ivfMetaFull(spark, idx)
+    assert(gen == 1 && kc == 16 && nBuild == 60L)
+    val vidsAfter = Similarity.ivfLists(spark, idx)
+      .select("vid").collect().map(_.getLong(0)).toSet
+    assert(vidsAfter == vidsBefore,
+      "a rebuild must carry every indexed vector across")
+    assert(!new java.io.File(s"$idx/gen-0").exists())
+    // exact self-probe still resolves through the new quantizer
+    val hit = Similarity.ivfProbe(vecsDf(Seq(900L -> tv(7L))), idx,
+      "vec_id", "vec", k = 1).select("n_id").head().getLong(0)
+    assert(hit == 7L)
+  }
+
   test("appendIndex drops already-indexed content before deriving sig/band deltas") {
     // Contract violation guard: a caller passing a row whose CONTENT
     // hash is already indexed must not double-represent that content

@@ -174,9 +174,9 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     def dot(a: Seq[Double], b: Seq[Double]): Double =
       a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
-    val cents = spark.read.parquet(s"$idx/centroids").collect()
+    val cents = Similarity.ivfCentroids(spark, idx).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
-    val lists = spark.read.parquet(s"$idx/lists").collect()
+    val lists = Similarity.ivfLists(spark, idx).collect()
       .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("vid"),
         r.getAs[scala.collection.Seq[Float]]("v").toIndexedSeq.map(_.toDouble),
         r.getAs[Double]("nrm")))
@@ -253,7 +253,7 @@ class SimilaritySpec extends AnyFunSuite {
       s"graft_kc640_spec_${java.lang.ProcessHandle.current().pid()}").toString
     Similarity.buildIvfIndex(vecs, "vec_id", "embedding", idx,
       kCentroids = 640)
-    val kcBuilt = spark.read.parquet(s"$idx/centroids").count()
+    val kcBuilt = Similarity.ivfCentroids(spark, idx).count()
     assert(kcBuilt > Similarity.LitCentroidMax,
       s"test needs a past-the-clamp index, got $kcBuilt centroids")
     val queries = vecs.filter(col("vec_id") % 100 === 0)
