@@ -14,6 +14,35 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Banding like-for-like automation (r14): the six banding-
+    // dependent keys' oracles bake a static MinHash width while the
+    // Spark side auto-tunes — on corpora where the tuner escalates
+    // past 16 (the sf1.0 gate corpus) the two sides used to need a
+    // manual two-pass GRAFT_BANDING_PERMS procedure. Resolve the
+    // tuner ONCE here, on THIS corpus, and pin BOTH sides to the
+    // result via the `graft.banding.perms` system property — it must
+    // be set BEFORE TrainingDataQueries initializes (first
+    // SparkEntry dereference below), which is why this block runs
+    // up front and touches only Dedup. An explicit
+    // GRAFT_BANDING_PERMS env pin still wins; resolution failure
+    // logs and falls back to the historical unpinned posture.
+    val bandingKeys = Set("d7_dedup_minhash", "d13_minhash_jaccard_verify",
+      "d14_corpus_curate", "d18_dup_clusters", "d24_curation_report",
+      "d30_incremental_dedup", "d48_index_loop")
+    val bandingSelected = only.isEmpty || only.exists(bandingKeys)
+    val envPinned = sys.env.get("GRAFT_BANDING_PERMS").exists(_.trim.nonEmpty)
+    var autoResolved = 0
+    if (bandingSelected && !envPinned)
+      try {
+        val choice = graft.dedup.Dedup.chooseBanding(
+          spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+        autoResolved = choice.numPerms
+        System.setProperty("graft.banding.perms", choice.numPerms.toString)
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] banding auto-resolve failed " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); oracles " +
+          "fall back to width 16")
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -39,31 +68,25 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Diagnosability for the six banding-dependent keys (d7/d13/d14/
-    // d18/d24/d30): their oracles bake a static width (16 unless
-    // GRAFT_BANDING_PERMS pins one) while the Spark side auto-tunes —
-    // parity silently depends on the tuner resolving the same width.
-    // Record what the queries actually used on THIS corpus next to
-    // the results, so a red hash compare is attributable to tuner
-    // drift (resolved != oracle) vs a real pipeline bug in one
-    // artifact read. With GRAFT_BANDING_PERMS pinned, BOTH sides use
-    // the pin — drift is impossible and the tuner sampling jobs are
-    // skipped, not spent; likewise when the [query ...] filter
-    // selects no banding-dependent key there is nothing to diagnose.
-    val bandingKeys = Set("d7_dedup_minhash", "d13_minhash_jaccard_verify",
-      "d14_corpus_curate", "d18_dup_clusters", "d24_curation_report",
-      "d30_incremental_dedup")
-    val bandingSelected = only.isEmpty || only.exists(bandingKeys)
+    // Diagnosability for the banding-dependent keys: record the width
+    // both sides actually used on THIS corpus next to the results.
+    // With the r14 auto-resolution above (or an explicit env pin),
+    // query and oracle share `catalogPerms` by construction —
+    // `match` can only be false on the auto-resolve-failed fallback,
+    // where the Spark tuner may drift from the oracle's static 16.
     val pinned = graft.queries.TrainingDataQueries.catalogPerms
     if (bandingSelected) try {
       val json =
         if (pinned > 0)
-          s"""{"resolved_perms":$pinned,"pinned_perms":$pinned,""" +
+          s"""{"resolved_perms":$pinned,""" +
+            s""""pinned_perms":${if (envPinned) pinned else 0},""" +
+            s""""auto_resolved":${autoResolved > 0},""" +
             s""""oracle_perms":$pinned,"match":true}"""
         else {
           val choice = graft.dedup.Dedup.chooseBanding(
             spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
           s"""{"resolved_perms":${choice.numPerms},"pinned_perms":0,""" +
+            s""""auto_resolved":false,""" +
             s""""oracle_perms":16,"corpus_docs":${choice.corpusDocs},""" +
             s""""match":${choice.numPerms == 16}}"""
         }

@@ -373,7 +373,64 @@ object StreamingQueries {
       |  novel_spans * 1000 // n_spans >= 500 AS admit
       |FROM g""".stripMargin
 
+  /** C28 — the COMPOSED streaming admission gate
+    * ([[graft.streaming.StreamingOps.ingestGateLoop]]): quality
+    * (c25's d41 scorer), embedding near-dup (c26's IVF probe), and
+    * span novelty (c27's index) as ONE foreachBatch job with
+    * per-document fate attribution
+    * (`low_quality`/`near_dup`/`span_dup`/`admitted`) and index
+    * feedback — the d47 curation DAG's analog at ingest, and the
+    * full production shape of the reference's north star (stream in
+    * → validated, deduped storage). Both indexes are built over the
+    * already-ingested corpus (the `doc_id % 10 != 0` slice, the
+    * c26/c27 convention); the arrival slice streams through the
+    * gate. The catalog replay is a single epoch (one source file),
+    * so the oracle is exact; multi-epoch feedback and crash-retry
+    * convergence are pinned in Round14OpsSpec. Cheap gate first:
+    * low-quality docs never reach a probe, near-dups never reach the
+    * span join — the evidence columns are NULL for gates a doc never
+    * reached, and the oracle mirrors that short-circuit exactly.
+    */
+  def c28(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    val spanIdx = graft.engine.Scratch.dir("graft_c28_span_")
+    val ivfIdx = graft.engine.Scratch.dir("graft_c28_ivf_")
+    val out = graft.engine.Scratch.dir("graft_c28_out_")
+    val ckpt = graft.engine.Scratch.dir("graft_c28_ck_")
+    val ingested = spread(t(s, dir, "documents"))
+      .filter(col("doc_id") % 10 =!= 0)
+    graft.dedup.Dedup.buildSpanIndex(ingested, "doc_id", "text",
+      spanIdx, width = 8)
+    val n = t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0).count()
+    Similarity.buildIvfIndex(
+      graft.functions.HashEmbed.embed(ingested, "doc_id", "text", 16)
+        .select(col("doc_id"), col("emb").as("ev")),
+      "doc_id", "ev", ivfIdx, kCentroids = Similarity.sqrtKc(n))
+    val q = StreamingOps.ingestGateLoop(
+      StreamingOps.readDocumentsStream(s, dir)
+        .filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", spanIdx, ivfIdx,
+      // catalog thresholds chosen so the oracle exercises ALL FOUR
+      // fates at every driver SF (measured sf0.001→sf1): the d41
+      // test model scores this corpus mostly negative, so the
+      // production default thresholdPm=0 would starve the probe
+      // gates, and span-dups this corpus's near-dup tail survives
+      // the 0.95 embed bar for need the 900‰ novelty bar to surface
+      StreamingOps.IngestGateConfig(
+        weights = TrainingDataQueries.d41Weights(s),
+        weightDim = TrainingDataQueries.d41Dim,
+        thresholdPm = -1800L, minNovelPm = 900L),
+      out, ckpt)
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    // lazy over the epoch output — cleanup is the Scratch exit sweep
+    // (the d46 pattern; deleting eagerly would break the returned plan)
+    s.read.option("basePath", out).parquet(s"$out/epoch=*")
+      .select("doc_id", "fate", "n_tokens", "score_pm", "max_cos",
+        "novel_pm")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "c28_ingest_gate" -> (c28 _),
     "c27_stream_span_admission" -> (c27 _),
     "c26_stream_neardup" -> (c26 _),
     "c25_stream_quality" -> (c25 _),
@@ -385,6 +442,7 @@ object StreamingQueries {
     "c12_stream_enrich" -> (c12 _))
 
   val oracles: Map[String, String] = Map(
+    "c28_ingest_gate" -> TrainingDataQueries.c28IngestGateSql,
     "c27_stream_span_admission" -> c27Sql,
     "c26_stream_neardup" -> TrainingDataQueries.c26NearDupSql,
     "c25_stream_quality" -> c25Sql,

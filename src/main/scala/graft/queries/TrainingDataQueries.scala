@@ -286,20 +286,28 @@ object TrainingDataQueries {
        |""".stripMargin
 
   /** Banding width shared by the BANDING-DEPENDENT catalog entries
-    * (d7/d13/d14/d18/d24/d30) and their DuckDB oracles. A static SQL
-    * oracle cannot run the sampled auto-tuner, so the two sides meet
-    * through one knob: with `GRAFT_BANDING_PERMS` unset (the driver's
-    * posture) the Spark queries run the [[graft.dedup.Dedup
-    * .AutoPerms]] default and the oracle is generated at 16 — the
-    * width the tuner deterministically resolves on every driver
-    * corpus (pinned by BandingSpec); setting the env pins BOTH sides
-    * to that width, which is how the sf1.0 gate verifies the
-    * ESCALATED pipeline like-for-like (the 50k-doc gate corpus shares
-    * the narrow-vocab generator, so the tuner rightly escalates to 24
-    * there — see GATE_SF1.md round-9).
+    * (d7/d13/d14/d18/d24/d30/d48) and their DuckDB oracles. A static
+    * SQL oracle cannot run the sampled auto-tuner, so the two sides
+    * meet through one knob, pinned from (highest wins):
+    *
+    *   1. `GRAFT_BANDING_PERMS` (env) — the explicit manual pin;
+    *   2. `graft.banding.perms` (system property) — set by
+    *      [[graft.Verify]] BEFORE this object initializes, to the
+    *      width [[graft.dedup.Dedup.chooseBanding]] resolves on the
+    *      verified corpus (r14: this is what makes the sf1.0 gate a
+    *      single command — the gate corpus's narrow-vocab generator
+    *      escalates the tuner to 24 where the driver corpora resolve
+    *      16, and the oracle now follows automatically instead of
+    *      via a manual two-pass env procedure, see GATE_SF1.md r9);
+    *   3. unset — the Spark queries run the
+    *      [[graft.dedup.Dedup.AutoPerms]] tuner and the oracle is
+    *      generated at 16, the width the tuner deterministically
+    *      resolves on every driver corpus (pinned by BandingSpec).
     */
   private[graft] val catalogPerms: Int =
-    sys.env.get("GRAFT_BANDING_PERMS").map(_.trim) match {
+    sys.env.get("GRAFT_BANDING_PERMS")
+      .orElse(sys.props.get("graft.banding.perms"))
+      .map(_.trim) match {
       case None | Some("") => 0
       // Parse failures and widths the 4-band oracle layout cannot
       // express must NOT surface as an ExceptionInInitializerError
@@ -308,7 +316,7 @@ object TrainingDataQueries {
         .filter(p => p > 0 && p % 4 == 0) match {
           case Some(p) => p
           case None =>
-            System.err.println(s"GRAFT_BANDING_PERMS='$s' ignored: " +
+            System.err.println(s"banding width '$s' ignored: " +
               "must be a positive multiple of 4 (the oracle band layout)")
             0
         }
@@ -493,19 +501,70 @@ object TrainingDataQueries {
        |WHERE ${duckDot("a.e", "b.e")} /
        |    (sqrt(${duckDot("a.e", "a.e")}) * sqrt(${duckDot("b.e", "b.e")})) >= 0.4""".stripMargin
 
-  /** D11 — scale-routed approximate top-k: multi-probe LSH inside
-    * its measured recall envelope, IVF past AnnMaxCorpus
-    * ([[graft.similarity.Similarity.annOrIvfTopK]] — at every
-    * sandbox SF this resolves to the LSH side, so results equal the
-    * direct annTopK call; the routing boundary itself is pinned in
-    * SimilaritySpec). Rows-only: recall vs the D9 brute force is
-    * asserted in SimilaritySpec; no SQL oracle.
+  /** D11 — scale-routed approximate top-k AS A RECALL AUDIT:
+    * multi-probe LSH inside its measured recall envelope, IVF past
+    * AnnMaxCorpus ([[graft.similarity.Similarity.annOrIvfTopK]] — at
+    * every sandbox SF this resolves to the LSH side; the routing
+    * boundary itself is pinned in SimilaritySpec). An approximate
+    * result set is not SQL-replayable (the hyperplane probe has no
+    * oracle-dialect form), so since r14 the CATALOG entry emits what
+    * IS hash-checkable — the exact top-3 reference per query
+    * (`n_exact`, `kth_cos`: d9's machinery at k = 3, replayed
+    * exactly by the oracle) — and enforces the recall contract
+    * IN-ENGINE: the ANN output is joined against the exact set and
+    * aggregate recall@3 below the measured 0.6 floor THROWS, turning
+    * a recall regression into a driver-visible red (`err`) on this
+    * key instead of a spec-only assertion. The ANN run is
+    * load-bearing: the audit frame cannot be produced without it.
+    * (The audit's exact reference is O(Q·N) by design — Q is the
+    * 10-vector query set; the production operator remains
+    * `annOrIvfTopK` itself, whose candidate generation is bucketed.)
     */
   def d11(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
     val e = emb(s, dir)
-    graft.similarity.Similarity.annOrIvfTopK(
-      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 3)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
+      k = 3)
+    val ann = Similarity.annOrIvfTopK(q, e, "vec_id", "embedding", k = 3)
+      .select(col("q_id"), col("n_id"))
+    val total = exact.count()
+    val hits = exact.join(ann, Seq("q_id", "n_id"), "left_semi").count()
+    if (hits * 1000 < total * 600)
+      throw new IllegalStateException(
+        s"d11 recall regression: ANN found $hits of $total exact " +
+          s"top-3 rows (recall ${hits.toDouble / total} < 0.6 floor)")
+    exact.groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"), min(col("cos")).as("kth_cos"))
   }
+
+  /** Oracle of [[d11]]: the exact-reference half of the audit —
+    * d9's brute-force chain at k = 3, rolled up per query. The ANN
+    * half is enforced by the in-engine recall gate (a sub-floor run
+    * throws before any rows are produced).
+    */
+  val d11Sql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, ed_x -> CAST(ed_x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |  WHERE sqrt(${duckDot(
+              "list_transform(embedding, zn_x -> CAST(zn_x AS DOUBLE))",
+              "list_transform(embedding, zn_x -> CAST(zn_x AS DOUBLE))")}) > 0),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDot("q.e", "c.e")} /
+       |      (sqrt(${duckDot("q.e", "q.e")}) * sqrt(${duckDot("c.e", "c.e")})) AS cos
+       |  FROM (SELECT * FROM v WHERE vec_id < 10) q
+       |  CROSS JOIN v c WHERE c.vec_id <> q.vec_id),
+       |topk AS (
+       |  SELECT q_id, n_id, cos FROM (
+       |    SELECT q_id, n_id, cos,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+       |        AS rk
+       |    FROM pairs) WHERE rk <= 3)
+       |SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  min(cos) AS kth_cos
+       |FROM topk GROUP BY q_id""".stripMargin
 
   /** D12 — multimodal payload plumbing: opaque binary payloads +
     * typed metadata, decode stubbed with deterministic byte-stat
@@ -2303,6 +2362,86 @@ object TrainingDataQueries {
        |FROM cand GROUP BY 1""".stripMargin
   }
 
+  /** Oracle of the c28 COMPOSED streaming ingest gate
+    * (StreamingQueries) — quality (the d41/c25 scorer) → embedding
+    * near-dup (the c26 IVF probe) → span novelty (the c27 index)
+    * with first-failing-gate fate attribution. Lives here because it
+    * composes this file's fragments verbatim: the scoring CTE is
+    * d41's, the embed/kmeans/probe chain is [[c26NearDupSql]]'s, the
+    * span CTEs are c27's. Signals are computed for every arrival and
+    * GATED on emission (`max_cos` NULL unless the doc passed
+    * quality, `novel_pm` NULL unless it also passed the near-dup
+    * bar) — exactly the engine's short-circuit, where a doc never
+    * reaches the probes its fate precedes.
+    */
+  private[graft] def c28IngestGateSql: String = {
+    val kcExpr = "LEAST(" + graft.similarity.Similarity.KCentroidsMax +
+      ", GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)))"
+    val kcSub = s"(SELECT $kcExpr FROM documents WHERE doc_id % 10 <> 0)"
+    val npSub = s"(SELECT GREATEST(4, CAST(ceil(sqrt($kcExpr)) AS BIGINT)) " +
+      "FROM documents WHERE doc_id % 10 <> 0)"
+    s"""WITH th AS (SELECT doc_id, $duckTokenHashes AS h FROM documents),
+       |sc AS (
+       |  SELECT doc_id, CAST(len(h) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(h,
+       |      hq_h -> hq_h % $d41Dim * 37 % 21 - 10)) * 1000
+       |      // len(h) AS BIGINT) AS score_pm
+       |  FROM th WHERE doc_id % 10 = 0),
+       |emb0 AS (SELECT doc_id, ${duckEmbExpr(16)} AS emb FROM th),
+       |vn AS (
+       |  SELECT doc_id AS vec_id,
+       |    list_transform(emb, ce_x -> CAST(ce_x AS DOUBLE)) AS e
+       |  FROM emb0 WHERE doc_id % 10 <> 0),
+       |${duckKmeansChain(dim = 16, kcSql = kcSub)},
+       |qn AS (
+       |  SELECT doc_id AS q_id,
+       |    list_transform(emb, cq_x -> CAST(cq_x AS DOUBLE)) AS e
+       |  FROM emb0 WHERE doc_id % 10 = 0),
+       |q AS (SELECT q_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM qn
+       |      WHERE sqrt(${duckDot("e", "e")}) > 0),
+       |probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${duckDot("q.e", "c.ce")} / (q.nrm * c.cnrm) DESC,
+       |                 c.cid) AS crk
+       |    FROM q CROSS JOIN cents c) WHERE crk <= $npSub),
+       |cand AS (
+       |  SELECT p.q_id, ${duckDot("q.e", "n.e")} / (q.nrm * n.nrm) AS cos
+       |  FROM probes p
+       |  JOIN assign a USING (cid)
+       |  JOIN q ON p.q_id = q.q_id
+       |  JOIN v n ON a.vec_id = n.vec_id),
+       |mc AS (SELECT q_id AS doc_id, max(cos) AS max_cos
+       |       FROM cand GROUP BY 1),
+       |w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id,
+       |    array_to_string(
+       |      ws[CAST(sd_i*8+1 AS INT):CAST(sd_i*8+8 AS INT)], ' ') AS span
+       |  FROM w, unnest(range(0, (len(ws)+7)//8)) AS t(sd_i)),
+       |idx AS (
+       |  SELECT DISTINCT md5(span) AS k FROM seg WHERE doc_id % 10 <> 0),
+       |nv AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN md5(span) IN (SELECT k FROM idx)
+       |      THEN 0 ELSE 1 END) * 1000 // count(*) AS BIGINT) AS novel_pm
+       |  FROM seg WHERE doc_id % 10 = 0 GROUP BY doc_id)
+       |SELECT sc.doc_id,
+       |  CASE WHEN sc.score_pm < -1800 THEN 'low_quality'
+       |       WHEN mc.max_cos >= 0.95 THEN 'near_dup'
+       |       WHEN nv.novel_pm < 900 THEN 'span_dup'
+       |       ELSE 'admitted' END AS fate,
+       |  sc.n_tokens, sc.score_pm,
+       |  CASE WHEN sc.score_pm >= -1800 THEN mc.max_cos END AS max_cos,
+       |  CASE WHEN sc.score_pm >= -1800
+       |        AND (mc.max_cos IS NULL OR mc.max_cos < 0.95)
+       |       THEN nv.novel_pm END AS novel_pm
+       |FROM sc LEFT JOIN mc USING (doc_id) LEFT JOIN nv USING (doc_id)""".stripMargin
+  }
+
   /** D46 — INCREMENTAL span dedup
     * ([[graft.dedup.Dedup.buildSpanIndex]] /
     * [[graft.dedup.Dedup.spanDedupIncremental]]): d39's
@@ -2585,8 +2724,7 @@ object TrainingDataQueries {
     "d8_dedup_simhash" -> d8Sql,
     "d9_cosine_topk" -> d9Sql,
     "d10_embed_dedup" -> d10Sql,
-    // d11_ann_lsh: rows-only (approximate operator; recall asserted
-    // against d9 in SimilaritySpec)
+    "d11_ann_lsh" -> d11Sql,
     "d12_multimodal_meta" -> d12Sql,
     "d13_minhash_jaccard_verify" -> d13Sql)
 }

@@ -391,6 +391,140 @@ object StreamingOps {
     }
   }
 
+  /** Configuration of [[ingestGateLoop]] — the three gates' knobs.
+    * `weights`/`weightDim`/`thresholdPm` parameterize the
+    * hashed-linear quality scorer
+    * ([[graft.functions.HashedLinear.scorePm]] — the operator ships
+    * no weights; semantics come from this table), `embedDim`/`maxCos`
+    * the embedding near-dup gate, `minNovelPm` the span-novelty
+    * gate, and `rebuildFactor` the IVF drift contract
+    * ([[ivfIngestLoop]]'s rule; 0 disables).
+    */
+  final case class IngestGateConfig(
+      weights: DataFrame, weightDim: Int, thresholdPm: Long = 0L,
+      embedDim: Int = 16, maxCos: Double = 0.95,
+      minNovelPm: Long = 500L, rebuildFactor: Double = 4.0)
+
+  /** The COMPOSED streaming admission gate — quality (c25), embedding
+    * near-dup (c26), and span novelty (c27) as ONE foreachBatch job
+    * with per-document fate attribution and index feedback: the d47
+    * analog at ingest, and the production shape of the reference's
+    * north star (stream in → validated, deduped storage;
+    * /root/reference/main_pipeline.py runs the batch ancestor daily).
+    * Per epoch:
+    *
+    *   1. every arrival is scored map-side (`score_pm`); below
+    *      `thresholdPm` → fate `low_quality` — the cheap gate runs
+    *      first so rejected docs never reach a probe;
+    *   2. survivors are hash-embedded and probed against the
+    *      persisted IVF index; best ingested cosine ≥ `maxCos` →
+    *      fate `near_dup`;
+    *   3. survivors probe the span index; fewer than `minNovelPm`
+    *      per-mille novel spans → fate `span_dup`;
+    *   4. the rest are `admitted`: the fate frame lands under
+    *      `outDir/epoch=<n>/` `(id, fate, n_tokens, score_pm,
+    *      max_cos, novel_pm)` — evidence columns NULL for gates a
+    *      doc never reached — and ONLY THEN are the admitted docs'
+    *      spans and vectors appended to both indexes, so later
+    *      micro-batches gate against them (the [[spanIngestLoop]] /
+    *      [[ivfIngestLoop]] feedback, composed).
+    *
+    * Retry posture: the committed fate output is the single source
+    * of truth. A re-delivered epoch that finds `outDir/epoch=<n>`
+    * committed SKIPS re-gating (the first attempt may already have
+    * mutated the indexes — re-gating would flip its own admissions
+    * to `near_dup`/`span_dup` and lose them) and only re-runs the
+    * convergent appends; a crash during the fate write leaves no
+    * commit marker and the indexes untouched, so a plain re-gate
+    * reproduces the same fates. Admission is vs the INGESTED corpus
+    * (intra-batch copies both admit); `id` must be unique per batch.
+    * The IVF drift contract is honored mid-stream exactly as in
+    * [[ivfIngestLoop]].
+    */
+  def ingestGateLoop(stream: DataFrame, id: String, text: String,
+      spanIndexDir: String, ivfIndexDir: String, cfg: IngestGateConfig,
+      outDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ingested = new java.util.concurrent.atomic.AtomicLong(-1L)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val n = ingestGateEpoch(batch, epochId, id, text, spanIndexDir,
+          ivfIndexDir, cfg, outDir, ingested)
+        logger.info(s"ingestGateLoop epoch $epochId: admitted $n")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One epoch of [[ingestGateLoop]] — gate (unless already
+    * committed), sink fates, append admitted to both indexes.
+    * Factored out so the crash-retry path is directly testable.
+    * Returns the admitted count.
+    */
+  private[graft] def ingestGateEpoch(batch: DataFrame, epochId: Long,
+      id: String, text: String, spanIndexDir: String,
+      ivfIndexDir: String, cfg: IngestGateConfig, outDir: String,
+      ingested: java.util.concurrent.atomic.AtomicLong): Long = {
+    import graft.similarity.Similarity
+    val s = batch.sparkSession
+    val epochPath = s"$outDir/epoch=$epochId"
+    val marker = new org.apache.hadoop.fs.Path(s"$epochPath/_SUCCESS")
+    val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val scored = graft.functions.HashedLinear.scorePm(
+        batch, cfg.weights, cfg.weightDim, id, text, cfg.thresholdPm)
+      val pass1 = batch.join(
+        scored.filter(col("keep")).select(col(id)), Seq(id), "left_semi")
+      val kc = Similarity.ivfIndexMeta(s, ivfIndexDir)._3
+      val emb1 = graft.functions.HashEmbed
+        .embed(pass1, id, text, cfg.embedDim)
+        .select(col(id), col("emb").as("__ev"))
+      val cos = Similarity.litIndexCandidates(s, emb1, ivfIndexDir, id,
+          "__ev", nprobe = Similarity.adaptiveNprobe(kc))
+        .groupBy(col(id)).agg(max(col("cos")).as("max_cos"))
+      val pass2 = pass1.join(
+        cos.filter(col("max_cos") >= cfg.maxCos).select(col(id)),
+        Seq(id), "left_anti")
+      val nov = graft.dedup.Dedup
+        .spanNovelty(pass2, id, text, spanIndexDir)
+        .select(col(id), col("novel_pm"))
+      scored.select(col(id), col("n_tokens"), col("score_pm"))
+        .join(cos, Seq(id), "left")
+        .join(nov, Seq(id), "left")
+        .select(col(id),
+          when(col("score_pm") < cfg.thresholdPm, "low_quality")
+            .when(col("max_cos") >= cfg.maxCos, "near_dup")
+            .when(col("novel_pm") < cfg.minNovelPm, "span_dup")
+            .otherwise("admitted").as("fate"),
+          col("n_tokens"), col("score_pm"), col("max_cos"),
+          col("novel_pm"))
+        .write.mode("overwrite").parquet(epochPath)
+    }
+    // From here the COMMITTED fates are the single source of truth:
+    // the append plans read them from the epoch output and never
+    // re-probe the (possibly already-mutated) indexes.
+    val admitted = batch.join(
+      s.read.parquet(epochPath).filter(col("fate") === "admitted")
+        .select(col(id)),
+      Seq(id), "left_semi").persist()
+    try {
+      val n = admitted.count()
+      if (n > 0) {
+        graft.dedup.Dedup.appendSpanIndex(admitted, id, text, spanIndexDir)
+        Similarity.appendIvfIndex(
+          graft.functions.HashEmbed
+            .embed(admitted, id, text, cfg.embedDim)
+            .select(col(id), col("emb").as("__ev")),
+          id, "__ev", ivfIndexDir)
+        if (cfg.rebuildFactor > 0)
+          maybeRebuildIvf(s, ivfIndexDir, cfg.rebuildFactor, ingested, n)
+      }
+      n
+    } finally { admitted.unpersist(); () }
+  }
+
   /** Retry detection shared by the ingest-loop epoch functions: if
     * `epochPath` already holds a COMMITTED result (`_SUCCESS`
     * present — a half-written dir from a crash mid-write is ignored;

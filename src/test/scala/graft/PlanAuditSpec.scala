@@ -178,7 +178,16 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("d11: corpus hashed once per table; probe fan-out and q_vec broadcast separately") {
-    val p = plan("d11_ann_lsh")
+    // Since r14 the catalog entry is a recall AUDIT: it eagerly runs
+    // the ANN operator, gates on recall, and RETURNS the exact-
+    // reference rollup — so the plan to audit is the production
+    // operator's own (annOrIvfTopK, the same call the entry makes),
+    // not the returned audit frame.
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = graft.similarity.Similarity.annOrIvfTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString()
     // hyperplaneBuckets evaluates at exactly two sites in the whole
     // plan: once on the corpus side (the posexplode Generate over
     // the tables array), once on the broadcast query side (a Project

@@ -17,9 +17,11 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("rows-only queries are the documented exceptions") {
+  test("every query is oracle-checked — no rows-only keys left") {
+    // r14: d11, the last rows-only entry, became a recall audit whose
+    // exact-reference output the oracle replays — the set is empty
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("d11_ann_lsh"), s"unexpected rows-only set: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -295,6 +295,119 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(hit == 7L)
   }
 
+  // --- the composed ingest gate (c28's engine) ---
+
+  /** All-ones weight table: every token weighs 1, so score_pm is
+    * exactly 1000 for every doc — quality passes at threshold 1000
+    * and fails at 1001, giving the specs a deterministic knob.
+    */
+  private def onesWeights = spark.range(0, 64)
+    .select(col("id").as("feature"), lit(1L).as("weight"))
+
+  private def gateCfg(thresholdPm: Long) = StreamingOps.IngestGateConfig(
+    weights = onesWeights, weightDim = 64, thresholdPm = thresholdPm,
+    embedDim = 16, maxCos = 0.95, minNovelPm = 900L, rebuildFactor = 0.0)
+
+  private def gateBase(spanIdx: String, ivfIdx: String): Unit = {
+    val base = streamDocsDf((0L until 20L).map(i =>
+      i -> s"b${i}a b${i}b b${i}c b${i}d b${i}e b${i}f b${i}g b${i}h"))
+    Dedup.buildSpanIndex(base, "doc_id", "text", spanIdx, width = 2)
+    Similarity.buildIvfIndex(
+      graft.functions.HashEmbed.embed(base, "doc_id", "text", 16)
+        .select(col("doc_id"), col("emb").as("ev")),
+      "doc_id", "ev", ivfIdx, kCentroids = 4)
+  }
+
+  private def gateFates(outDir: String): Map[Long, String] =
+    spark.read.option("basePath", outDir).parquet(s"$outDir/epoch=*")
+      .select("doc_id", "fate").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("ingestGateLoop: composed fates with BOTH indexes' feedback across micro-batches") {
+    val srcDir = scratch(); val outDir = scratch(); val ckpt = scratch()
+    val spanIdx = scratch(); val ivfIdx = scratch()
+    gateBase(spanIdx, ivfIdx)
+    val baseText0 = "b0a b0b b0c b0d b0e b0f b0g b0h"
+    val freshText = "fq1 fq2 fq3 fq4 fq5 fq6 fq7 fq8"
+    val b1 = Seq(100L -> freshText,   // fresh -> admitted
+      101L -> baseText0)              // exact copy of ingested -> near_dup
+    val b2 = Seq(
+      200L -> freshText,              // dup of ADMITTED 100 -> near_dup (IVF feedback)
+      // one width-2 span of 100's text + six fresh words: novel_pm =
+      // 750 < 900 but embedding far from anything -> span_dup — and
+      // 100's spans entered the index only via the loop's append
+      // (span feedback)
+      201L -> "fq1 fq2 zz1 zz2 zz3 zz4 zz5 zz6",
+      202L -> "aa1 aa2 aa3 aa4 aa5 aa6 aa7 aa8") // fresh -> admitted
+    streamDocsDf(b1).coalesce(1).write.mode("append").parquet(srcDir)
+    val q = StreamingOps.ingestGateLoop(
+      spark.readStream.schema(StreamingOps.documentsSchema).parquet(srcDir),
+      "doc_id", "text", spanIdx, ivfIdx, gateCfg(thresholdPm = 1000L),
+      outDir, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      q.processAllAvailable()
+      streamDocsDf(b2).coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally { q.stop(); q.awaitTermination() }
+    val fates = gateFates(outDir)
+    assert(fates == Map(100L -> "admitted", 101L -> "near_dup",
+      200L -> "near_dup", 201L -> "span_dup", 202L -> "admitted"),
+      s"got $fates")
+    // evidence columns honor the short-circuit: the near-dup carries
+    // max_cos ~ 1.0 and a NULL novel_pm; the span_dup carries its
+    // novelty per-mille
+    val rows = spark.read.option("basePath", outDir)
+      .parquet(s"$outDir/epoch=*")
+      .select("doc_id", "max_cos", "novel_pm").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(rows(200L)._1.exists(c => c.asInstanceOf[Double] > 0.999) &&
+      rows(200L)._2.isEmpty)
+    assert(rows(201L)._2.contains(750L))
+  }
+
+  test("ingestGateEpoch: a committed epoch replays verbatim — no re-gate, convergent appends") {
+    val outDir = scratch(); val spanIdx = scratch(); val ivfIdx = scratch()
+    gateBase(spanIdx, ivfIdx)
+    val batch = streamDocsDf(Seq(
+      100L -> "fr1 fr2 fr3 fr4 fr5 fr6 fr7 fr8", // admitted
+      101L -> "b0a b0b b0c b0d b0e b0f b0g b0h")) // near_dup
+    def epoch(): Long = StreamingOps.ingestGateEpoch(batch, 0L,
+      "doc_id", "text", spanIdx, ivfIdx, gateCfg(thresholdPm = 1000L),
+      outDir, freshCounter())
+    val n1 = epoch()
+    assert(n1 == 1L)
+    val fates1 = gateFates(outDir)
+    assert(fates1 == Map(100L -> "admitted", 101L -> "near_dup"))
+    val spanKeys = Dedup.spanIndexKeys(spark, spanIdx).count()
+    val listRows = Similarity.ivfLists(spark, ivfIdx).count()
+    // replay: the first attempt already appended 100 to both indexes —
+    // a re-gate would flip it to near_dup/span_dup and lose it
+    val n2 = epoch()
+    assert(n2 == 1L, "replay must honor the committed fates")
+    assert(gateFates(outDir) == fates1)
+    assert(Dedup.spanIndexKeys(spark, spanIdx).count() == spanKeys &&
+      Similarity.ivfLists(spark, ivfIdx).count() == listRows,
+      "replayed appends must converge, not duplicate")
+  }
+
+  test("ingestGateEpoch: an all-rejected epoch appends nothing") {
+    val outDir = scratch(); val spanIdx = scratch(); val ivfIdx = scratch()
+    gateBase(spanIdx, ivfIdx)
+    val spanKeys = Dedup.spanIndexKeys(spark, spanIdx).count()
+    val listRows = Similarity.ivfLists(spark, ivfIdx).count()
+    // threshold 1001 > the all-ones model's uniform 1000 -> everything
+    // low_quality; the probe gates and appends must all no-op
+    val n = StreamingOps.ingestGateEpoch(
+      streamDocsDf(Seq(100L -> "fr1 fr2 fr3 fr4")), 0L,
+      "doc_id", "text", spanIdx, ivfIdx, gateCfg(thresholdPm = 1001L),
+      outDir, freshCounter())
+    assert(n == 0L)
+    assert(gateFates(outDir) == Map(100L -> "low_quality"))
+    assert(Dedup.spanIndexKeys(spark, spanIdx).count() == spanKeys &&
+      Similarity.ivfLists(spark, ivfIdx).count() == listRows)
+  }
+
   test("appendIndex drops already-indexed content before deriving sig/band deltas") {
     // Contract violation guard: a caller passing a row whose CONTENT
     // hash is already indexed must not double-represent that content
