@@ -58,8 +58,12 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # Partial corpora are legal for targeted gates (data/sf10
+        # carries only documents/embeddings/events); a query whose
+        # oracle needs a missing table fails at its own row, not here.
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
