@@ -124,8 +124,27 @@ object Bench {
         math.max(raw - streamStartup, 0.0) else raw
       (rs.head._1, net, rs.forall(_._3))
     }
+    // Tuner-net timings (r14 verdict #8): the raw per-key min can
+    // still alias a tuner run when EVERY pass paid one (a memo miss
+    // per pass) or when passes == 1. Publish, per key, the min over
+    // passes of (wall − that pass's attributed tuner seconds) next to
+    // the raw column, so bench deltas separate plan cost from tuner
+    // drift without changing the headline metric's meaning.
+    val netOfTuner = timings.transpose.map { rs =>
+      val name = rs.head._1
+      val perPass = rs.zipWithIndex.map { case ((_, dt, _), i) =>
+        val tune = tunerByPass.get(name).flatMap(_.lift(i)).map(_._3)
+          .getOrElse(0.0)
+        math.max(dt - tune, 0.0)
+      }
+      val raw = perPass.min
+      (name, if (streamingKeys(name)) math.max(raw - streamStartup, 0.0)
+        else raw)
+    }.toMap
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsNet = results.map { case (k, _, _) =>
+      s"\"" + k + "\":" + netOfTuner(k) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -156,7 +175,64 @@ object Bench {
         .digest(desc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.map("%02x".format(_)).mkString
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"stream_startup":$streamStartup,"tuner":$tuner,"sf":"$sfDir","testdata_fp":"$fp"}"""
+    // Steady-state ingest-gate soak (r14 verdict #7): c28 times the
+    // catalog entry — two in-query index builds plus ONE epoch — so
+    // regressions in the production hot loop (per-epoch foreachBatch
+    // gate latency at a FIXED index size) were invisible round over
+    // round. Build the indexes once over the ingested slice (the c28
+    // convention, untimed amortized cost), then gate the arrival
+    // slice in 4 equal epochs and publish each epoch's wall plus the
+    // median. Skipped when the filter deselects it or documents are
+    // absent.
+    val gateSoak: String =
+      if ((only.isEmpty || only("gate_soak")) &&
+          new java.io.File(s"$sfDir/documents.parquet").exists) {
+        try {
+          import org.apache.spark.sql.functions._
+          val docs = graft.queries.QueryUtil.spread(
+            spark.read.parquet(s"$sfDir/documents.parquet"))
+          val ingested = docs.filter(col("doc_id") % 10 =!= 0)
+          val spanIdx = graft.engine.Scratch.dir("graft_soak_span_")
+          val ivfIdx = graft.engine.Scratch.dir("graft_soak_ivf_")
+          val out = graft.engine.Scratch.dir("graft_soak_out_")
+          graft.dedup.Dedup.buildSpanIndex(ingested, "doc_id", "text",
+            spanIdx, width = 8)
+          val n = ingested.count()
+          graft.similarity.Similarity.buildIvfIndex(
+            graft.functions.HashEmbed.embed(ingested, "doc_id", "text", 16)
+              .select(col("doc_id"), col("emb").as("ev")),
+            "doc_id", "ev", ivfIdx,
+            kCentroids = graft.similarity.Similarity.sqrtKc(n))
+          val cfg = graft.streaming.StreamingOps.IngestGateConfig(
+            weights = graft.queries.TrainingDataQueries.d41Weights(spark),
+            weightDim = graft.queries.TrainingDataQueries.d41Dim,
+            thresholdPm = -1800L, minNovelPm = 900L,
+            rebuildFactor = 0.0) // fixed index size: no drift rebuild
+          val counter = new java.util.concurrent.atomic.AtomicLong(-1L)
+          val arrivals = docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("__ep",
+              (pmod(col("doc_id"), lit(40)) / lit(10)).cast("int"))
+            .persist()
+          arrivals.count()
+          val epochSecs = (0 until 4).map { ep =>
+            val b = arrivals.filter(col("__ep") === ep).drop("__ep")
+            val t0 = System.nanoTime()
+            graft.streaming.StreamingOps.ingestGateEpoch(b, ep.toLong,
+              "doc_id", "text", spanIdx, ivfIdx, cfg, out, counter)
+            (System.nanoTime() - t0) / 1e9
+          }
+          arrivals.unpersist()
+          spark.catalog.clearCache()
+          Seq(spanIdx, ivfIdx, out).foreach(graft.engine.Scratch.delete)
+          val sorted = epochSecs.sorted
+          val med = (sorted(1) + sorted(2)) / 2
+          s"""{"epoch_sec":[${epochSecs.mkString(",")}],"median":$med}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"BENCH gate_soak failed: ${e.getMessage}")
+          "null"
+        }
+      } else "null"
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_net":$qsNet,"failed":$failed,"passes":$passes,"stream_startup":$streamStartup,"tuner":$tuner,"gate_soak":$gateSoak,"sf":"$sfDir","testdata_fp":"$fp"}"""
     println(json)
     // Persist the complete per-query map: stdout capture can truncate
     // (round-3's file lost the tail of the 90-key line), a file can't.

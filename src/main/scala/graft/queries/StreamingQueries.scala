@@ -384,9 +384,18 @@ object StreamingQueries {
     * → validated, deduped storage). Both indexes are built over the
     * already-ingested corpus (the `doc_id % 10 != 0` slice, the
     * c26/c27 convention); the arrival slice streams through the
-    * gate. The catalog replay is a single epoch (one source file),
-    * so the oracle is exact; multi-epoch feedback and crash-retry
-    * convergence are pinned in Round14OpsSpec. Cheap gate first:
+    * gate. INVARIANT: the catalog replay runs in EXACTLY ONE epoch —
+    * the oracle models admission vs the ingested corpus only, so
+    * cross-epoch feedback (an arrival gated against an earlier
+    * arrival's admission) would change engine results while the SQL
+    * stands still. The file source with no `maxFilesPerTrigger`
+    * takes every available file in the first batch, so the invariant
+    * holds for any driver corpus file count (proven multi-file in
+    * Round15OpsSpec); the post-run require below turns any future
+    * drift (a Spark default change, a source option leak) into a
+    * loud failure instead of a silent oracle de-sync. Multi-epoch
+    * feedback and crash-retry convergence are pinned in
+    * Round14OpsSpec/Round15OpsSpec. Cheap gate first:
     * low-quality docs never reach a probe, near-dups never reach the
     * span join — the evidence columns are NULL for gates a doc never
     * reached, and the oracle mirrors that short-circuit exactly.
@@ -422,6 +431,14 @@ object StreamingQueries {
         thresholdPm = -1800L, minNovelPm = 900L),
       out, ckpt)
     try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    // single-epoch invariant (scaladoc above): more than one epoch
+    // dir means the arrival slice split across micro-batches and the
+    // ingested-only oracle no longer models the engine — fail loud.
+    val epochs = Option(new java.io.File(out).listFiles()).getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    require(epochs.length == 1,
+      s"c28 oracle requires a single-epoch replay, got ${epochs.length} " +
+        s"epochs: ${epochs.map(_.getName).mkString(",")}")
     // lazy over the epoch output — cleanup is the Scratch exit sweep
     // (the d46 pattern; deleting eagerly would break the returned plan)
     s.read.option("basePath", out).parquet(s"$out/epoch=*")
