@@ -664,7 +664,8 @@ object Similarity {
       val n = st.getPath.getName
       val stale =
         (n.startsWith("gen-") && n != s"gen-$keepGen") ||
-          (sweepLegacyFlat && (n == "centroids" || n == "lists"))
+          (sweepLegacyFlat &&
+            (n == "centroids" || n == "lists" || n == "tail"))
       if (stale) fs.delete(st.getPath, true)
     }
   }
@@ -713,13 +714,34 @@ object Similarity {
     s.read.parquet(
       s"${ivfGenDir(indexDir, ivfMetaFull(s, indexDir)._5)}/centroids")
 
-  /** The live generation's inverted lists `(vid, v, nrm)`
-    * partitioned by `cid`.
+  /** The live generation's inverted lists `(vid, v, nrm, cid)` —
+    * the cid-partitioned base table plus, when [[appendIvfIndex]]
+    * has run since the last (re)build, the unpartitioned `tail/`
+    * segment unioned in (schema-aligned to the base read, so the
+    * partition-column type inference on `cid` cannot diverge the
+    * union). Probes joining on `cid` keep dynamic partition pruning
+    * on the base branch; the tail branch is a plain filter over a
+    * segment bounded by the drift-rebuild contract. When no tail
+    * exists (every batch-built index, and every index right after a
+    * rebuild) this returns the plain base read — identical plan to
+    * pre-r15, which is what the d19/d37 plan-pruning assertions pin.
     */
   def ivfLists(s: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame =
-    s.read.parquet(
-      s"${ivfGenDir(indexDir, ivfMetaFull(s, indexDir)._5)}/lists")
+    listsAndTail(s, ivfGenDir(indexDir, ivfMetaFull(s, indexDir)._5))
+
+  private[graft] def listsAndTail(s: org.apache.spark.sql.SparkSession,
+      dataDir: String): DataFrame = {
+    val base = s.read.parquet(s"$dataDir/lists")
+    val tailPath = new org.apache.hadoop.fs.Path(s"$dataDir/tail")
+    val fs = tailPath.getFileSystem(s.sessionState.newHadoopConf())
+    val hasTail = fs.exists(tailPath) && fs.listStatus(tailPath)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    if (!hasTail) base
+    else base.unionByName(s.read.parquet(s"$dataDir/tail")
+      .select(base.schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*))
+  }
 
   /** Append new vectors to a persisted IVF index under its FROZEN
     * quantizer — the ingest-loop step after an admission gate admits
@@ -731,10 +753,25 @@ object Similarity {
     *
     * Idempotent and crash-safe the same way as the span index's
     * staged append: already-indexed vids are anti-joined out (a
-    * vid-column-only read of the lists — columnar, no payload I/O),
+    * vid-column-only read of the index — columnar, no payload I/O),
     * the delta is MATERIALIZED to a scratch dir before anything
     * writes to the index location, and a retry after a partial
     * append converges without duplicating a vid.
+    *
+    * File layout (r15, the soak-measured fix): the delta lands as
+    * ONE file per epoch in the generation's unpartitioned `tail/`
+    * segment, not as per-cid appends into the partitioned base — a
+    * 250-epoch soak at 250k vectors measured the per-cid layout
+    * accruing ~432 files/EPOCH (one per touched cid), which made
+    * the per-epoch vid anti-join file-count-bound (2.5 s → 5.4 s
+    * over 24 epochs while rows grew 2.4%) and would have put ~10^5
+    * files between drift rebuilds. With the tail segment, file
+    * growth is exactly one per epoch and the vid scan stays flat.
+    * [[ivfLists]] unions the tail in; probes keep partition pruning
+    * on the base branch and pay a plain filter on the (small,
+    * rebuild-bounded) tail; the drift rebuild — which reads
+    * [[ivfLists]] — folds the tail into the next generation's
+    * partitioned base, so the tail never outlives the 4x contract.
     *
     * Drift contract: kc was sized ⌈√N⌉ at build. Appends deepen
     * lists without adding centroids, so probe cost grows linearly in
@@ -757,16 +794,19 @@ object Similarity {
     val fresh = newVecs.select(col(id).as("vid"), col(vec).as("v"))
       .withColumn("nrm", norm2(col("v")))
       .filter(col("nrm") > 0)
-      .join(s.read.parquet(s"$dataDir/lists").select("vid"),
-        Seq("vid"), "left_anti")
+      .join(listsAndTail(s, dataDir).select("vid"), Seq("vid"), "left_anti")
     val stage = graft.engine.Scratch.dir("graft_ivf_append_")
     try {
       fresh.join(argmaxAssign(fresh, cents), "vid")
         .write.mode("overwrite").parquet(s"$stage/delta")
+      // cid stored as long unconditionally: the base read infers its
+      // partition-column type per directory contents, and the union
+      // in listsAndTail casts the tail to whatever the base says
       s.read.parquet(s"$stage/delta")
-        .repartition(col("cid"))
-        .write.mode("append").partitionBy("cid")
-        .parquet(s"$dataDir/lists")
+        .select(col("vid"), col("v"), col("nrm"),
+          col("cid").cast("long").as("cid"))
+        .coalesce(1)
+        .write.mode("append").parquet(s"$dataDir/tail")
     } finally graft.engine.Scratch.delete(stage)
   }
 
