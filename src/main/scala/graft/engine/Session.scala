@@ -24,6 +24,14 @@ object Session {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // The 64 MB threshold above deliberately broadcasts MEDIUM
+      // relations (pruned IVF lists, staged index deltas), whose
+      // build side is a real job, not a dim-table lookup. The 300 s
+      // default timeout then couples correctness to host load: the
+      // sf10 spot gate's c26 stream died twice at exactly 300 s
+      // under a contended host while the same plan completes quietly
+      // otherwise. A slow broadcast should be slow, not fatal.
+      .config("spark.sql.broadcastTimeout", "1800")
       // Typed aggregates run on ObjectHashAggregate, whose sort-based
       // fallback kicks in at a default of 128 distinct keys per
       // partition — far too eager for high-cardinality gram/band keys.

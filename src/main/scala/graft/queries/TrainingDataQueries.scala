@@ -972,6 +972,86 @@ object TrainingDataQueries {
 
   val d37Sql: String = ivfOracleSql(40, 4)
 
+  /** [[duckKmeansChain]] with every CTE name prefixed, so several
+    * instances (one per PQ subspace) can coexist in one query. Only
+    * the eight chain-internal CTE names are rewritten; column
+    * aliases pass through untouched.
+    */
+  private def duckKmeansChainPrefixed(p: String, dim: Int,
+      kcSql: String): String =
+    duckKmeansChain(dim, kcSql).replaceAll(
+      "\\b(vn|vx|v|seeds|a0|comps|c1|cents|assign)\\b", p + "$1")
+
+  /** D50 — product quantization (PQ, [[graft.similarity.Pq]]):
+    * m=4 spherical sub-quantizers of 16 dims × 16 codes over the
+    * embeddings, every vector encoded to 4 codes (64× compression at
+    * dim=64 — the billion-vector memory story), then asymmetric-
+    * distance (ADC) top-4 for the `vec_id % 40` query set against the
+    * RECONSTRUCTED corpus. [[graft.similarity.Pq.adcTopK]] touches
+    * only (vid, codes) of the encoded side plus m·kc broadcast
+    * codebook rows; this FUSED entry derives the codes in-query (the
+    * c26 convention — build cost priced into the bench number), while
+    * production persists the codes table once and probes it many
+    * times, reading 4 bytes/vector instead of the raw embeddings.
+    * Because the sub-quantizers are the same seeded exact-BIGINT
+    * kmeans as IVF's coarse quantizer, codes, reconstructions, and
+    * ADC scores are bit-reproducible — the oracle replays the entire
+    * train→encode→reconstruct→rank chain in SQL (four prefixed
+    * kmeans CTE chains), making this a hash-exact PQ, not a
+    * recall-audited one. Recall quality vs exact search is pinned
+    * separately in Round15OpsSpec on clustered data.
+    */
+  def d50(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Pq
+    val e = emb(s, dir)
+    val cbs = Pq.trainCodebooks(e, "vec_id", "embedding",
+      m = 4, subDim = 16, kc = 16)
+    val enc = Pq.encode(e, "vec_id", "embedding", cbs, m = 4, subDim = 16)
+    Pq.adcTopK(e.filter(col("vec_id") % 40 === 0), enc, cbs,
+      "vec_id", "embedding", m = 4, subDim = 16, k = 4)
+  }
+
+  val d50Sql: String = {
+    val sliceOk = (0 until 4).map { mi =>
+      val sl = s"fe[${mi * 16 + 1}:${(mi + 1) * 16}]"
+      s"sqrt(${duckDot(sl, sl)}) > 0"
+    }.mkString("\n    AND ")
+    val chains = (0 until 4).map { mi =>
+      s"""p${mi}vn AS (
+         |  SELECT vec_id, fe[${mi * 16 + 1}:${(mi + 1) * 16}] AS e FROM okv),
+         |${duckKmeansChainPrefixed(s"p$mi", dim = 16, kcSql = "16")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH okv AS (
+       |  SELECT vec_id, fe FROM (
+       |    SELECT vec_id,
+       |      list_transform(embedding, pq_x -> CAST(pq_x AS DOUBLE)) AS fe
+       |    FROM embeddings)
+       |  WHERE $sliceOk),
+       |$chains,
+       |recon AS (
+       |  SELECT v0.vec_id, cc0.ce || cc1.ce || cc2.ce || cc3.ce AS re
+       |  FROM p0assign v0
+       |  JOIN p0cents cc0 ON v0.cid = cc0.cid
+       |  JOIN p1assign v1 ON v1.vec_id = v0.vec_id
+       |  JOIN p1cents cc1 ON v1.cid = cc1.cid
+       |  JOIN p2assign v2 ON v2.vec_id = v0.vec_id
+       |  JOIN p2cents cc2 ON v2.cid = cc2.cid
+       |  JOIN p3assign v3 ON v3.vec_id = v0.vec_id
+       |  JOIN p3cents cc3 ON v3.cid = cc3.cid),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, r.vec_id AS n_id,
+       |    ${duckDot("q.fe", "r.re")} /
+       |      (sqrt(${duckDot("q.fe", "q.fe")}) *
+       |       sqrt(${duckDot("r.re", "r.re")})) AS adc_cos
+       |  FROM (SELECT * FROM okv WHERE vec_id % 40 = 0) q
+       |  CROSS JOIN recon r WHERE r.vec_id <> q.vec_id)
+       |SELECT q_id, rk, n_id, adc_cos FROM (
+       |  SELECT q_id, n_id, adc_cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc_cos DESC, n_id) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= 4""".stripMargin
+  }
+
   /** D20 — deterministic stratified sampling: per-language per-mille
     * rates (downsample dominant en, mildly thin zh, keep the rest),
     * keep-decision a pure function of content hash
@@ -1037,6 +1117,83 @@ object TrainingDataQueries {
        |       count(*) AS shared_grams
        |FROM (SELECT doc_id, g FROM gr WHERE bucket < 900) tr
        |JOIN (SELECT doc_id, g FROM gr WHERE bucket >= 950) te USING (g)
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** D49 — bloom-prefiltered decontamination (d21's contract at the
+    * 100 TB shape): test-split documents sharing >= 2 distinct
+    * 5-token-grams with a train document. Where d21 caps fanout with
+    * a corpus-wide rare-gram pass (a full train+test gram shuffle —
+    * the one thing a 100 TB train side cannot afford), d49's
+    * candidate grams are exactly the grams PRESENT IN THE TEST SPLIT
+    * with a train-side per-gram occurrence cap (<= 200) computed
+    * over those candidates only.
+    *
+    * Scale shape: the test-split gram set folds to a driver-held
+    * Bloom filter ([[graft.functions.Bloom]], 1% fpp, ~1.2
+    * bytes/gram) embedded as a codegen'd [[might_contain]] predicate
+    * on the train-side gram stream — the corpus-sized side is pruned
+    * MAP-SIDE, inside the scan's whole-stage-codegen span, before
+    * anything shuffles; only the surviving sliver (true candidates +
+    * ~1% false positives) pays the exchange, and only that sliver is
+    * persisted. Bit-exactness despite the approximation: false
+    * positives cannot reach the output (the pair join against the
+    * test gram stream is the exact confirm), and the df cap counts
+    * per-gram train occurrences that the bloom passes IN FULL (no
+    * false negatives), so every surviving gram's count equals the
+    * bloom-free count — the oracle replays the semantics with no
+    * bloom at all.
+    */
+  def d49(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).withColumn("bucket",
+      pmod(TextHash.poly_hash(concat(col("text"), lit("|split"))), lit(1000)))
+    def grams(d: DataFrame, idCol: String): DataFrame = d.select(
+      col("doc_id").as(idCol),
+      explode(TextHash.word_gram_hashes(col("text"), 5, distinct = true)).as("g"))
+    // The test split is the operator's dim-class side (a fixed eval
+    // suite, not the crawl) — persisting ITS gram stream is bounded
+    // by contract, and saves the second full corpus scan its two
+    // consumers (bloom build, pair join) would otherwise each pay.
+    val testG = grams(base.filter(col("bucket") >= 950), "test_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = graft.functions.Bloom.buildLong(
+      testG.select("g").distinct(), "g")
+    // Post-bloom sliver only — the full train gram stream is never
+    // shuffled or persisted (d21 persists the whole corpus's grams).
+    val trainG = grams(base.filter(col("bucket") < 900), "train_id")
+      .where(graft.functions.Bloom.might_contain(bloom, col("g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = trainG.groupBy("g").agg(count(lit(1)).as("tdf"))
+      .filter(col("tdf") <= 200).select("g")
+    trainG.join(capped, "g").join(testG, "g")
+      .groupBy("train_id", "test_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= 2)
+  }
+
+  /** Oracle of [[d49]] — the bloom-free replay: train grams
+    * restricted to the test-split gram set, per-gram train df <= 200
+    * over that restriction, pairs sharing >= 2. The bloom changes
+    * which rows shuffle, never which rows result.
+    */
+  val d49Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, ${duckHash("(text || '|split')")} % 1000 AS bucket,
+       |         text FROM documents),
+       |th AS (SELECT doc_id, bucket, $duckTokenHashes AS h FROM b),
+       |g AS (
+       |  SELECT doc_id, bucket, unnest(list_distinct(
+       |    list_transform(range(1, len(h)-3), g_i ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT), h[g_i:g_i+4]),
+       |        (ga, gx) -> (ga*31 + gx) % 1000000007)))) AS g
+       |  FROM th),
+       |tg AS (SELECT doc_id AS test_id, g FROM g WHERE bucket >= 950),
+       |tgset AS (SELECT DISTINCT g FROM tg),
+       |trk AS (
+       |  SELECT doc_id AS train_id, g.g FROM g JOIN tgset USING (g)
+       |  WHERE bucket < 900),
+       |capped AS (SELECT g FROM trk GROUP BY g HAVING count(*) <= 200)
+       |SELECT train_id, test_id, count(*) AS shared_grams
+       |FROM trk JOIN capped USING (g) JOIN tg USING (g)
        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
   /** D22 — per-language term-frequency top-10 (corpus vocabulary
@@ -2629,6 +2786,8 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d50_pq_ann" -> (d50 _),
+    "d49_bloom_decontam" -> (d49 _),
     "d48_index_loop" -> (d48 _),
     "d47_full_curate" -> (d47 _),
     "d46_span_index" -> (d46 _),
@@ -2679,6 +2838,8 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d50_pq_ann" -> d50Sql,
+    "d49_bloom_decontam" -> d49Sql,
     "d48_index_loop" -> d48Sql,
     "d47_full_curate" -> d47Sql,
     "d46_span_index" -> d46Sql,

@@ -1,0 +1,146 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Similarity.{dot, norm2, toDouble}
+
+/** Product quantization (PQ) with spherical sub-quantizers — the
+  * memory-compression half of billion-scale similarity search
+  * (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011; the spherical/cosine variant is the standard
+  * adaptation for inner-product search over unit-norm embeddings).
+  *
+  * The vector space is split into `m` contiguous subspaces of
+  * `subDim` components; each subspace trains its own `kc`-centroid
+  * codebook with the SAME deterministic seeded one-Lloyd-step
+  * machinery as the IVF coarse quantizer
+  * ([[Similarity.kmeansCentroids]] — md5-seeded, cosine argmax
+  * assignment with ties to the smallest centroid id, exact-BIGINT
+  * milli-quantized means), so codes AND reconstructions are
+  * bit-reproducible in any engine and the whole operator carries a
+  * full SQL oracle — the encode is hash-exact, not just
+  * recall-audited.
+  *
+  * Scale economics: an encoded vector is `m` small ints (4 bytes at
+  * m=4) against `4·dim` bytes raw — 64× compression at dim=64. A
+  * 10^9-vector index becomes a ~4 GB codes table: scans of the
+  * encoded corpus read vec_id + codes ONLY (column pruning keeps the
+  * raw embedding column untouched), reconstruction joins against
+  * m·kc broadcast codebook rows, and asymmetric-distance (ADC)
+  * scoring is a per-row fold with no shuffle until the final top-k.
+  * Compose with IVF (route to lists, then ADC within the probed
+  * lists) for the classic IVFADC layout; this module keeps the two
+  * orthogonal.
+  *
+  * Totality rule shared with the oracle: vectors with a zero-norm
+  * SLICE in any subspace are excluded up front (the spherical
+  * assignment is undefined there), mirroring the zero-norm-vector
+  * exclusion of every other similarity operator.
+  */
+object Pq {
+
+  /** (vid, e) double-cast vector frame, restricted to vectors whose
+    * every subspace slice has positive norm.
+    */
+  private[graft] def pqFrame(corpus: DataFrame, id: String, vec: String,
+      m: Int, subDim: Int): DataFrame = {
+    val allSlicesNonZero = (0 until m)
+      .map(mi => norm2(slice(col("e"), mi * subDim + 1, subDim)) > 0)
+      .reduce(_ && _)
+    corpus
+      .select(col(id).cast("long").as("vid"), toDouble(col(vec)).as("e"))
+      .filter(allSlicesNonZero)
+  }
+
+  /** Train the `m` codebooks: one seeded-kmeans run per subspace over
+    * the sliced frame. Returns (mi, cid, cv, cnrm) — at most `m·kc`
+    * rows, a dim-class frame made for broadcast. The corpus
+    * projection is persisted for the duration of the build only
+    * (same contract as the IVF builder).
+    */
+  def trainCodebooks(corpus: DataFrame, id: String, vec: String,
+      m: Int, subDim: Int, kc: Int): DataFrame = {
+    val v = pqFrame(corpus, id, vec, m, subDim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val built = (0 until m).map { mi =>
+        val vmi = v.select(col("vid"),
+            slice(col("e"), mi * subDim + 1, subDim).as("v"))
+          .withColumn("nrm", norm2(col("v")))
+        Similarity.kmeansCentroids(vmi, kc)
+          .select(lit(mi).as("mi"), col("cid"), col("cv"), col("cnrm"))
+      }.reduce(_ unionAll _)
+      // bounded: m·kc rows; materialize NOW (dim-table collect, the
+      // litIndexCandidates contract) so the lazy consumers don't
+      // re-run m kmeans builds per downstream action
+      val rows = built.collect()
+      v.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), built.schema)
+    } finally v.unpersist()
+  }
+
+  /** Encode every vector to its `m` codes in ONE corpus pass: the
+    * combined codebook (m·kc rows) broadcasts onto the vector frame,
+    * each (vector, subspace) pair scores cosine map-side, and one
+    * partial aggregation takes the per-subspace argmax (ties to the
+    * smallest cid — [[Similarity.argmaxAssign]]'s rule). Output:
+    * (vid, code0..code{m-1}).
+    */
+  def encode(corpus: DataFrame, id: String, vec: String,
+      codebooks: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val v = pqFrame(corpus, id, vec, m, subDim)
+    val sub = slice(col("e"), col("mi") * subDim + 1, lit(subDim))
+    val scored = v.crossJoin(broadcast(codebooks))
+      .select(col("vid"), col("mi"), struct(
+        (dot(sub, col("cv")) / (norm2(sub) * col("cnrm"))).as("csim"),
+        (-col("cid")).as("negc")).as("sc"))
+    scored.groupBy("vid")
+      .agg(
+        max(when(col("mi") === 0, col("sc"))).as("b0"),
+        (1 until m).map(mi =>
+          max(when(col("mi") === mi, col("sc"))).as(s"b$mi")): _*)
+      .select(col("vid") +:
+        (0 until m).map(mi => (-col(s"b$mi.negc")).as(s"code$mi")): _*)
+  }
+
+  /** Reconstruction: concat of the coded centroid per subspace —
+    * `m` broadcast joins against the (m·kc)-row codebook, reading
+    * NOTHING but (vid, codes) from the encoded side. Returns
+    * (vid, re) where re is the dim-length reconstructed vector.
+    */
+  def reconstruct(encoded: DataFrame, codebooks: DataFrame,
+      m: Int): DataFrame = {
+    val joined = (0 until m).foldLeft(encoded) { (acc, mi) =>
+      acc.join(
+        broadcast(codebooks.filter(col("mi") === mi)
+          .select(col("cid").as(s"code$mi"), col("cv").as(s"r$mi"))),
+        s"code$mi")
+    }
+    joined.select(col("vid"),
+      concat((0 until m).map(mi => col(s"r$mi")): _*).as("re"))
+  }
+
+  /** Asymmetric-distance top-k: raw queries against the RECONSTRUCTED
+    * corpus. The query set is the dim-class side (broadcast); the
+    * corpus side is the codes table + codebook joins — the raw
+    * embedding column of the corpus is never read. Ties break on
+    * (adc_cos DESC, n_id), the d9/d19 rule.
+    */
+  def adcTopK(queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
+      id: String, vec: String, m: Int, subDim: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = pqFrame(queries, id, vec, m, subDim)
+      .select(col("vid").as("q_id"), col("e").as("qe"))
+    val recon = reconstruct(encoded, codebooks, m)
+    recon.join(broadcast(q), col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid").as("n_id"),
+        (dot(col("qe"), col("re")) /
+          (norm2(col("qe")) * norm2(col("re")))).as("adc_cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adc_cos").desc, col("n_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "adc_cos")
+  }
+}

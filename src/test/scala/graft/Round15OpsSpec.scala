@@ -147,4 +147,135 @@ class Round15OpsSpec extends AnyFunSuite {
       Similarity.ivfLists(spark, ivfIdx).count() == ivfRowsAfter1 &&
       Dedup.spanIndexKeys(spark, spanIdx).count() == spanKeysAfter1)
   }
+
+  // ---- d49_bloom_decontam ---------------------------------------------
+
+  test("Bloom.might_contain has no false negatives") {
+    import spark.implicits._
+    val keys = (0L until 5000L).map(i => i * 1000003L % 999999937L)
+    val bloom = graft.functions.Bloom.buildLong(keys.toDF("g"), "g")
+    val missed = keys.toDF("g")
+      .where(!graft.functions.Bloom.might_contain(bloom, col("g"))).count()
+    assert(missed == 0L, s"bloom dropped $missed inserted keys")
+    // and it actually prunes: a disjoint probe set mostly fails
+    val fp = (0L until 5000L).map(i => 777 + i * 999999893L % 999999937L)
+      .toDF("g")
+      .where(graft.functions.Bloom.might_contain(bloom, col("g"))).count()
+    assert(fp < 500L, s"bloom passed $fp of 5000 non-members (fpp ~1%)")
+  }
+
+  test("d49 equals its bloom-free replay (the bloom prunes, never changes results)") {
+    import graft.functions.TextHash
+    val dir = SparkTestBase.sf
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("bucket",
+        pmod(TextHash.poly_hash(concat(col("text"), lit("|split"))), lit(1000)))
+    def grams(d: org.apache.spark.sql.DataFrame, idCol: String) = d.select(
+      col("doc_id").as(idCol),
+      explode(TextHash.word_gram_hashes(col("text"), 5, distinct = true)).as("g"))
+    val testG = grams(base.filter(col("bucket") >= 950), "test_id")
+    val trainAll = grams(base.filter(col("bucket") < 900), "train_id")
+    val inTest = trainAll.join(testG.select("g").distinct(), "g")
+    val capped = inTest.groupBy("g").agg(count(lit(1)).as("tdf"))
+      .filter(col("tdf") <= 200).select("g")
+    val expected = inTest.join(capped, "g").join(testG, "g")
+      .groupBy("train_id", "test_id").agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = SparkEntry.queries("d49_bloom_decontam")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "sf0.001 must exercise at least one contaminated pair")
+  }
+
+  test("d49's bloom predicate prunes map-side: no exchange below the filter") {
+    import graft.functions.TextHash
+    val dir = SparkTestBase.sf
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("bucket",
+        pmod(TextHash.poly_hash(concat(col("text"), lit("|split"))), lit(1000)))
+    val bloom = graft.functions.Bloom.buildLong(
+      spark.range(3).select(col("id").as("g")), "g")
+    val trainG = base.filter(col("bucket") < 900).select(
+        col("doc_id").as("train_id"),
+        explode(TextHash.word_gram_hashes(col("text"), 5, distinct = true)).as("g"))
+      .where(graft.functions.Bloom.might_contain(bloom, col("g")))
+    val p = trainG.queryExecution.executedPlan.toString()
+    assert(p.contains("might_contain"),
+      "the bloom predicate must survive into the physical plan")
+    assert(!p.contains("Exchange"),
+      "the pruned gram stream must be scan -> explode -> filter with " +
+        "NO exchange: the bloom runs before anything shuffles")
+  }
+
+  // ---- d50_pq_ann -------------------------------------------------------
+
+  /** 8 tight clusters × 25 vectors in 64 dims, fully deterministic:
+    * a small positive floor everywhere (every 16-dim PQ slice keeps
+    * positive norm) plus cluster c's energy block at [8c, 8c+8) with
+    * a per-member magnitude wiggle — within-cluster cosine ~1.0,
+    * cross-cluster ~0.1.
+    */
+  private def clusteredVecs = {
+    import spark.implicits._
+    (0 until 8).flatMap { c =>
+      (0 until 25).map { j =>
+        val e = Array.fill(64)(0.05f)
+        (0 until 8).foreach { d =>
+          e(c * 8 + d) = 1.0f + 0.01f * ((j * 7 + d * 3) % 5) }
+        ((c * 25 + j).toLong, e.toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("d50: PQ encode is total and draws codes from the trained codebooks") {
+    import graft.similarity.Pq
+    val v = clusteredVecs
+    val cbs = Pq.trainCodebooks(v, "vec_id", "embedding",
+      m = 4, subDim = 16, kc = 16)
+    val validCids = cbs.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val enc = Pq.encode(v, "vec_id", "embedding", cbs, m = 4, subDim = 16)
+      .collect()
+    assert(enc.length == 200, "every vector must receive codes")
+    enc.foreach { r =>
+      (0 until 4).foreach { mi =>
+        assert(validCids.contains((mi, r.getLong(1 + mi))),
+          s"code ${r.getLong(1 + mi)} of subspace $mi is not a trained cid")
+      }
+    }
+    // determinism: a second train+encode is bit-identical
+    val enc2 = Pq.encode(v, "vec_id", "embedding",
+      Pq.trainCodebooks(v, "vec_id", "embedding", m = 4, subDim = 16, kc = 16),
+      m = 4, subDim = 16).collect()
+    assert(enc.map(_.toSeq).toSet == enc2.map(_.toSeq).toSet)
+  }
+
+  test("d50: ADC top-k stays inside the query's cluster on clustered data") {
+    import graft.similarity.Pq
+    val v = clusteredVecs
+    val cbs = Pq.trainCodebooks(v, "vec_id", "embedding",
+      m = 4, subDim = 16, kc = 16)
+    val enc = Pq.encode(v, "vec_id", "embedding", cbs, m = 4, subDim = 16)
+    val queries = v.filter(col("vec_id") % 50 === 0)
+    val top = Pq.adcTopK(queries, enc, cbs, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 4).collect()
+    assert(top.nonEmpty)
+    val wrong = top.count(r => r.getLong(0) / 25 != r.getLong(2) / 25)
+    assert(wrong == 0,
+      s"$wrong of ${top.length} ADC neighbors crossed a cluster boundary " +
+        "(disjoint component blocks: cross-cluster cosine is exactly 0)")
+  }
+
+  test("d50: vectors with a zero-norm subspace slice are excluded, not NaN-ranked") {
+    import spark.implicits._
+    import graft.similarity.Pq
+    val zeroSlice = (900L, Array.fill(64)(0.0f).updated(0, 1.0f).toSeq)
+    val v = clusteredVecs.union(Seq(zeroSlice).toDF("vec_id", "embedding"))
+    val cbs = Pq.trainCodebooks(v, "vec_id", "embedding",
+      m = 4, subDim = 16, kc = 16)
+    val enc = Pq.encode(v, "vec_id", "embedding", cbs, m = 4, subDim = 16)
+    assert(enc.filter(col("vid") === 900L).count() == 0,
+      "a zero-norm slice has no spherical code; the vector must drop")
+    assert(enc.count() == 200)
+  }
 }
