@@ -31,8 +31,28 @@ object Verify {
       "d30_incremental_dedup", "d48_index_loop")
     val bandingSelected = only.isEmpty || only.exists(bandingKeys)
     val envPinned = sys.env.get("GRAFT_BANDING_PERMS").exists(_.trim.nonEmpty)
+    // A targeted re-run into an EXISTING outDir must not regress the
+    // (always fully rewritten) oracle_sql.json to the unpinned width
+    // while earlier dumped results in the same directory used the
+    // resolved one — exactly that de-synced the sf10 spot gate when a
+    // c26-only retry followed the full run. Resolution order: env pin
+    // > the pin this outDir already recorded (banding.json) > fresh
+    // auto-resolve when a banding key is selected.
+    val priorPin: Int =
+      if (envPinned) 0
+      else try {
+        val f = Paths.get(s"$outDir/banding.json")
+        if (Files.exists(f))
+          "\"resolved_perms\"\\s*:\\s*(\\d+)".r
+            .findFirstMatchIn(Files.readString(f))
+            .map(_.group(1).toInt).getOrElse(0)
+        else 0
+      } catch { case _: Throwable => 0 }
     var autoResolved = 0
-    if (bandingSelected && !envPinned)
+    if (!envPinned && priorPin > 0) {
+      autoResolved = priorPin
+      System.setProperty("graft.banding.perms", priorPin.toString)
+    } else if (bandingSelected && !envPinned)
       try {
         val choice = graft.dedup.Dedup.chooseBanding(
           spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")

@@ -57,6 +57,16 @@ def main():
     only = set(argv[2:])
 
     con = duckdb.connect()
+    # Heavy-tier oracles (the composed-gate replay at sf10's 500k
+    # docs) build larger-than-RAM intermediates; an explicit cap +
+    # temp dir lets DuckDB go out-of-core instead of eating the host.
+    if os.environ.get("CHECK_MEMORY_LIMIT"):
+        con.execute(
+            f"SET memory_limit='{os.environ['CHECK_MEMORY_LIMIT']}'")
+    if os.environ.get("CHECK_TEMP_DIR"):
+        os.makedirs(os.environ["CHECK_TEMP_DIR"], exist_ok=True)
+        con.execute(
+            f"SET temp_directory='{os.environ['CHECK_TEMP_DIR']}'")
     for t in TABLES:
         # Partial corpora are legal for targeted gates (data/sf10
         # carries only documents/embeddings/events); a query whose
