@@ -45,7 +45,8 @@ object Plans {
     "d47_full_curate" -> "full curation DAG: returned plan reads only the scratch-staged narrow artifact (zero raw-text scans, zero cache); rates and quartile bounds broadcast/literal",
     "d48_index_loop" -> "dedup-index ingest loop: the returned report is a union of the staged batch-1 fates and the batch-2 probe (equi-joins against the post-append index tables; nothing corpus-sized collected)",
     "d49_bloom_decontam" -> "bloom-prefiltered decontamination: the codegen'd might_contain literal filters the train gram stream INSIDE the scan's codegen span, before the first exchange; only the surviving sliver shuffles, and the df-cap + pair joins run on that sliver",
-    "d50_pq_ann" -> "product quantization: codebooks ride as m·kc broadcast rows (train is an eager dim-collect); encode is one corpus pass with a single partial-agg argmax; ADC probe joins codes to broadcast codebooks + broadcast queries — the corpus's raw embedding column feeds only the (priced-in) in-query encode, never the probe")
+    "d50_pq_ann" -> "product quantization: codebooks ride as m·kc broadcast rows (train is an eager dim-collect); encode is one corpus pass with a single partial-agg argmax; ADC probe joins codes to broadcast codebooks + broadcast queries — the corpus's raw embedding column feeds only the (priced-in) in-query encode, never the probe",
+    "d51_ivfadc" -> "IVFADC: coarse centroids + codebooks broadcast; probe set = per-query rank over the broadcast coarse table; candidates = equi-join on cid (~nprobe/kc of the corpus), scored via code reconstruction — no corpus self-join, no corpus-sized window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

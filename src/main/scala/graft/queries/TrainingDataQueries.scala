@@ -1119,6 +1119,78 @@ object TrainingDataQueries {
        |JOIN (SELECT doc_id, g FROM gr WHERE bucket >= 950) te USING (g)
        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  /** D51 — IVFADC ([[graft.similarity.Pq.ivfAdcTopK]]): the d37/d19
+    * IVF routing composed with d50's PQ codes — queries probe their
+    * 4 nearest coarse lists and score ONLY those lists' members, by
+    * ADC over reconstructed codes. The two sublinearities compose:
+    * ~nprobe/kcCoarse of the corpus is touched, and what is touched
+    * is m bytes of codes per vector, not the raw embedding. Both
+    * quantizer levels are the same seeded exact-BIGINT kmeans, so
+    * the full composition (coarse route + PQ rank) replays in SQL —
+    * five kmeans CTE chains, one oracle, hash-exact.
+    */
+  def d51(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Pq
+    val e = emb(s, dir)
+    Pq.ivfAdcTopK(e.filter(col("vec_id") % 40 === 0), e,
+      "vec_id", "embedding", m = 4, subDim = 16, kc = 16,
+      kcCoarse = 16, nprobe = 4, k = 4)
+  }
+
+  val d51Sql: String = {
+    val sliceOk = (0 until 4).map { mi =>
+      val sl = s"fe[${mi * 16 + 1}:${(mi + 1) * 16}]"
+      s"sqrt(${duckDot(sl, sl)}) > 0"
+    }.mkString("\n    AND ")
+    val chains = (0 until 4).map { mi =>
+      s"""p${mi}vn AS (
+         |  SELECT vec_id, fe[${mi * 16 + 1}:${(mi + 1) * 16}] AS e FROM okv),
+         |${duckKmeansChainPrefixed(s"p$mi", dim = 16, kcSql = "16")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH okv AS (
+       |  SELECT vec_id, fe FROM (
+       |    SELECT vec_id,
+       |      list_transform(embedding, pq_x -> CAST(pq_x AS DOUBLE)) AS fe
+       |    FROM embeddings)
+       |  WHERE $sliceOk),
+       |cgvn AS (SELECT vec_id, fe AS e FROM okv),
+       |${duckKmeansChainPrefixed("cg", dim = 64, kcSql = "16")},
+       |$chains,
+       |recon AS (
+       |  SELECT v0.vec_id, cc0.ce || cc1.ce || cc2.ce || cc3.ce AS re
+       |  FROM p0assign v0
+       |  JOIN p0cents cc0 ON v0.cid = cc0.cid
+       |  JOIN p1assign v1 ON v1.vec_id = v0.vec_id
+       |  JOIN p1cents cc1 ON v1.cid = cc1.cid
+       |  JOIN p2assign v2 ON v2.vec_id = v0.vec_id
+       |  JOIN p2cents cc2 ON v2.cid = cc2.cid
+       |  JOIN p3assign v3 ON v3.vec_id = v0.vec_id
+       |  JOIN p3cents cc3 ON v3.cid = cc3.cid),
+       |probes AS (
+       |  SELECT q_id, fe, qnrm, cid FROM (
+       |    SELECT q.vec_id AS q_id, q.fe,
+       |      sqrt(${duckDot("q.fe", "q.fe")}) AS qnrm, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckDot("q.fe", "c.ce")} /
+       |          (sqrt(${duckDot("q.fe", "q.fe")}) * c.cnrm) DESC,
+       |                 c.cid) AS crk
+       |    FROM (SELECT * FROM okv WHERE vec_id % 40 = 0) q
+       |    CROSS JOIN cgcents c) WHERE crk <= 4),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id AS n_id,
+       |    ${duckDot("p.fe", "r.re")} /
+       |      (p.qnrm * sqrt(${duckDot("r.re", "r.re")})) AS adc_cos
+       |  FROM probes p
+       |  JOIN cgassign a USING (cid)
+       |  JOIN recon r ON a.vec_id = r.vec_id
+       |  WHERE a.vec_id <> p.q_id)
+       |SELECT q_id, rk, n_id, adc_cos FROM (
+       |  SELECT q_id, n_id, adc_cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc_cos DESC, n_id) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= 4""".stripMargin
+  }
+
   /** D49 — bloom-prefiltered decontamination (d21's contract at the
     * 100 TB shape): test-split documents sharing >= 2 distinct
     * 5-token-grams with a train document. Where d21 caps fanout with
@@ -2786,6 +2858,7 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d51_ivfadc" -> (d51 _),
     "d50_pq_ann" -> (d50 _),
     "d49_bloom_decontam" -> (d49 _),
     "d48_index_loop" -> (d48 _),
@@ -2838,6 +2911,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d51_ivfadc" -> d51Sql,
     "d50_pq_ann" -> d50Sql,
     "d49_bloom_decontam" -> d49Sql,
     "d48_index_loop" -> d48Sql,

@@ -121,6 +121,70 @@ object Pq {
       concat((0 until m).map(mi => col(s"r$mi")): _*).as("re"))
   }
 
+  /** IVFADC — the classic billion-scale composition (Jégou et al.
+    * 2011 §IV): a coarse IVF quantizer routes each query to its
+    * `nprobe` nearest inverted lists, and candidates inside the
+    * probed lists are scored by ADC over their PQ codes. Memory AND
+    * compute sublinearity compose: the probe touches
+    * ~nprobe/kcCoarse of the corpus, and what it touches is
+    * m-byte codes, not raw vectors.
+    *
+    * Shares the totality rule and every deterministic kernel with
+    * [[trainCodebooks]]/[[adcTopK]] — coarse centroids, codes,
+    * reconstructions, and ADC scores are all bit-reproducible, so
+    * the WHOLE composition carries a SQL oracle (coarse chain +
+    * m sub-chains). Scale shape: coarse centroids and codebooks are
+    * dim-class collects; assignment is one map-side argmax pass; the
+    * probe is an equi-join on cid with the ranked probe set derived
+    * from the (broadcast) query side — no corpus self-join, no
+    * window over anything corpus-sized until the per-query top-k.
+    */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, m: Int, subDim: Int, kc: Int, kcCoarse: Int,
+      nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = pqFrame(corpus, id, vec, m, subDim)
+    val vv = v.select(col("vid"), col("e").as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    // coarse quantizer over the same slice-total vector set (bounded
+    // collect, the collectedCentroids contract)
+    val coarseRows = {
+      val c = vv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val built = Similarity.kmeansCentroids(c, kcCoarse)
+        val rows = built.collect()
+        vv.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), built.schema)
+      } finally c.unpersist()
+    }
+    val assign = Similarity.argmaxAssign(vv, coarseRows)
+    val cbs = trainCodebooks(corpus, id, vec, m, subDim, kc)
+    val enc = encode(corpus, id, vec, cbs, m, subDim)
+    val recon = reconstruct(enc, cbs, m)
+    val q = pqFrame(queries, id, vec, m, subDim)
+      .select(col("vid").as("q_id"), col("e").as("qe"))
+      .withColumn("qnrm", norm2(col("qe")))
+    val probes = q.crossJoin(broadcast(
+        coarseRows.select(col("cid"), col("cv"), col("cnrm"))))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(
+          (dot(col("qe"), col("cv")) / (col("qnrm") * col("cnrm"))).desc,
+          col("cid"))))
+      .filter(col("crk") <= nprobe)
+      .select("q_id", "qe", "qnrm", "cid")
+    probes.join(assign, "cid")
+      .join(recon, "vid")
+      .filter(col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid").as("n_id"),
+        (dot(col("qe"), col("re")) / (col("qnrm") * norm2(col("re"))))
+          .as("adc_cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adc_cos").desc, col("n_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "adc_cos")
+  }
+
   /** Asymmetric-distance top-k: raw queries against the RECONSTRUCTED
     * corpus. The query set is the dim-class side (broadcast); the
     * corpus side is the codes table + codebook joins — the raw

@@ -266,6 +266,20 @@ class Round15OpsSpec extends AnyFunSuite {
         "(disjoint component blocks: cross-cluster cosine is exactly 0)")
   }
 
+  test("d51: IVFADC stays inside the query's cluster and returns full top-k") {
+    import graft.similarity.Pq
+    val v = clusteredVecs
+    val top = Pq.ivfAdcTopK(v.filter(col("vec_id") % 50 === 0), v,
+      "vec_id", "embedding", m = 4, subDim = 16, kc = 16,
+      kcCoarse = 8, nprobe = 2, k = 4).collect()
+    assert(top.length == 4 * 4,
+      s"4 queries x top-4 expected, got ${top.length} (a probed-list " +
+        "route that loses the query's own cluster would come up short)")
+    val wrong = top.count(r => r.getLong(0) / 25 != r.getLong(2) / 25)
+    assert(wrong == 0,
+      s"$wrong of ${top.length} IVFADC neighbors crossed a cluster boundary")
+  }
+
   test("d50: vectors with a zero-norm subspace slice are excluded, not NaN-ranked") {
     import spark.implicits._
     import graft.similarity.Pq
