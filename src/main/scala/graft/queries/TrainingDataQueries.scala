@@ -986,7 +986,7 @@ object TrainingDataQueries {
     * m=4 spherical sub-quantizers of 16 dims × 16 codes over the
     * embeddings, every vector encoded to 4 codes (64× compression at
     * dim=64 — the billion-vector memory story), then asymmetric-
-    * distance (ADC) top-4 for the `vec_id % 40` query set against the
+    * distance (ADC) top-4 for the fixed `vec_id < 50` query set against the
     * RECONSTRUCTED corpus. [[graft.similarity.Pq.adcTopK]] touches
     * only (vid, codes) of the encoded side plus m·kc broadcast
     * codebook rows; this FUSED entry derives the codes in-query (the
@@ -1007,7 +1007,12 @@ object TrainingDataQueries {
     val cbs = Pq.trainCodebooks(e, "vec_id", "embedding",
       m = 4, subDim = 16, kc = 16)
     val enc = Pq.encode(e, "vec_id", "embedding", cbs, m = 4, subDim = 16)
-    Pq.adcTopK(e.filter(col("vec_id") % 40 === 0), enc, cbs,
+    // FIXED query set (the d9 brute-force convention, not d19/d37's
+    // corpus-scaling % set): plain PQ's probe is a linear ADC scan
+    // PER QUERY — with a %-set the entry's cost grows O(N²/40) and
+    // the bench aliases query-set growth as corpus scaling. Routing
+    // that absorbs a scaling query set is exactly d51's IVFADC.
+    Pq.adcTopK(e.filter(col("vec_id") < 50), enc, cbs,
       "vec_id", "embedding", m = 4, subDim = 16, k = 4)
   }
 
@@ -1043,7 +1048,7 @@ object TrainingDataQueries {
        |    ${duckDot("q.fe", "r.re")} /
        |      (sqrt(${duckDot("q.fe", "q.fe")}) *
        |       sqrt(${duckDot("r.re", "r.re")})) AS adc_cos
-       |  FROM (SELECT * FROM okv WHERE vec_id % 40 = 0) q
+       |  FROM (SELECT * FROM okv WHERE vec_id < 50) q
        |  CROSS JOIN recon r WHERE r.vec_id <> q.vec_id)
        |SELECT q_id, rk, n_id, adc_cos FROM (
        |  SELECT q_id, n_id, adc_cos,
