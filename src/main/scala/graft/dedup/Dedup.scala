@@ -357,6 +357,120 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Content-defined chunking (the FastCDC/LBFS boundary family:
+    * Muthitacharoen et al. 2001; Xia et al. 2016), on word tokens: a
+    * chunk boundary falls after token i whenever
+    * tokenHash(i) % divisor == 0 (i < n; the final chunk absorbs the
+    * tail), so boundaries are declared by CONTENT, not position — an
+    * insertion near the head of a re-crawled document re-chunks only
+    * the window it touches and every later chunk re-aligns
+    * byte-for-byte. Fixed-stride spans (d39) lose every window after
+    * an insertion; CDC is why storage/transfer dedup systems survive
+    * edits.
+    *
+    * Output: one row per chunk — (id, idx [1-based], chunk_len,
+    * h1, h2) where (h1, h2) are independent base-31/37 polynomial
+    * folds of the chunk's token-hash sequence (identity key
+    * (h1, h2, chunk_len); for grouping beyond the tested SFs swap in
+    * a 128-bit digest — no plan-shape change).
+    *
+    * Scale shape: boundaries and token hashes are per-row array
+    * arithmetic computed ONCE per document in the projection BELOW
+    * the per-chunk generate — the generate is deliberate: higher-
+    * order functions are interpreted (codegen-fallback), and without
+    * the Generate barrier CollapseProject inlines the O(n_tokens)
+    * bounds computation into every field of every chunk element
+    * (measured 64 s on the 5000-doc bench corpus vs ~2 s with the
+    * barrier — an O(n·chunks) blow-up per document). Above the
+    * barrier each chunk's two folds reference the materialized
+    * arrays, so total per-doc work is O(n_tokens). No window, no
+    * shuffle; only the chunk summaries (~n_tokens / divisor rows of
+    * four integers) leave the map side.
+    */
+  def cdcChunks(docs: DataFrame, id: String, text: String,
+      divisor: Int = 16): DataFrame = {
+    val P = lit(TextHash.P)
+    def fold(base: Int): Column =
+      aggregate(
+        slice(col("__h"), element_at(col("__b"), col("__ci")) + 1,
+          element_at(col("__b"), col("__ci") + 1) -
+            element_at(col("__b"), col("__ci"))),
+        lit(0L), (a, x) => (a * base + x) % P)
+    docs
+      .select(col(id), TextHash.word_gram_hashes(col(text), 1,
+        distinct = false).as("__h"))
+      .withColumn("__b", concat(
+        array(lit(0)),
+        when(size(col("__h")) >= 2,
+          filter(sequence(lit(1), size(col("__h")) - 1),
+            i => element_at(col("__h"), i) % divisor === 0))
+          .otherwise(array().cast("array<int>")),
+        array(size(col("__h")))))
+      .select(col(id), col("__h"), col("__b"),
+        explode(sequence(lit(1), size(col("__b")) - 1)).as("__ci"))
+      .select(col(id),
+        col("__ci").cast("long").as("idx"),
+        (element_at(col("__b"), col("__ci") + 1) -
+          element_at(col("__b"), col("__ci"))).cast("long").as("chunk_len"),
+        fold(31).as("h1"), fold(37).as("h2"))
+      .filter(col("chunk_len") > 0)
+  }
+
+  /** Asymmetric CONTAINMENT pairs (Broder 1997's containment
+    * coefficient — the quote/snippet duplicate class): C(A,B) =
+    * |A∩B| / |A| over distinct word-`gramN`-gram sets; emits pairs
+    * where the SMALLER document is >= `minContPm`‰ contained in the
+    * larger. Symmetric Jaccard structurally misses this class (a
+    * 30-gram snippet in a 500-gram article has J ≈ 0.06 but C = 1.0).
+    *
+    * Candidates use the d6 machinery: rare-gram posting lists
+    * (df <= `dfCap`, the cap enforced INSIDE the aggregation by the
+    * bounded top-k heap so no posting list ships more than dfCap+1
+    * ids), pairs generated bucket-locally, evidence floor
+    * `minSharedRare` (low — a snippet has few grams total).
+    * Verification is one native merge-walk intersect per candidate
+    * over the pre-sorted distinct sets; orientation is
+    * small-side-first with the doc id as the deterministic tie-break.
+    */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+      gramN: Int = 3, dfCap: Int = 20, minSharedRare: Int = 2,
+      minContPm: Long = 800L): DataFrame = {
+    val gramH = TextHash.word_gram_hashes(col(text), gramN, distinct = true)
+    val grams = docs
+      .select(col(id).as("__id"), array_sort(gramH).as("__gs"))
+      .filter(size(col("__gs")) >= 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = grams
+      .select(col("__id"), explode(col("__gs")).as("__g"))
+      .groupBy("__g")
+      .agg(graft.functions.TopKAgg.top_k(
+        col("__id").cast("double"), col("__id"), dfCap + 1).as("top"))
+      .filter(size(col("top")).between(2, dfCap))
+      .select(transform(col("top"), t => t("id")).as("ds"))
+      .select(explode(bucketPairs(col("ds"))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("shared_rare"))
+      .filter(col("shared_rare") >= minSharedRare)
+      .select("d1", "d2")
+    cand
+      .join(grams.select(col("__id").as("d1"), col("__gs").as("gs1")), "d1")
+      .join(grams.select(col("__id").as("d2"), col("__gs").as("gs2")), "d2")
+      .select(col("d1"), col("d2"),
+        TextHash.sorted_intersect_count(col("gs1"), col("gs2")).as("shared"),
+        size(col("gs1")).cast("long").as("n1"),
+        size(col("gs2")).cast("long").as("n2"))
+      .select(
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2"))
+          .as("small_id"),
+        when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1"))
+          .as("big_id"),
+        least(col("n1"), col("n2")).as("n_small"),
+        greatest(col("n1"), col("n2")).as("n_big"),
+        col("shared"))
+      .withColumn("cont_pm", expr("shared * 1000 div n_small"))
+      .filter(col("cont_pm") >= minContPm)
+  }
+
   /** MinHash signature column over k-char shingles. */
   def minhashSignature(text: Column, shingleK: Int, numPerms: Int): Column =
     TextHash.minhash_sig(TextHash.shingle_hashes(lower(trim(text)), shingleK), numPerms)

@@ -373,7 +373,36 @@ object SensorQueries {
 
   val a15Sql: String = a14Sql
 
+  /** A16 — ORC source round-trip, the columnar sibling of A14/A15
+    * ([[graft.sources.Tables.loadOrc]]): ORC is the second
+    * vectorized, pushdown-capable columnar format a lakehouse
+    * actually stores, and the round-trip proves the write/read path
+    * is lossless for longs, doubles and strings under the same
+    * schema-enforced no-inference rule. Same oracle as A14 (the
+    * parquet source aggregated directly).
+    */
+  def a16(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_a16_${java.lang.ProcessHandle.current().pid()}")
+    ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+        epochMs(col("ts")).as("t_ms"), col("value"))
+      .write.mode("overwrite").orc(out.toString)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("t_ms", LongType),
+      StructField("value", DoubleType)))
+    collectAndClean(s,
+      graft.sources.Tables.loadOrc(s, out.toString, schema)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"),
+          min(col("t_ms")).as("min_ms"), max(col("t_ms")).as("max_ms")),
+      out)
+  }
+
+  val a16Sql: String = a14Sql
+
   val queries: Map[String, QFn] = Map(
+    "a16_orc_roundtrip" -> (a16 _),
     "a15_json_roundtrip" -> (a15 _),
     "a14_csv_roundtrip" -> (a14 _),
     "a13_incremental_merge" -> (a13 _),
@@ -391,6 +420,7 @@ object SensorQueries {
     "a12_output_validate" -> (a12 _))
 
   val oracles: Map[String, String] = Map(
+    "a16_orc_roundtrip" -> a16Sql,
     "a15_json_roundtrip" -> a15Sql,
     "a14_csv_roundtrip" -> a14Sql,
     "a13_incremental_merge" -> a13Sql,

@@ -446,7 +446,63 @@ object StreamingQueries {
         "novel_pm")
   }
 
+  /** C29 — streaming DECONTAMINATION gate: d49's bloom-prefiltered
+    * test-set containment check applied at INGEST. The eval suite's
+    * distinct 5-gram set (the `bucket >= 950` split — a fixed,
+    * dim-class side by contract) folds to a driver-held Bloom filter
+    * ([[graft.functions.Bloom]]) that rides the STREAMING plan as a
+    * codegen'd map-side predicate: each arriving micro-batch's gram
+    * stream is pruned inside the scan's codegen span before anything
+    * shuffles, and only the surviving sliver (true candidates + ~1%
+    * false positives) pays the stream⋈static confirm join against
+    * the exact test gram set. No false negatives means the confirm
+    * join restores bit-exactness; an arrival is flagged when it
+    * shares >= 2 distinct 5-grams with any test document. Completes
+    * the ingest-gate family: c25 quality, c26 embedding near-dup,
+    * c27 span novelty, c29 contamination.
+    *
+    * vs d49: the gate has no train-side df cap — that is an
+    * offline-corpus statistic (a global aggregate over the full
+    * train gram stream, unavailable mid-stream by design); the
+    * gate's semantics are pure containment against the fixed test
+    * set, ONE stateful operator (the pair aggregation), state
+    * bounded by true matches.
+    *
+    * Output rows: the contaminated (train, test) pairs with shared
+    * counts — absent arrivals passed clean. Complete mode for the
+    * memory-sink oracle; the >= 2 filter runs on the materialized
+    * sink (deployed: update mode, filter in the sink query).
+    */
+  def c29(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHash
+    def bucket = pmod(
+      TextHash.poly_hash(concat(col("text"), lit("|split"))), lit(1000))
+    def grams(d: DataFrame, idCol: String): DataFrame = d.select(
+      col("doc_id").as(idCol),
+      explode(TextHash.word_gram_hashes(col("text"), 5, distinct = true))
+        .as("g"))
+    val testG = grams(
+      t(s, dir, "documents").withColumn("bucket", bucket)
+        .filter(col("bucket") >= 950), "test_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bloom = graft.functions.Bloom.buildLong(
+        testG.select("g").distinct(), "g")
+      val hits = grams(
+        StreamingOps.readDocumentsStream(s, dir)
+          .withColumn("bucket", bucket).filter(col("bucket") < 900),
+        "train_id")
+        .where(graft.functions.Bloom.might_contain(bloom, col("g")))
+        .join(testG, "g")
+        .groupBy("train_id", "test_id")
+        .agg(count(lit(1)).as("shared_grams"))
+      StreamingOps.runToTable(hits, s, "c29_stream_decontam", "complete")
+        .filter(col("shared_grams") >= 2)
+    } finally testG.unpersist()
+  }
+
   val queries: Map[String, QFn] = Map(
+    "c29_stream_decontam" -> (c29 _),
     "c28_ingest_gate" -> (c28 _),
     "c27_stream_span_admission" -> (c27 _),
     "c26_stream_neardup" -> (c26 _),
@@ -459,6 +515,7 @@ object StreamingQueries {
     "c12_stream_enrich" -> (c12 _))
 
   val oracles: Map[String, String] = Map(
+    "c29_stream_decontam" -> TrainingDataQueries.c29StreamDecontamSql,
     "c28_ingest_gate" -> TrainingDataQueries.c28IngestGateSql,
     "c27_stream_span_admission" -> c27Sql,
     "c26_stream_neardup" -> TrainingDataQueries.c26NearDupSql,

@@ -1273,6 +1273,219 @@ object TrainingDataQueries {
        |FROM trk JOIN capped USING (g) JOIN tg USING (g)
        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  /** Oracle of StreamingQueries c29 — d49's bloom-free replay WITHOUT
+    * the train-side df cap (the cap is an offline-corpus statistic;
+    * the streaming gate's semantics are pure containment against the
+    * fixed test set). Lives here for the shared hash fragments.
+    */
+  val c29StreamDecontamSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, ${duckHash("(text || '|split')")} % 1000 AS bucket,
+       |         text FROM documents),
+       |th AS (SELECT doc_id, bucket, $duckTokenHashes AS h FROM b),
+       |g AS (
+       |  SELECT doc_id, bucket, unnest(list_distinct(
+       |    list_transform(range(1, len(h)-3), g_i ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT), h[g_i:g_i+4]),
+       |        (ga, gx) -> (ga*31 + gx) % 1000000007)))) AS g
+       |  FROM th),
+       |tg AS (SELECT doc_id AS test_id, g FROM g WHERE bucket >= 950),
+       |trn AS (SELECT doc_id AS train_id, g FROM g WHERE bucket < 900)
+       |SELECT train_id, test_id, count(*) AS shared_grams
+       |FROM trn JOIN tg USING (g)
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** D52 — DSIR-shaped data selection
+    * ([[graft.sampling.Dsir.importanceWeights]] — Xie et al. 2023):
+    * hashed-bigram importance weighting of every document against a
+    * trusted target distribution. Target here: the `lang = 'en'`
+    * slice; raw: the full corpus; features: word bigrams hashed into
+    * 2039 buckets (prime — a power-of-two modulus resonates with the
+    * base-31 gram hashes on structured vocabularies and collapses
+    * distinct dialects into shared buckets; see
+    * [[graft.sampling.Dsir.DefaultBuckets]]); the log is the
+    * bit-length log2 (integer-exact —
+    * same policy as d3/d29: a float `ln` sum over thousands of terms
+    * drifts by ulps and flips threshold decisions across engines).
+    * Selection = weight-per-1000-grams >= 0; threshold-based, no
+    * global sort.
+    *
+    * 100 TB shape (measured in the plan pin, DataSelectionSpec): one
+    * corpus gram scan aggregated to <= 2039 rows, a dim-class
+    * collect re-entering as ONE array-literal data node, then a
+    * fully MAP-SIDE scoring pass — no explode, no join, no exchange
+    * in the per-doc output.
+    */
+  def d52(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Dsir.importanceWeights(
+      docs(s, dir), "doc_id", "text",
+      isTarget = col("lang") === "en")
+
+  /** Oracle of [[d52]] — the join-form replay: per-bucket counts and
+    * per-doc weights via explicit joins (the oracle has no literal
+    * array, but the arithmetic — bit-length log2, add-one smoothing,
+    * truncating division — is term-for-term identical).
+    */
+  val d52Sql: String =
+    s"""WITH th AS (SELECT doc_id, lang, $duckTokenHashes AS h FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, unnest(list_transform(range(1, len(h)),
+       |    dg_i -> ((h[dg_i]*31 + h[dg_i+1]) % 1000000007) % 2039)) AS b
+       |  FROM th),
+       |bc AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM g GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(cr) AS BIGINT) AS nr,
+       |         CAST(sum(ct) AS BIGINT) AS nt FROM bc),
+       |sc AS (
+       |  SELECT b, (length(bin(ct+1))-1) - (length(bin(cr+1))-1)
+       |    + (length(bin(nr+2039))-1) - (length(bin(nt+2039))-1) AS s
+       |  FROM bc, tot),
+       |dw AS (
+       |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |         CAST(sum(s) AS BIGINT) AS w_ilog
+       |  FROM g JOIN sc USING (b) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(dw.n_grams, 0) AS n_grams,
+       |  coalesce(dw.w_ilog, 0) AS w_ilog,
+       |  CASE WHEN coalesce(dw.n_grams, 0) > 0
+       |       THEN dw.w_ilog * 1000 // dw.n_grams END AS wpt_pm,
+       |  CASE WHEN coalesce(dw.n_grams, 0) > 0
+       |       THEN (dw.w_ilog * 1000 // dw.n_grams) >= 0 END AS selected
+       |FROM documents d LEFT JOIN dw USING (doc_id)""".stripMargin
+
+  /** D53 — content-defined chunking dedup
+    * ([[graft.dedup.Dedup.cdcChunks]] — the FastCDC/LBFS boundary
+    * family: Muthitacharoen et al. 2001; Xia et al. 2016): chunk
+    * boundaries are declared by CONTENT — after token i whenever
+    * tokenHash(i) % 16 == 0 (i < n; the final chunk absorbs the
+    * tail) — so an insertion near the head of a re-crawled document
+    * re-chunks only the window it touches and every downstream chunk
+    * re-aligns. That shift-robustness is exactly what d39's
+    * fixed-stride spans lack (one leading token added shifts every
+    * fixed window) and is why storage/transfer dedup systems are
+    * CDC-based. Output: every chunk occurring >= 2 times across the
+    * corpus, with its copy/doc counts and first owner
+    * (min (doc, idx) — the same partial-agg first-owner rule as
+    * d39, no window over the corpus).
+    *
+    * Chunk identity is (h1, h2, len): two independent base-31/37
+    * polynomial folds of the token-hash sequence plus the length —
+    * ~60 bits plus the length split. For grouping at corpus scale
+    * the right key is a 128-bit content digest (d1's rule); the
+    * dual-30-bit key keeps the whole pipeline — including the
+    * oracle — in exact integer arithmetic, and the collision odds at
+    * the tested SFs are negligible. (Swapping in md5 over the
+    * chunk's token slice changes no plan shape.)
+    *
+    * 100 TB shape: chunking is per-document array arithmetic inside
+    * the scan's project (boundaries, slices, and both folds — no
+    * token explode, no window, no per-doc shuffle); only the chunk
+    * SUMMARIES (~n_tokens/16 rows of four integers) leave the map
+    * side, aggregated by chunk key with map-side partial combine.
+    * Equivalent chunks land on the same reducer regardless of which
+    * documents contain them — the aggregation is the dedup.
+    */
+  def d53(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.cdcChunks(docs(s, dir), "doc_id", "text", divisor = 16)
+      .groupBy("h1", "h2", "chunk_len")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("idx"))).as("k"))
+      .filter(col("n_copies") >= 2)
+      .select(col("h1").as("chunk_h1"), col("h2").as("chunk_h2"),
+        col("chunk_len"), col("n_copies"), col("n_docs"),
+        col("k.doc_id").as("keeper_doc"), col("k.idx").as("keeper_idx"))
+
+  /** Oracle of [[d53]] — same boundary rule, same dual folds, same
+    * first-owner min-struct, in DuckDB list arithmetic.
+    */
+  val d53Sql: String =
+    s"""WITH th AS (SELECT doc_id, $duckTokenHashes AS h FROM documents),
+       |bs AS (
+       |  SELECT doc_id, h, list_concat(list_concat(
+       |    [CAST(0 AS BIGINT)],
+       |    CASE WHEN len(h) >= 2 THEN
+       |      list_filter(range(1, len(h)), cb_i -> h[cb_i] % 16 = 0)
+       |    ELSE [] END),
+       |    [CAST(len(h) AS BIGINT)]) AS b
+       |  FROM th),
+       |ch AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(b)), cc_i -> {
+       |    'idx': cc_i,
+       |    'len': b[cc_i+1] - b[cc_i],
+       |    'h1': list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT), h[b[cc_i]+1 : b[cc_i+1]]),
+       |      (cd_a, cd_x) -> (cd_a*31 + cd_x) % 1000000007),
+       |    'h2': list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT), h[b[cc_i]+1 : b[cc_i+1]]),
+       |      (cd_a, cd_x) -> (cd_a*37 + cd_x) % 1000000007)
+       |  })) AS c FROM bs),
+       |f AS (
+       |  SELECT doc_id, (c).idx AS idx, (c).len AS len,
+       |         (c).h1 AS h1, (c).h2 AS h2
+       |  FROM ch WHERE (c).len > 0)
+       |SELECT h1 AS chunk_h1, h2 AS chunk_h2, CAST(len AS BIGINT) AS chunk_len,
+       |  count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs,
+       |  (min({'d': doc_id, 'i': idx})).d AS keeper_doc,
+       |  CAST((min({'d': doc_id, 'i': idx})).i AS BIGINT) AS keeper_idx
+       |FROM f GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin
+
+  /** D54 — asymmetric CONTAINMENT dedup (Broder 1997's containment
+    * coefficient, the quote/snippet case): C(A,B) = |A∩B| / |A| over
+    * distinct 3-gram sets, flag pairs where the SMALLER document is
+    * >= 80% contained in the larger. This is the duplicate class
+    * symmetric Jaccard structurally misses: a 30-gram snippet quoted
+    * inside a 500-gram article has J ≈ 0.06 (far under any d6/d7
+    * threshold) but C = 1.0 — and snippet-inside-article is exactly
+    * how licensing text, disclaimers and syndicated quotes replicate
+    * through a crawl.
+    *
+    * Same 100 TB candidate machinery as d6 (rare-gram posting lists,
+    * df <= 20, the cap enforced INSIDE the aggregation by the
+    * bounded top-k heap so no posting list ever ships more than 21
+    * ids; pairs generated bucket-locally, <= 190 per gram) with the
+    * evidence floor at >= 2 shared rare grams — a snippet has few
+    * grams total, so d6's >= 5 floor would drop the very pairs this
+    * operator exists for. Verification is one merge-walk intersect
+    * per candidate (native SortedIntersectCount over the pre-sorted
+    * distinct sets), orientation small-side-first with the doc id as
+    * the deterministic tie-break.
+    */
+  def d54(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.containmentPairs(docs(s, dir), "doc_id", "text")
+
+  /** Oracle of [[d54]] — d6's replay with the >= 2 evidence floor,
+    * small-side orientation and the containment metric.
+    */
+  val d54Sql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, $duckTokenHashes AS h FROM documents
+       |  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
+       |grams AS (SELECT doc_id, $duckGramHashes AS gs FROM th),
+       |eg AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+       |rare AS (SELECT g FROM eg GROUP BY g HAVING count(*) <= 20),
+       |egr AS (SELECT doc_id, g FROM eg JOIN rare USING (g)),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM egr a JOIN egr b USING (g) WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |v AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(g1.gs, g2.gs)) AS BIGINT) AS shared,
+       |    CAST(len(g1.gs) AS BIGINT) AS n1, CAST(len(g2.gs) AS BIGINT) AS n2
+       |  FROM cand
+       |  JOIN grams g1 ON d1 = g1.doc_id
+       |  JOIN grams g2 ON d2 = g2.doc_id)
+       |SELECT small_id, big_id, n_small, n_big, shared, cont_pm FROM (
+       |  SELECT CASE WHEN n1 <= n2 THEN d1 ELSE d2 END AS small_id,
+       |         CASE WHEN n1 <= n2 THEN d2 ELSE d1 END AS big_id,
+       |         least(n1, n2) AS n_small, greatest(n1, n2) AS n_big,
+       |         shared, shared * 1000 // least(n1, n2) AS cont_pm
+       |  FROM v) WHERE cont_pm >= 800""".stripMargin
+
   /** D22 — per-language term-frequency top-10 (corpus vocabulary
     * stats): explode tokens, two-level aggregation (map-side partial
     * on (lang, token)), deterministic rank tie-break on the token.
@@ -2863,6 +3076,9 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d54_containment" -> (d54 _),
+    "d53_cdc_chunks" -> (d53 _),
+    "d52_dsir_select" -> (d52 _),
     "d51_ivfadc" -> (d51 _),
     "d50_pq_ann" -> (d50 _),
     "d49_bloom_decontam" -> (d49 _),
@@ -2916,6 +3132,9 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d54_containment" -> d54Sql,
+    "d53_cdc_chunks" -> d53Sql,
+    "d52_dsir_select" -> d52Sql,
     "d51_ivfadc" -> d51Sql,
     "d50_pq_ann" -> d50Sql,
     "d49_bloom_decontam" -> d49Sql,

@@ -105,4 +105,15 @@ object Tables {
       .schema(schema)
       .option("mode", "PERMISSIVE")
       .json(path)
+
+  /** Schema-enforced ORC read — the second columnar wire format
+    * (Spark-native, vectorized, predicate-pushdown-capable like
+    * parquet); declared schema wins over the file footer so a
+    * drifted producer fails loud instead of silently widening.
+    */
+  def loadOrc(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .orc(path)
 }

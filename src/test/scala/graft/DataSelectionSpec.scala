@@ -1,0 +1,228 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sampling.Dsir
+
+/** Round-15 part 3 contracts: DSIR importance weighting (d52), CDC
+  * chunk dedup (d53), and the streaming decontamination gate (c29).
+  */
+class DataSelectionSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def docsDf(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, text, lang) =>
+      (id, text, lang, "web", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  // ---- d52_dsir_select ---------------------------------------------
+
+  test("d52: Spark `div` truncates toward zero, matching the oracle's `//`") {
+    // the weight can be negative; a floor-vs-trunc mismatch between
+    // engines would silently shift every negative wpt_pm by one
+    val r = spark.sql(
+      "SELECT CAST(-5 div 2 AS BIGINT) AS a, CAST(5 div 2 AS BIGINT) AS b, " +
+        "CAST(-5 % 2 AS BIGINT) AS c").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((-2L, 2L, -1L)),
+      "DuckDB gives (-2, 2, -1); both engines must truncate")
+  }
+
+  test("d52: weights separate target-dialect docs from raw-only docs") {
+    // two disjoint dialects; target = dialect A. Every A bigram
+    // bucket has ct ~ cr (s > 0 after normalization), every B bucket
+    // has ct = 0 (s < 0) — weights must split by sign.
+    val a = (0L until 30L).map(i =>
+      (i, (0 until 20).map(j => s"al${(i + j) % 7}").mkString(" "), "en"))
+    val b = (30L until 60L).map(i =>
+      (i, (0 until 20).map(j => s"be${(i + j) % 7}").mkString(" "), "de"))
+    val w = Dsir.importanceWeights(docsDf(a ++ b), "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 251)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val aMin = a.map(x => w(x._1)).min
+    val bMax = b.map(x => w(x._1)).max
+    // every target doc outweighs every raw-only doc (bucket
+    // collisions may pull an individual A doc toward 0, never below
+    // the B dialect whose buckets all carry ct = 0)
+    assert(aMin > bMax,
+      s"min target weight $aMin must exceed max raw-only weight $bMax")
+    assert(bMax < 0, s"raw-only docs must score negative, got $bMax")
+  }
+
+  test("d52: a power-of-two bucket modulus collapses structured dialects; the prime default cannot") {
+    import graft.functions.TextHash
+    // base-31 folds: swapping 'al' -> 'be' shifts every gram hash by
+    // δ·31^k, and δ·(31+1) carries a 2^5 factor — so % 256 maps the
+    // two DISJOINT dialects onto identical buckets (zero signal),
+    // which is why Dsir.DefaultBuckets is prime
+    val aG = TextHash.wordGramHashesStr("al0 al1 al2 al3 al4", 2, distinct = false)
+    val bG = TextHash.wordGramHashesStr("be0 be1 be2 be3 be4", 2, distinct = false)
+    assert(aG.map(_ % 256).toSet == bG.map(_ % 256).toSet,
+      "the resonance this guards against must actually exist at 2^k")
+    assert(aG.map(_ % 251).toSet.intersect(bG.map(_ % 251).toSet).isEmpty,
+      "a prime modulus must keep the disjoint dialects apart")
+  }
+
+  test("d52: the scoring pass is map-side — no exchange in the per-doc plan") {
+    val d = spark.read.parquet(s"${SparkTestBase.sf}/documents.parquet")
+    val out = Dsir.importanceWeights(d, "doc_id", "text",
+      isTarget = col("lang") === "en")
+    val p = out.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"),
+      "pass 2 must be scan -> project against the score literal: " +
+        "no explode, no join, no shuffle")
+  }
+
+  test("d52: documents with < 2 tokens get n_grams 0 and NULL selection") {
+    val w = Dsir.importanceWeights(
+      docsDf(Seq((1L, "solo", "en"), (2L, "two tokens here", "en"))),
+      "doc_id", "text", isTarget = col("lang") === "en", buckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.isNullAt(3), r.isNullAt(4)))).toMap
+    assert(w(1L) == ((0L, 0L, true, true)),
+      s"a bigram-less doc must be (0, 0, NULL, NULL), got ${w(1L)}")
+    assert(w(2L)._1 == 2L && !w(2L)._3,
+      "a 3-token doc has 2 bigrams and a concrete wpt_pm")
+  }
+
+  // ---- d53_cdc_chunks ----------------------------------------------
+
+  test("d53: chunks partition each document's token stream exactly") {
+    val d = spark.read.parquet(s"${SparkTestBase.sf}/documents.parquet")
+    val perDoc = Dedup.cdcChunks(d, "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(sum(col("chunk_len")).as("toks"),
+        count(lit(1)).as("n"), min(col("idx")).as("lo"),
+        max(col("idx")).as("hi"))
+    val toks = d.select(col("doc_id"),
+      size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("nt"))
+    val bad = perDoc.join(toks, "doc_id")
+      .filter(col("toks") =!= col("nt") || col("lo") =!= 1 ||
+        col("hi") =!= col("n"))
+      .count()
+    assert(bad == 0, s"$bad documents have non-partitioning chunks")
+  }
+
+  test("d53: a head insertion re-aligns every later chunk (the CDC property)") {
+    val base = (0 until 200).map(i => s"tok${i * 37 % 101}x$i").mkString(" ")
+    val chunks = Dedup.cdcChunks(
+      docsDf(Seq((1L, base, "en"), (2L, s"inserted $base", "en"))),
+      "doc_id", "text")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getLong(3), r.getLong(4), r.getLong(2))).toSet }
+    val nA = chunks(1L).size
+    assert(nA >= 5, s"setup must produce several chunks, got $nA")
+    val shared = (chunks(1L) intersect chunks(2L)).size
+    assert(shared >= nA - 1,
+      s"CDC must re-align after the touched window: $shared of $nA " +
+        "chunks shared (a fixed-stride chunker would share 0)")
+  }
+
+  test("d53: empty and single-token documents chunk totally") {
+    val rows = Dedup.cdcChunks(
+      docsDf(Seq((1L, "", "en"), (2L, "solo", "en"))), "doc_id", "text")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // "" still splits to one empty token under \s+ (the engine-wide
+    // tokenization rule) -> one chunk of length 1; "solo" likewise
+    assert(rows.forall(_._3 >= 1) && rows.map(_._1) == Set(1L, 2L),
+      s"got $rows")
+  }
+
+  test("d53: chunking is map-side — no exchange before the chunk-key agg") {
+    val d = spark.read.parquet(s"${SparkTestBase.sf}/documents.parquet")
+    val p = Dedup.cdcChunks(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"),
+      "boundaries, slices and folds must run inside the scan's " +
+        "project; only chunk summaries may shuffle (in the consumer)")
+  }
+
+  // ---- d54_containment ---------------------------------------------
+
+  test("d54: containment catches the snippet that Jaccard structurally misses") {
+    // 600-token article + a 40-token excerpt: J ~= 38/598 < the d6
+    // threshold, C = 1.0 — exactly the quote/boilerplate class
+    val words = (0 until 600).map(i => s"w${i * 13 % 887}q$i")
+    val article = words.mkString(" ")
+    val snippet = words.slice(200, 240).mkString(" ")
+    val filler = (0 until 50).map(i => s"zz$i yy$i xx$i").mkString(" ")
+    val out = Dedup.containmentPairs(
+      docsDf(Seq((1L, article, "en"), (2L, snippet, "en"),
+        (3L, filler, "en"))),
+      "doc_id", "text").collect()
+    assert(out.length == 1, s"exactly the (snippet, article) pair: " +
+      out.map(_.toSeq).mkString(";"))
+    val r = out.head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L,
+      "orientation must be small-side-first")
+    assert(r.getLong(5) == 1000L,
+      s"a verbatim excerpt is 1000‰ contained, got ${r.getLong(5)}")
+    // and the pair is invisible to symmetric Jaccard at d6's floor
+    val jacPm = r.getLong(4) * 1000 /
+      (r.getLong(2) + r.getLong(3) - r.getLong(4))
+    assert(jacPm < 100, s"setup must be sub-Jaccard-threshold, got $jacPm")
+  }
+
+  test("d54: bounded candidates equal the naive all-pairs containment on sf0.001") {
+    import graft.functions.TextHash
+    val d = spark.read.parquet(s"${SparkTestBase.sf}/documents.parquet")
+    val grams = d.select(col("doc_id"),
+      array_sort(TextHash.word_gram_hashes(col("text"), 3, distinct = true))
+        .as("gs"))
+      .filter(size(col("gs")) >= 1)
+    val eg = grams.select(col("doc_id"), explode(col("gs")).as("g"))
+    val rare = eg.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select("g")
+    val cand = eg.join(rare, "g").select(col("doc_id").as("d1"), col("g"))
+      .join(eg.join(rare, "g").select(col("doc_id").as("d2"), col("g")), "g")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("d1", "d2")
+    val expected = cand
+      .join(grams.select(col("doc_id").as("d1"), col("gs").as("gs1")), "d1")
+      .join(grams.select(col("doc_id").as("d2"), col("gs").as("gs2")), "d2")
+      .select(
+        when(size(col("gs1")) <= size(col("gs2")), col("d1"))
+          .otherwise(col("d2")).as("small_id"),
+        when(size(col("gs1")) <= size(col("gs2")), col("d2"))
+          .otherwise(col("d1")).as("big_id"),
+        TextHash.sorted_intersect_count(col("gs1"), col("gs2")).as("shared"),
+        least(size(col("gs1")), size(col("gs2"))).cast("long").as("n_small"))
+      .withColumn("cont_pm", expr("shared * 1000 div n_small"))
+      .filter(col("cont_pm") >= 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.containmentPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"bounded-candidate result must equal the naive replay")
+  }
+
+  // ---- c29_stream_decontam -----------------------------------------
+
+  test("c29 equals its batch bloom-free replay (stream + bloom change nothing)") {
+    import graft.functions.TextHash
+    val dir = SparkTestBase.sf
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("bucket",
+        pmod(TextHash.poly_hash(concat(col("text"), lit("|split"))), lit(1000)))
+    def grams(d: org.apache.spark.sql.DataFrame, idCol: String) = d.select(
+      col("doc_id").as(idCol),
+      explode(TextHash.word_gram_hashes(col("text"), 5, distinct = true)).as("g"))
+    val testG = grams(base.filter(col("bucket") >= 950), "test_id")
+    val expected = grams(base.filter(col("bucket") < 900), "train_id")
+      .join(testG, "g")
+      .groupBy("train_id", "test_id").agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = SparkEntry.queries("c29_stream_decontam")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "sf0.001 must exercise at least one contaminated pair")
+  }
+}

@@ -104,6 +104,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == sample.count())
   }
 
+  test("ORC round-trip with explicit schema is bit-lossless") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    sample.write.mode("overwrite").orc(dir)
+    val back = Tables.loadOrc(spark, dir, schema)
+    assert(back.schema == schema)
+    assert(back.collect().map(_.toSeq).toSet ==
+      sample.collect().map(_.toSeq).toSet,
+      "every row must survive the ORC write/read unchanged")
+  }
+
   test("malformed CSV rows are nulled, not fatal (PERMISSIVE)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_badcsv").toString
     java.nio.file.Files.writeString(
