@@ -471,6 +471,83 @@ object Dedup {
       .filter(col("cont_pm") >= minContPm)
   }
 
+  /** Exact duplicated-SUBSTRING intervals (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the ExactSubstr pass): every SLIDING `width`-token gram that
+    * occurs >= 2 times anywhere in the corpus (across documents OR
+    * within one) is a duplicated seed; per document, overlapping and
+    * adjacent seed intervals [pos, pos+width) coalesce into maximal
+    * duplicated-token islands — the contiguous regions a removal
+    * pass would cut. Stride-1 grams are what make the intervals
+    * EXACT: d39's fixed-stride spans only see duplication aligned to
+    * its 8-token grid (a copied sentence starting mid-span is
+    * invisible); the sliding seeds catch every duplicated run
+    * >= width tokens at any alignment, and the island union is its
+    * exact extent.
+    *
+    * Output: one row per document — (id, n_tokens, n_seeds,
+    * n_islands, dup_tokens, max_island), where dup_tokens is the
+    * exact union size (islands never overlap) and zero-dup documents
+    * report zeros.
+    *
+    * Scale shape: the gram stream (id, pos, gram_hash) is ~n_tokens
+    * rows of three integers built map-side in one scan
+    * ([[TextHash.word_gram_hashes]], O(n) rolling fold, codegen'd).
+    * Corpus-wide seed counts use groupBy(gram) — NOT a window — so
+    * the hot boilerplate gram is absorbed by map-side partial
+    * aggregation instead of piling its occurrences into one window
+    * partition; the seed filter is then an equi-join of the stream
+    * against the df>=2 gram set (AQE splits the skewed build
+    * partitions a hot gram creates). Only duplicated seeds (the
+    * sliver) re-shuffle by document for the island windows. Total:
+    * two exchanges of the full stream, one of the sliver — the
+    * suffix-array construction the paper uses single-node is
+    * replaced by hash aggregation, the only corpus-scale primitive
+    * a 1000-executor cluster actually has for this.
+    */
+  def dupIntervals(docs: DataFrame, id: String, text: String,
+      width: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width >= 1, s"gram width must be >= 1, got $width")
+    val base = docs.select(col(id),
+      TextHash.word_gram_hashes(col(text), width, distinct = false)
+        .as("__gh"),
+      size(TextHash.word_gram_hashes(col(text), 1, distinct = false))
+        .cast("long").as("n_tokens"))
+    val stream = base
+      .select(col(id), posexplode(col("__gh")).as(Seq("__pos", "__g")))
+      .select(col(id), col("__pos").cast("long").as("__pos"), col("__g"))
+    val dupGrams = stream.groupBy("__g")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select("__g")
+    val seeds = stream.join(dupGrams, "__g").select(col(id), col("__pos"))
+    val wDoc = Window.partitionBy(id).orderBy("__pos")
+    val islands = seeds
+      .withColumn("__prev_end", max(col("__pos") + width)
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("__pos") > coalesce(col("__prev_end"), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(wDoc))
+      .groupBy(col(id), col("__isl"))
+      .agg(min(col("__pos")).as("__s"),
+        (max(col("__pos")) + width).as("__e"),
+        count(lit(1)).as("__seeds"))
+    val perDoc = islands.groupBy(col(id))
+      .agg(sum(col("__seeds")).as("__n_seeds"),
+        count(lit(1)).as("__n_islands"),
+        sum(col("__e") - col("__s")).as("__dup_tokens"),
+        max(col("__e") - col("__s")).as("__max_island"))
+    base.select(col(id), col("n_tokens"))
+      .join(perDoc, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("__n_seeds"), lit(0L)).as("n_seeds"),
+        coalesce(col("__n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("__dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("__max_island"), lit(0L)).as("max_island"))
+  }
+
   /** MinHash signature column over k-char shingles. */
   def minhashSignature(text: Column, shingleK: Int, numPerms: Int): Column =
     TextHash.minhash_sig(TextHash.shingle_hashes(lower(trim(text)), shingleK), numPerms)

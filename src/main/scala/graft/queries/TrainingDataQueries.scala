@@ -1486,6 +1486,63 @@ object TrainingDataQueries {
        |         shared, shared * 1000 // least(n1, n2) AS cont_pm
        |  FROM v) WHERE cont_pm >= 800""".stripMargin
 
+  /** D55 — exact duplicated-substring intervals
+    * ([[graft.dedup.Dedup.dupIntervals]] — Lee et al. 2022's
+    * ExactSubstr pass, hash-aggregation form): sliding 8-token gram
+    * seeds duplicated >= 2x corpus-wide (across docs or within one),
+    * coalesced per document into maximal duplicated-token islands.
+    * The alignment-free upgrade of d39: fixed-stride spans only see
+    * duplication on their 8-token grid; the stride-1 seeds catch a
+    * copied run at ANY offset and the island union reports its exact
+    * extent — (n_islands, dup_tokens, max_island) per doc is
+    * precisely what a removal pass cuts.
+    */
+  def d55(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.dupIntervals(docs(s, dir), "doc_id", "text")
+
+  /** Oracle of [[d55]] — the same seed/island construction over
+    * [[duckTokenHashes]]: slide the 8-wide fold, count grams
+    * corpus-wide, gaps-and-islands per doc with the running-max-end
+    * break rule.
+    */
+  val d55Sql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, $duckTokenHashes AS h FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(di_i - 1 AS BIGINT) AS pos,
+       |    list_reduce(h[CAST(di_i AS INT):CAST(di_i+7 AS INT)],
+       |      (di_a, di_x) -> (di_a*31 + di_x) % 1000000007) AS gk
+       |  FROM th, unnest(range(1, len(h)-8+2)) AS t(di_i)),
+       |dupg AS (SELECT gk FROM g GROUP BY gk HAVING count(*) >= 2),
+       |s AS (SELECT doc_id, pos FROM g JOIN dupg USING (gk)),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > coalesce(max(pos + 8) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM s),
+       |mi AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM m),
+       |isl AS (
+       |  SELECT doc_id, isl, min(pos) AS st, max(pos) + 8 AS en,
+       |    count(*) AS seeds
+       |  FROM mi GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(seeds) AS BIGINT) AS n_seeds,
+       |    CAST(count(*) AS BIGINT) AS n_islands,
+       |    CAST(sum(en - st) AS BIGINT) AS dup_tokens,
+       |    CAST(max(en - st) AS BIGINT) AS max_island
+       |  FROM isl GROUP BY 1)
+       |SELECT th.doc_id, CAST(len(h) AS BIGINT) AS n_tokens,
+       |  coalesce(n_seeds, 0) AS n_seeds,
+       |  coalesce(n_islands, 0) AS n_islands,
+       |  coalesce(dup_tokens, 0) AS dup_tokens,
+       |  coalesce(max_island, 0) AS max_island
+       |FROM th LEFT JOIN agg USING (doc_id)""".stripMargin
+
   /** D22 — per-language term-frequency top-10 (corpus vocabulary
     * stats): explode tokens, two-level aggregation (map-side partial
     * on (lang, token)), deterministic rank tie-break on the token.
@@ -3076,6 +3133,7 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d55_dup_intervals" -> (d55 _),
     "d54_containment" -> (d54 _),
     "d53_cdc_chunks" -> (d53 _),
     "d52_dsir_select" -> (d52 _),
@@ -3132,6 +3190,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d55_dup_intervals" -> d55Sql,
     "d54_containment" -> d54Sql,
     "d53_cdc_chunks" -> d53Sql,
     "d52_dsir_select" -> d52Sql,

@@ -292,4 +292,74 @@ class Round15OpsSpec extends AnyFunSuite {
       "a zero-norm slice has no spherical code; the vector must drop")
     assert(enc.count() == 200)
   }
+
+  // ---- d55_dup_intervals ------------------------------------------------
+
+  private def dupOut(rows: Seq[(Long, String)]): Map[Long, (Long, Long, Long, Long)] =
+    Dedup.dupIntervals(streamDocsDf(rows), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+
+  test("d55: a copied 12-token run at UNALIGNED offsets is one exact island in both docs") {
+    val run = (0 until 12).map(i => s"dup$i")
+    val d0 = ((0 until 5).map(i => s"a$i") ++ run ++
+      (0 until 3).map(i => s"z$i")).mkString(" ")
+    val d1 = ((0 until 2).map(i => s"q$i") ++ run ++
+      (0 until 4).map(i => s"y$i")).mkString(" ")
+    val out = dupOut(Seq(0L -> d0, 1L -> d1))
+    // 12 duplicated tokens -> 5 sliding seeds (12-8+1), coalescing
+    // into ONE island of exactly 12 tokens — at offset 5 in doc 0 and
+    // offset 2 in doc 1, neither on d39's 8-token grid.
+    assert(out(0L) == ((5L, 1L, 12L, 12L)), s"doc 0: ${out(0L)}")
+    assert(out(1L) == ((5L, 1L, 12L, 12L)), s"doc 1: ${out(1L)}")
+  }
+
+  test("d55: WITHIN-doc repetition is a duplicate — two islands, no cross-doc copy needed") {
+    val rep = (0 until 8).map(i => s"r$i")
+    val doc = (rep ++ Seq("x0", "x1", "x2") ++ rep).mkString(" ")
+    val out = dupOut(Seq(0L -> doc, 1L -> "lonely unique text here"))
+    assert(out(0L) == ((2L, 2L, 16L, 8L)), s"doc 0: ${out(0L)}")
+    assert(out(1L) == ((0L, 0L, 0L, 0L)), s"doc 1: ${out(1L)}")
+  }
+
+  test("d55: ADJACENT duplicated blocks merge into one contiguous island") {
+    val b1 = (0 until 8).map(i => s"p$i")
+    val b2 = (0 until 8).map(i => s"w$i")
+    // doc 0 carries B1 then B2 back-to-back; docs 1/2 duplicate each
+    // block separately. In doc 0 the junction grams (spanning p..w)
+    // are unique, so seeds sit at pos 2 and pos 10 only — pos 10
+    // == prev island end, i.e. the duplicated regions are contiguous
+    // tokens and must coalesce into ONE 16-token island.
+    val d0 = (Seq("u0", "u1") ++ b1 ++ b2).mkString(" ")
+    val d1 = (Seq("m0") ++ b1 ++ Seq("m1", "m2")).mkString(" ")
+    val d2 = (Seq("n0", "n1", "n2") ++ b2).mkString(" ")
+    val out = dupOut(Seq(0L -> d0, 1L -> d1, 2L -> d2))
+    assert(out(0L) == ((2L, 1L, 16L, 16L)), s"doc 0: ${out(0L)}")
+    assert(out(1L) == ((1L, 1L, 8L, 8L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((1L, 1L, 8L, 8L)), s"doc 2: ${out(2L)}")
+  }
+
+  test("d55: short and zero-dup docs report zero rows-with-zeros, not missing rows") {
+    val out = dupOut(Seq(
+      0L -> "only three tokens",
+      1L -> (0 until 20).map(i => s"solo$i").mkString(" ")))
+    assert(out(0L) == ((0L, 0L, 0L, 0L)))
+    assert(out(1L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("d55: seed counting is a partial-agg groupBy + equi-join, not a gram-partitioned window") {
+    val df = Dedup.dupIntervals(
+      streamDocsDf(Seq(0L -> "a b c d e f g h i j")), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString()
+    // exactly the two island windows (running max-end + island id
+    // share one Window frame spec each); a gram-keyed window would
+    // add a third and pile every occurrence of a hot boilerplate
+    // gram into one partition with no partial aggregation.
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows <= 2, s"expected <= 2 Window nodes, got $windows:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      "the corpus-wide gram count must partial-aggregate map-side")
+  }
 }
