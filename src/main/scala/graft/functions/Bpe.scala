@@ -150,6 +150,92 @@ object Bpe {
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
       .toSeq
 
+  /** BPE TRAINING (Sennrich et al. 2016 §3.2): learn `numMerges`
+    * merges from the corpus itself — the other half of the tokenizer
+    * story (d38/[[tokenCount]] APPLY a given table; this produces
+    * one). Per round: count adjacent symbol pairs over the corpus
+    * (weighted by word frequency), pick the most frequent, merge it
+    * everywhere, repeat. Output: (rank, left, right, pair_n) — the
+    * learned merge table, directly feedable to [[tokenCount]].
+    *
+    * Semantics (pinned, deterministic):
+    *   - pre-tokenize/wordCap/delimiting exactly as [[tokenCount]]
+    *   - candidate pairs are DISTINCT-sided only (l != r) — the
+    *     library's apply contract rejects same-symbol merges as
+    *     order-sensitive (class doc), so training never learns one;
+    *     with distinct sides, adjacent occurrences are provably
+    *     disjoint and the pair count is the plain adjacent-index
+    *     count
+    *   - argmax tie-break: highest count, then (left, right)
+    *     lexicographic — total order, no randomness
+    *   - a learned table is automatically "consistently ordered" in
+    *     the class-doc sense (a merge producing `lr` is learned
+    *     before any merge consuming `lr` can exist), so greedy apply
+    *     == rank-order apply on everything this returns
+    *   - fewer than `numMerges` learnable pairs (tiny corpora) stops
+    *     early and returns the rounds that exist
+    *
+    * Scale shape: the corpus is scanned ONCE into a distinct-word
+    * frequency frame (the classic BPE-training reduction — pair
+    * statistics are identical on (word, freq) and the frame is
+    * corpus-VOCABULARY-sized, orders of magnitude below the corpus);
+    * that frame persists for the loop, and each round is one
+    * partial-agg pair count over it plus a ONE-ROW argmax collect
+    * (dim-class, like a centroid collect). The merge is applied
+    * lazily as a [[Passes]]-pass replace fold stacked on the frame —
+    * at numMerges rounds the round-i count re-evaluates i·Passes
+    * replaces per VOCAB row, trivial beside the corpus scan it
+    * replaced. Nothing corpus-sized is ever collected or re-read.
+    */
+  def train(docs: DataFrame, text: String, numMerges: Int = 8,
+      wordCap: Int = WordCapDefault): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(
+        regexp_extract_all(lower(col(text)), lit("[a-z0-9]+"), lit(0)))
+        .as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__freq"))
+      .select(delimit(substring(col("__w"), 1, wordCap)).as("__st"),
+        col("__freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val learned = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    try {
+      var state = vocab.select(col("__st"), col("__freq"))
+      var rank = 0L
+      var exhausted = false
+      while (rank < numMerges && !exhausted) {
+        val top = state
+          .select(col("__freq"),
+            filter(split(col("__st"), "\\|"), s => s =!= "").as("__sy"))
+          .filter(size(col("__sy")) >= 2)
+          .select(col("__freq"), explode(transform(
+            sequence(lit(1), size(col("__sy")) - 1),
+            i => struct(
+              element_at(col("__sy"), i).as("l"),
+              element_at(col("__sy"), i + 1).as("r")))).as("__p"))
+          .select(col("__p.l").as("l"), col("__p.r").as("r"), col("__freq"))
+          .filter(col("l") =!= col("r"))
+          .groupBy("l", "r").agg(sum("__freq").as("n"))
+          .orderBy(desc("n"), asc("l"), asc("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, n) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          learned += ((rank, l, r, n))
+          val (pat, rep) = (s"|$l|$r|", s"|$l$r|")
+          state = state.withColumn("__st",
+            (1 to Passes).foldLeft(col("__st"))((c, _) =>
+              replace(c, lit(pat), lit(rep))))
+          rank += 1
+        }
+      }
+    } finally vocab.unpersist()
+    learned.toSeq.toDF("rank", "left", "right", "pair_n")
+  }
+
   /** The BPE symbol sequence per word (test/debug surface — the
     * catalog path only needs counts): array over words of the
     * folded delimited string.

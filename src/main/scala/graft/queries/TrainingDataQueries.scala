@@ -1543,6 +1543,59 @@ object TrainingDataQueries {
        |  coalesce(max_island, 0) AS max_island
        |FROM th LEFT JOIN agg USING (doc_id)""".stripMargin
 
+  /** D56 — BPE tokenizer TRAINING ([[graft.functions.Bpe.train]] —
+    * Sennrich et al. 2016 §3.2): learn the top-8 merges from the
+    * corpus itself. d38 APPLIES a given merge table; this produces
+    * one — per round, count adjacent symbol pairs corpus-wide
+    * (weighted by word frequency, distinct-sided only per the
+    * library's apply contract), merge the argmax everywhere, repeat.
+    * Output = the learned merge table (rank, left, right, pair_n),
+    * directly feedable to d38.
+    */
+  def d56(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Bpe.train(docs(s, dir), "text", numMerges = 8)
+
+  /** Oracle of [[d56]] — the full 8-round training loop replayed as
+    * static SQL: the data-dependent argmax of round i lives in CTE
+    * m_i (count desc, then lexicographic — one row), and the merge
+    * application is the same [[graft.functions.Bpe.Passes]]-pass
+    * replace fold the engine runs, with m_i's columns spliced in via
+    * a one-row cross join.
+    */
+  val d56Sql: String = {
+    val rounds = 8
+    val blocks = (1 to rounds).map { i =>
+      val prev = s"s${i - 1}"
+      val pat = s"'|' || m$i.l || '|' || m$i.r || '|'"
+      val rep = s"'|' || m$i.l || m$i.r || '|'"
+      val folded = (1 to graft.functions.Bpe.Passes)
+        .foldLeft("st")((acc, _) => s"replace($acc, $pat, $rep)")
+      s"""p$i AS (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT sy[bt_i] AS l, sy[bt_i+1] AS r, freq FROM (
+         |      SELECT string_split(trim(st, '|'), '|') AS sy, freq
+         |      FROM $prev),
+         |      unnest(range(1, len(sy))) AS t(bt_i))
+         |  WHERE l <> r GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |s$i AS (SELECT $folded AS st, freq FROM $prev, m$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(i =>
+      s"""SELECT CAST(${i - 1} AS BIGINT) AS "rank", l AS "left",
+         |  r AS "right", n AS pair_n FROM m$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |    FROM documents) GROUP BY 1),
+       |s0 AS (
+       |  SELECT '|' || regexp_replace(w[1:256], '(.)', '\\1|', 'g') AS st,
+       |    freq
+       |  FROM w0),
+       |$blocks
+       |$union""".stripMargin
+  }
+
   /** D22 — per-language term-frequency top-10 (corpus vocabulary
     * stats): explode tokens, two-level aggregation (map-side partial
     * on (lang, token)), deterministic rank tie-break on the token.
@@ -3133,6 +3186,7 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d56_bpe_train" -> (d56 _),
     "d55_dup_intervals" -> (d55 _),
     "d54_containment" -> (d54 _),
     "d53_cdc_chunks" -> (d53 _),
@@ -3190,6 +3244,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d56_bpe_train" -> d56Sql,
     "d55_dup_intervals" -> d55Sql,
     "d54_containment" -> d54Sql,
     "d53_cdc_chunks" -> d53Sql,

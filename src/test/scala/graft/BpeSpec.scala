@@ -199,4 +199,60 @@ class BpeSpec extends AnyFunSuite {
     assert(e1 == "|a|bc|")
     assert(e2 == "|ab|c|")
   }
+
+  // ---- training (d56) -----------------------------------------------
+
+  private def trainOn(texts: Seq[String], numMerges: Int = 8) = {
+    import spark.implicits._
+    Bpe.train(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text"), "text", numMerges)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("train: frequency argmax, multi-char symbol formation, early stop") {
+    // freq(ab)=3, freq(cd)=2: rank 0 = (a,b,3); then "ab" is one
+    // symbol and (c,d,2) follows; then no pairs remain -> early stop
+    // at 2 of the 8 requested merges.
+    val got = trainOn(Seq("ab ab", "ab cd", "cd"))
+    assert(got == Seq((0L, "a", "b", 3L), (1L, "c", "d", 2L)), got.toString)
+  }
+
+  test("train: a learned merge chains into later rounds ('ab' + 'c')") {
+    val got = trainOn(Seq("abc abc"))
+    // round 1: (a,b)=2 ties (b,c)=2, lexicographic pick (a,b);
+    // round 2: the FORMED symbol pairs (ab,c)=2.
+    assert(got == Seq((0L, "a", "b", 2L), (1L, "ab", "c", 2L)), got.toString)
+  }
+
+  test("train: same-symbol pairs are never candidates (apply-contract consistency)") {
+    // "aaaa" is wall-to-wall (a,a) pairs; only (b,c) is learnable.
+    val got = trainOn(Seq("aaaa aaaa aaaa bc"))
+    assert(got == Seq((0L, "b", "c", 1L)), got.toString)
+  }
+
+  test("train: weights are WORD-frequency sums, pre-tokenized like tokenCount") {
+    // "Ab-ab!" lowercases and splits to two 'ab' words: freq(a,b)=4.
+    val got = trainOn(Seq("Ab-ab!", "ab AB"))
+    assert(got.head == ((0L, "a", "b", 4L)), got.toString)
+  }
+
+  test("train: learned table round-trips through tokenCount") {
+    import spark.implicits._
+    val docs = Seq((1L, "river rider"), (2L, "river river raid"))
+      .toDF("doc_id", "text")
+    val table = Bpe.train(docs, "text", numMerges = 6)
+    // every learned merge is valid under the apply contract
+    // (distinct-sided, [a-z0-9]+), so tokenCount must accept the
+    // table as-is and counts must only SHRINK vs character count
+    val counts = Bpe.tokenCount(docs, table, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(counts(1L)._2 < 10L && counts(1L)._2 >= 2L, counts.toString)
+    assert(counts(2L)._2 < 15L && counts(2L)._2 >= 3L, counts.toString)
+  }
+
+  test("train: empty and no-word corpora return an empty table, not a crash") {
+    assert(trainOn(Seq("", "!!! ???")).isEmpty)
+  }
 }
