@@ -1142,7 +1142,13 @@ object TrainingDataQueries {
       kcCoarse = 16, nprobe = 4, k = 4)
   }
 
-  val d51Sql: String = {
+  /** The IVFADC oracle's CTE chain through `scored` (coarse kmeans +
+    * four sub-quantizer kmeans chains + reconstruction + the nprobe=4
+    * probe + ADC scoring of probed-list members) for the
+    * `vec_id % 40 = 0` query set — shared by d51 (top-k cut) and d57
+    * (shortlist + exact re-rank).
+    */
+  private def ivfAdcScoredCtes: String = {
     val sliceOk = (0 until 4).map { mi =>
       val sl = s"fe[${mi * 16 + 1}:${(mi + 1) * 16}]"
       s"sqrt(${duckDot(sl, sl)}) > 0"
@@ -1152,7 +1158,7 @@ object TrainingDataQueries {
          |  SELECT vec_id, fe[${mi * 16 + 1}:${(mi + 1) * 16}] AS e FROM okv),
          |${duckKmeansChainPrefixed(s"p$mi", dim = 16, kcSql = "16")}""".stripMargin
     }.mkString(",\n")
-    s"""WITH okv AS (
+    s"""okv AS (
        |  SELECT vec_id, fe FROM (
        |    SELECT vec_id,
        |      list_transform(embedding, pq_x -> CAST(pq_x AS DOUBLE)) AS fe
@@ -1188,13 +1194,59 @@ object TrainingDataQueries {
        |  FROM probes p
        |  JOIN cgassign a USING (cid)
        |  JOIN recon r ON a.vec_id = r.vec_id
-       |  WHERE a.vec_id <> p.q_id)
+       |  WHERE a.vec_id <> p.q_id)""".stripMargin
+  }
+
+  val d51Sql: String =
+    s"""WITH $ivfAdcScoredCtes
        |SELECT q_id, rk, n_id, adc_cos FROM (
        |  SELECT q_id, n_id, adc_cos,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY adc_cos DESC, n_id) AS BIGINT) AS rk
        |  FROM scored) WHERE rk <= 4""".stripMargin
+
+  /** D57 — IVFADC+R ([[graft.similarity.Pq.ivfAdcRerank]] — Jégou et
+    * al. 2011 §V): d51's route-and-ADC produces a 16-candidate
+    * SHORTLIST per query, and only shortlist members are re-scored by
+    * EXACT cosine over their raw vectors before the final top-4 cut —
+    * the standard recall-restoring refinement, paying exact-vector
+    * I/O for kShort rows per query instead of a corpus scan. The
+    * shortlist is the broadcast side of the refinement join, so the
+    * corpus vector table streams through reading (vid, vec) only.
+    * Every kernel is d51's bit-reproducible machinery plus the d9
+    * exact-cosine fold, so the full composition replays in SQL:
+    * the shared IVFADC chain + one shortlist CTE + one refinement
+    * join.
+    */
+  def d57(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Pq
+    val e = emb(s, dir)
+    Pq.ivfAdcRerank(e.filter(col("vec_id") % 40 === 0), e,
+      "vec_id", "embedding", m = 4, subDim = 16, kc = 16,
+      kcCoarse = 16, nprobe = 4, kShort = 16, k = 4)
   }
+
+  val d57Sql: String =
+    s"""WITH $ivfAdcScoredCtes,
+       |short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY adc_cos DESC, n_id) AS srk
+       |    FROM scored) WHERE srk <= 16),
+       |rr AS (
+       |  SELECT sh.q_id, sh.n_id,
+       |    ${duckDot("qv.fe", "nv.fe")} /
+       |      (sqrt(${duckDot("qv.fe", "qv.fe")}) *
+       |       sqrt(${duckDot("nv.fe", "nv.fe")})) AS cos
+       |  FROM short sh
+       |  JOIN okv qv ON qv.vec_id = sh.q_id
+       |  JOIN okv nv ON nv.vec_id = sh.n_id)
+       |SELECT q_id, rk, n_id, cos FROM (
+       |  SELECT q_id, n_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+       |  FROM rr) WHERE rk <= 4""".stripMargin
 
   /** D49 — bloom-prefiltered decontamination (d21's contract at the
     * 100 TB shape): test-split documents sharing >= 2 distinct
@@ -3186,6 +3238,7 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d57_adc_rerank" -> (d57 _),
     "d56_bpe_train" -> (d56 _),
     "d55_dup_intervals" -> (d55 _),
     "d54_containment" -> (d54 _),
@@ -3244,6 +3297,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d57_adc_rerank" -> d57Sql,
     "d56_bpe_train" -> d56Sql,
     "d55_dup_intervals" -> d55Sql,
     "d54_containment" -> d54Sql,

@@ -185,6 +185,53 @@ object Pq {
       .select("q_id", "rk", "n_id", "adc_cos")
   }
 
+  /** IVFADC+R — the re-ranked refinement of [[ivfAdcTopK]] (Jégou
+    * et al. 2011 §V "re-ranking with source coding"): the coarse
+    * route + ADC scan produce a SHORTLIST of `kShort` candidates per
+    * query, and only those candidates are re-scored by EXACT cosine
+    * over their raw vectors before the final top-`k` cut. This is
+    * the standard recall-restoring tail: ADC ordering errors (the
+    * quantization noise of m·log2(kc)-bit codes) are confined to the
+    * shortlist boundary, and the refinement pays exact-vector I/O
+    * for kShort rows per query instead of a corpus scan.
+    *
+    * Scale shape: the shortlist (n_queries × kShort rows of two ids)
+    * is the dim-class side — it BROADCASTS onto the corpus vector
+    * table, so the refinement join reads only (vid, vec) columns and
+    * prunes corpus-side rows inside the join (the Spark analogue of
+    * the paper's random-access raw-vector fetch). Every kernel below
+    * the re-rank is [[ivfAdcTopK]]'s bit-reproducible machinery and
+    * the re-rank itself is the d9 exact-cosine fold, so the WHOLE
+    * composition still carries a SQL oracle — shortlist chain + one
+    * refinement join.
+    */
+  def ivfAdcRerank(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, m: Int, subDim: Int, kc: Int, kcCoarse: Int,
+      nprobe: Int, kShort: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortlist = ivfAdcTopK(queries, corpus, id, vec, m, subDim,
+        kc, kcCoarse, nprobe, kShort)
+      .select(col("q_id"), col("n_id"))
+    val v = pqFrame(corpus, id, vec, m, subDim)
+    val q = pqFrame(queries, id, vec, m, subDim)
+      .select(col("vid").as("q_id"), col("e").as("qe"),
+        norm2(col("e")).as("qnrm"))
+    // (shortlist ⋈ queries) is nq·kShort rows — the broadcast side;
+    // the corpus vector table streams through the hash join reading
+    // (vid, vec) only, with non-shortlisted rows dropped at the join
+    val shortQ = shortlist.join(q, "q_id")
+    v.select(col("vid").as("n_id"), col("e").as("ne"),
+        norm2(col("e")).as("nnrm"))
+      .join(broadcast(shortQ), "n_id")
+      .select(col("q_id"), col("n_id"),
+        (dot(col("qe"), col("ne")) / (col("qnrm") * col("nnrm"))).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("n_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+  }
+
   /** Asymmetric-distance top-k: raw queries against the RECONSTRUCTED
     * corpus. The query set is the dim-class side (broadcast); the
     * corpus side is the codes table + codebook joins — the raw

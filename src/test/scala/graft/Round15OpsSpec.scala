@@ -280,6 +280,44 @@ class Round15OpsSpec extends AnyFunSuite {
       s"$wrong of ${top.length} IVFADC neighbors crossed a cluster boundary")
   }
 
+  test("d57: with the cluster inside the shortlist, re-rank equals EXACT brute-force top-k") {
+    import graft.similarity.Pq
+    val v = clusteredVecs
+    val queries = v.filter(col("vec_id") % 50 === 0)
+    // kShort=24 >= own-cluster size (25 incl. self) - self, and nprobe=2
+    // keeps the route inside the winning lists: the shortlist then
+    // contains every exact top-4 candidate, so the refinement must
+    // reproduce brute force BIT-EXACTLY (same dot/norm folds) even
+    // where ADC's quantized ordering disagrees.
+    val rr = Pq.ivfAdcRerank(queries, v, "vec_id", "embedding",
+      m = 4, subDim = 16, kc = 16, kcCoarse = 8, nprobe = 2,
+      kShort = 24, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val exact = Similarity.bruteForceTopK(queries, v, "vec_id", "embedding", k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rr.size == 4 * 4)
+    assert(rr == exact,
+      "re-ranked top-4 must equal the exact top-4 (ids, ranks, AND scores)")
+  }
+
+  test("d57: re-rank output is a subset of the ADC shortlist") {
+    import graft.similarity.Pq
+    val v = clusteredVecs
+    val queries = v.filter(col("vec_id") % 50 === 0)
+    val short = Pq.ivfAdcTopK(queries, v, "vec_id", "embedding",
+      m = 4, subDim = 16, kc = 16, kcCoarse = 8, nprobe = 2, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rr = Pq.ivfAdcRerank(queries, v, "vec_id", "embedding",
+      m = 4, subDim = 16, kc = 16, kcCoarse = 8, nprobe = 2,
+      kShort = 8, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rr.nonEmpty && rr.subsetOf(short),
+      "the refinement may only re-order shortlist members, never add candidates")
+  }
+
   test("d50: vectors with a zero-norm subspace slice are excluded, not NaN-ranked") {
     import spark.implicits._
     import graft.similarity.Pq
