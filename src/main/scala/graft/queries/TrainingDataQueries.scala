@@ -1248,6 +1248,62 @@ object TrainingDataQueries {
        |      ORDER BY cos DESC, n_id) AS BIGINT) AS rk
        |  FROM rr) WHERE rk <= 4""".stripMargin
 
+  /** D58 — SPANN-layout ANN ([[graft.similarity.Similarity.spannTopK]]
+    * — Chen et al., NeurIPS 2021 §3.2 closure assignment): inverted
+    * lists with BOUNDARY DUPLICATION — every vector joins its argmax
+    * list plus any list whose centroid cosine is within 0.05 of the
+    * best (≤2 replicas), so the vectors a single-assignment probe at
+    * nprobe=1 systematically misses are present in every list they
+    * border, and the probe still reads ONE inverted list. Assignment
+    * is fully map-side (centroids re-enter as one array-of-struct
+    * literal — the d52 idiom — per row: kc in-row cosine folds + one
+    * in-row sort, no crossJoin expansion, no window, no exchange);
+    * replication bounds list growth at ≤2×. Deterministic end to end
+    * (shared kmeans quantizer + double compares + the argmax tie
+    * rule) → full SQL oracle.
+    */
+  def d58(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.similarity.Similarity.spannTopK(
+      e.filter(col("vec_id") % 40 === 0), e, "vec_id", "embedding",
+      k = 4, kCentroids = 16, deltaMilli = 50, maxAssign = 2, nprobe = 1)
+  }
+
+  val d58Sql: String = {
+    val vc = s"${duckDot("v.e", "c.ce")} / (v.nrm * c.cnrm)"
+    s"""WITH $duckKmeansAssign,
+       |closure AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      $vc AS csim,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY $vc DESC, c.cid) AS ark,
+       |      max($vc) OVER (PARTITION BY v.vec_id) AS best
+       |    FROM v CROSS JOIN cents c)
+       |  WHERE ark <= 2 AND csim >= best - 0.05),
+       |probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.vec_id AS q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckDot("q.e", "c.ce")} / (q.nrm * c.cnrm) DESC,
+       |                 c.cid) AS crk
+       |    FROM (SELECT * FROM v WHERE vec_id % 40 = 0) q
+       |    CROSS JOIN cents c) WHERE crk <= 1),
+       |scored AS (
+       |  SELECT DISTINCT p.q_id, cl.vec_id AS n_id,
+       |    ${duckDot("q.e", "n.e")} / (q.nrm * n.nrm) AS cos
+       |  FROM probes p
+       |  JOIN closure cl USING (cid)
+       |  JOIN v q ON p.q_id = q.vec_id
+       |  JOIN v n ON cl.vec_id = n.vec_id
+       |  WHERE cl.vec_id <> p.q_id)
+       |SELECT q_id, rk, n_id, cos FROM (
+       |  SELECT q_id, n_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= 4""".stripMargin
+  }
+
   /** D49 — bloom-prefiltered decontamination (d21's contract at the
     * 100 TB shape): test-split documents sharing >= 2 distinct
     * 5-token-grams with a train document. Where d21 caps fanout with
@@ -3238,6 +3294,7 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d58_spann_ann" -> (d58 _),
     "d57_adc_rerank" -> (d57 _),
     "d56_bpe_train" -> (d56 _),
     "d55_dup_intervals" -> (d55 _),
@@ -3297,6 +3354,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d58_spann_ann" -> d58Sql,
     "d57_adc_rerank" -> d57Sql,
     "d56_bpe_train" -> d56Sql,
     "d55_dup_intervals" -> d55Sql,

@@ -494,6 +494,94 @@ object Similarity {
       .select("q_id", "rk", "n_id", "cos")
   }
 
+  /** SPANN-style closure multi-assignment (Chen et al., "SPANN:
+    * Highly-efficient Billion-scale Approximate Nearest Neighbor
+    * Search", NeurIPS 2021 §3.2 — posting lists with closure): a
+    * vector joins its argmax list AND every list whose centroid
+    * cosine is within `deltaMilli`/1000 of the best, capped at
+    * `maxAssign` replicas (rank by csim DESC, cid — the argmaxAssign
+    * tie rule). Boundary vectors — the ones a single-assignment
+    * probe at small nprobe systematically misses — are thereby
+    * present in every list they border, so recall at nprobe=1
+    * approaches multi-probe recall while the probe still reads ONE
+    * inverted list. Replication is bounded: list bytes grow by at
+    * most maxAssign×, and in practice by the fraction of vectors
+    * within delta of a boundary.
+    *
+    * Scale shape: the centroid table is a dim-class collect that
+    * re-enters as ONE array-of-struct literal (the d52 idiom), so
+    * assignment is fully map-side — per row: kc in-row cosine folds,
+    * one in-row sort, a ≤maxAssign slice — NO crossJoin expansion,
+    * NO per-vector shuffle, NO window. Output (vid, cid), 1..maxAssign
+    * rows per vid; bit-reproducible (double compares + the shared
+    * tie rule), so the whole construction carries a SQL oracle.
+    */
+  private[graft] def closureAssign(v: DataFrame, cents: DataFrame,
+      deltaMilli: Long, maxAssign: Int): DataFrame = {
+    val centRows = cents
+      .select(col("cid").cast("long"), toDouble(col("cv")), col("cnrm").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq
+    val centsLit = typedLit(centRows)
+    val sims = transform(centsLit, c => struct(
+      (dot(col("v"), c.getField("_2")) / (col("nrm") * c.getField("_3")))
+        .as("csim"),
+      c.getField("_1").as("cid")))
+    val ranked = array_sort(sims, (l, r) =>
+      when(l.getField("csim") > r.getField("csim"), -1)
+        .when(l.getField("csim") < r.getField("csim"), 1)
+        .when(l.getField("cid") < r.getField("cid"), -1)
+        .when(l.getField("cid") > r.getField("cid"), 1)
+        .otherwise(0))
+    v.select(col("vid"), ranked.as("ranked"))
+      .select(col("vid"),
+        element_at(col("ranked"), 1).getField("csim").as("best"),
+        explode(slice(col("ranked"), 1, maxAssign)).as("sc"))
+      .filter(col("sc.csim") >= col("best") - lit(deltaMilli.toDouble / 1000.0))
+      .select(col("vid"), col("sc.cid").as("cid"))
+  }
+
+  /** SPANN-layout top-k: closure-assigned inverted lists probed at
+    * `nprobe` (=1 by default — the SPANN operating point: boundary
+    * duplication substitutes for multi-probe). Same quantizer,
+    * zero-norm guard, scoring fold, and tie rules as [[ivfTopK]];
+    * candidates are deduped before ranking (a closure-replicated
+    * vector is reachable through more than one probed list when
+    * nprobe > 1 — the dedup is a partial-agg distinct over the
+    * candidate sliver, nothing corpus-sized).
+    */
+  def spannTopK(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, k: Int, kCentroids: Int = 16, deltaMilli: Long = 50,
+      maxAssign: Int = 2, nprobe: Int = 1): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = corpus.select(col(id).as("vid"), col(vec).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .filter(col("nrm") > 0)
+      .persist(lvl)
+    val cents = kmeansCentroids(v, kCentroids)
+    val lists = v.join(closureAssign(v, cents, deltaMilli, maxAssign), "vid")
+    val q = queries.select(col(id).as("q_id"), col(vec).as("qv"))
+      .withColumn("qnrm", norm2(col("qv")))
+      .filter(col("qnrm") > 0)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("csim"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid"))))
+      .filter(col("crk") <= nprobe)
+      .select("q_id", "qv", "qnrm", "cid")
+    val scored = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid").as("n_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+  }
+
   /** Build the persisted IVF index a production similarity service
     * probes many times without rebuilding — the amortization split
     * d30 proved for the dedup index, applied to d19 (whose kmeans

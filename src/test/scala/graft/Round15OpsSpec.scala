@@ -331,6 +331,82 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(enc.count() == 200)
   }
 
+  // ---- d58_spann_ann ----------------------------------------------------
+
+  private def unitVec(hot: Seq[(Int, Double)]): Seq[Double] = {
+    val e = Array.fill(16)(0.0)
+    hot.foreach { case (i, x) => e(i) = x }
+    e.toSeq
+  }
+
+  test("d58: closure assignment replicates boundary vectors, keeps interior ones single") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, unitVec(Seq(0 -> 1.0))),                 // interior of centroid 10
+      (2L, unitVec(Seq(0 -> 1.0, 8 -> 1.0))),       // exact midpoint: both
+      (3L, unitVec(Seq(8 -> 1.0)))                  // interior of centroid 20
+    ).toDF("vid", "v").withColumn("nrm", Similarity.norm2(col("v")))
+    val cents = Seq(
+      (10L, unitVec(Seq(0 -> 1.0)), 1.0),
+      (20L, unitVec(Seq(8 -> 1.0)), 1.0)
+    ).toDF("cid", "cv", "cnrm")
+    val got = Similarity.closureAssign(v, cents, deltaMilli = 100, maxAssign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(1L) == Set(10L), "interior vector must stay single-assigned")
+    assert(got(3L) == Set(20L))
+    assert(got(2L) == Set(10L, 20L),
+      "a vector equidistant to two centroids must join BOTH lists")
+  }
+
+  test("d58: closure rank-1 equals argmax assignment; maxAssign caps replication") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, unitVec(Seq(0 -> 1.0, 1 -> 0.2))),
+      (2L, unitVec(Seq(0 -> 0.9, 1 -> 0.9))),
+      (3L, unitVec(Seq(1 -> 1.0)))
+    ).toDF("vid", "v").withColumn("nrm", Similarity.norm2(col("v")))
+    // three near-identical centroids: closure wants all three, the cap allows 2
+    val cents = Seq(
+      (10L, unitVec(Seq(0 -> 1.0, 1 -> 0.50)), 0.0),
+      (20L, unitVec(Seq(0 -> 1.0, 1 -> 0.51)), 0.0),
+      (30L, unitVec(Seq(0 -> 1.0, 1 -> 0.52)), 0.0)
+    ).toDF("cid", "cv", "cnrm")
+      .withColumn("cnrm", Similarity.norm2(col("cv")))
+    val closure = Similarity.closureAssign(v, cents, deltaMilli = 900, maxAssign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(closure.groupBy(_._1).forall(_._2.length <= 2),
+      "maxAssign=2 must cap per-vector replication")
+    val rank1 = Similarity.closureAssign(v, cents, deltaMilli = 0, maxAssign = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vv = v.select(col("vid"), col("v"), col("nrm"))
+    val argmax = Similarity.argmaxAssign(vv, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rank1 == argmax,
+      "closure at delta=0/maxAssign=1 must degenerate to the argmax rule")
+  }
+
+  test("d58: spannTopK candidates at nprobe=1 are a superset of single-assignment IVF's") {
+    val v = clusteredVecs
+    val queries = v.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val spann = pairs(Similarity.spannTopK(queries, v, "vec_id", "embedding",
+      k = 30, kCentroids = 8, deltaMilli = 150, maxAssign = 2, nprobe = 1))
+    val single = pairs(Similarity.ivfTopK(queries, v, "vec_id", "embedding",
+      k = 30, kCentroids = 8, nprobe = 1))
+    assert(single.subsetOf(spann),
+      "closure lists contain the argmax lists: spann@nprobe=1 can only ADD reachable neighbors")
+    // in-cluster dominance holds only within the cluster's size (24
+    // non-self members): ranks beyond that are exactly the
+    // closure-replicated boundary vectors SPANN exists to reach
+    val top20 = Similarity.spannTopK(queries, v, "vec_id", "embedding",
+        k = 20, kCentroids = 8, deltaMilli = 150, maxAssign = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val wrong = top20.count { case (q, n) => q / 25 != n / 25 }
+    assert(wrong == 0, s"$wrong of ${top20.length} top-20 spann neighbors crossed a cluster boundary")
+  }
+
   // ---- d55_dup_intervals ------------------------------------------------
 
   private def dupOut(rows: Seq[(Long, String)]): Map[Long, (Long, Long, Long, Long)] =
