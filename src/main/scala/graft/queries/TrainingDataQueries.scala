@@ -1464,6 +1464,66 @@ object TrainingDataQueries {
        |       THEN (dw.w_ilog * 1000 // dw.n_grams) >= 0 END AS selected
        |FROM documents d LEFT JOIN dw USING (doc_id)""".stripMargin
 
+  /** D59 — CCNet perplexity tiers ([[graft.sampling.Perplexity]] —
+    * Wenzek et al. 2020 §4.3): every document scored by the
+    * smoothed NLL of a hashed-bigram LM trained on the trusted
+    * lang='en' slice (the d52 target), corpus split into
+    * head/middle/tail thirds of the per-gram milli cost — CCNet's
+    * quality buckets. Integer-exact end to end (bit-length log2,
+    * truncating division); the tercile cutoffs come from a
+    * BOUNDED-domain histogram (cpt_pm ≤ 63000) instead of a
+    * single-partition ntile window, so the corpus is never globally
+    * sorted — the only window runs over a ≤63k-row dim-class frame
+    * and the scoring pass is fully map-side.
+    */
+  def d59(s: SparkSession, dir: String): DataFrame =
+    graft.sampling.Perplexity.tiers(
+      docs(s, dir), "doc_id", "text", isRef = col("lang") === "en")
+
+  /** Oracle of [[d59]] — join-form replay (no literal array; the
+    * bit-length log2, add-one smoothing, truncating division, and
+    * histogram-cumsum cutoffs are term-for-term identical).
+    */
+  val d59Sql: String =
+    s"""WITH th AS (SELECT doc_id, lang, $duckTokenHashes AS h FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, unnest(list_transform(range(1, len(h)),
+       |    dg_i -> ((h[dg_i]*31 + h[dg_i+1]) % 1000000007) % 2039)) AS b
+       |  FROM th),
+       |rc AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS cr
+       |  FROM g WHERE lang = 'en' GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nr FROM g WHERE lang = 'en'),
+       |dw AS (
+       |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum((length(bin(nr + 2039)) - 1)
+       |           - (length(bin(coalesce(rc.cr, 0) + 1)) - 1)) AS BIGINT)
+       |      AS cost_ilog
+       |  FROM g LEFT JOIN rc USING (b) CROSS JOIN tot
+       |  GROUP BY 1),
+       |sc AS (
+       |  SELECT d.doc_id, coalesce(dw.n_grams, 0) AS n_grams,
+       |         coalesce(dw.cost_ilog, 0) AS cost_ilog,
+       |         CASE WHEN coalesce(dw.n_grams, 0) > 0
+       |              THEN dw.cost_ilog * 1000 // dw.n_grams END AS cpt_pm
+       |  FROM documents d LEFT JOIN dw USING (doc_id)),
+       |hist AS (
+       |  SELECT cpt_pm, CAST(count(*) AS BIGINT) AS hc
+       |  FROM sc WHERE n_grams > 0 GROUP BY 1),
+       |cum AS (SELECT cpt_pm, sum(hc) OVER (ORDER BY cpt_pm) AS cum FROM hist),
+       |tt AS (SELECT CAST(sum(hc) AS BIGINT) AS n FROM hist),
+       |cuts AS (
+       |  SELECT min(CASE WHEN cum * 3 >= n THEN cpt_pm END) AS c1,
+       |         min(CASE WHEN cum * 3 >= n * 2 THEN cpt_pm END) AS c2
+       |  FROM cum CROSS JOIN tt)
+       |SELECT doc_id, n_grams, cost_ilog, cpt_pm,
+       |  CASE WHEN n_grams > 0 THEN
+       |    CAST(CASE WHEN cpt_pm <= c1 THEN 1
+       |              WHEN cpt_pm <= c2 THEN 2 ELSE 3 END AS BIGINT)
+       |  END AS tier
+       |FROM sc CROSS JOIN cuts""".stripMargin
+
   /** D53 — content-defined chunking dedup
     * ([[graft.dedup.Dedup.cdcChunks]] — the FastCDC/LBFS boundary
     * family: Muthitacharoen et al. 2001; Xia et al. 2016): chunk
@@ -3294,6 +3354,7 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d59_ppl_tiers" -> (d59 _),
     "d58_spann_ann" -> (d58 _),
     "d57_adc_rerank" -> (d57 _),
     "d56_bpe_train" -> (d56 _),
@@ -3354,6 +3415,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d59_ppl_tiers" -> d59Sql,
     "d58_spann_ann" -> d58Sql,
     "d57_adc_rerank" -> d57Sql,
     "d56_bpe_train" -> d56Sql,

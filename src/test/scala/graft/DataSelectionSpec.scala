@@ -90,6 +90,59 @@ class DataSelectionSpec extends AnyFunSuite {
 
   // ---- d53_cdc_chunks ----------------------------------------------
 
+  // ---- d59_ppl_tiers -----------------------------------------------
+
+  test("d59: reference-like docs tier head, mixed docs middle, alien docs tail") {
+    import graft.sampling.Perplexity
+    // three score plateaus: X = pure reference vocabulary (low NLL),
+    // Y = half reference / half alien, Z = pure alien (every bigram
+    // bucket empty in the reference LM -> the max smoothed cost)
+    val x = (0L until 20L).map(i => (i, "xa xb xc xd xe xa xb xc xd xe", "en"))
+    val y = (20L until 40L).map(i => (i, "xa xb yq yr xa xb yq yr", "de"))
+    val z = (40L until 60L).map(i => (i, "za zb zc zd za zb zc zd", "de"))
+    val out = Perplexity.tiers(docsDf(x ++ y ++ z), "doc_id", "text",
+      isRef = col("lang") === "en", buckets = 251)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val (cx, cy, cz) = (out(0L)._1, out(20L)._1, out(40L)._1)
+    assert(cx < cy && cy < cz,
+      s"per-gram cost must order ref < mixed < alien, got $cx $cy $cz")
+    x.foreach(d => assert(out(d._1)._2 == 1L, s"doc ${d._1} not head"))
+    y.foreach(d => assert(out(d._1)._2 == 2L, s"doc ${d._1} not middle"))
+    z.foreach(d => assert(out(d._1)._2 == 3L, s"doc ${d._1} not tail"))
+  }
+
+  test("d59: documents with < 2 tokens get NULL cpt_pm and NULL tier") {
+    import graft.sampling.Perplexity
+    val out = Perplexity.tiers(
+      docsDf(Seq((1L, "solo", "en"), (2L, "a b c d", "en"),
+        (3L, "e f g h", "en"), (4L, "i j k l", "en"))),
+      "doc_id", "text", isRef = col("lang") === "en", buckets = 251)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 0L)
+    assert(out(1L).isNullAt(3) && out(1L).isNullAt(4),
+      "a doc with no bigrams has no perplexity and no tier")
+    assert((2L to 4L).forall(i => !out(i).isNullAt(4)))
+  }
+
+  test("d59: with all-distinct scores the tiers are exact thirds") {
+    import graft.sampling.Perplexity
+    // alien fraction rises with id -> strictly increasing NLL
+    val docs = (0L until 9L).map { i =>
+      val ref = (0 until (18 - i.toInt * 2)).map(j => s"r${j % 5}")
+      val alien = (0 until (i.toInt * 2)).map(j => s"q${i}_$j")
+      (i, (ref ++ alien).mkString(" "), if (i == 0) "en" else "de")
+    }
+    val rows = Perplexity.tiers(docsDf(docs), "doc_id", "text",
+      isRef = col("lang") === "en", buckets = 251)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).distinct.length == 9, "scores must be distinct")
+    val byTier = rows.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byTier(1L).size == 3 && byTier(2L).size == 3 && byTier(3L).size == 3,
+      s"distinct scores must split 3/3/3, got $byTier")
+    assert(byTier(1L) == rows.sortBy(_._2).take(3).map(_._1).toSet,
+      "the head tier must hold the three lowest-cost docs")
+  }
+
   test("d53: chunks partition each document's token stream exactly") {
     val d = spark.read.parquet(s"${SparkTestBase.sf}/documents.parquet")
     val perDoc = Dedup.cdcChunks(d, "doc_id", "text")
