@@ -432,6 +432,52 @@ object Dedup {
     * over the pre-sorted distinct sets; orientation is
     * small-side-first with the doc id as the deterministic tie-break.
     */
+  /** MOSS winnowing fingerprint pairs (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): per document, hash every `gramK`-token gram
+    * (positional, NOT distinct) and select as fingerprints the MIN
+    * hash of each sliding `window` of consecutive gram hashes. The
+    * winnowing theorem gives the two properties ad-hoc sampling
+    * lacks: any shared token run of length >= window+gramK−1 is
+    * GUARANTEED to surface at least one shared fingerprint (no
+    * missed long match), while expected fingerprint density is only
+    * ~2/(window+1) of the grams (bounded index size) — the
+    * principled sparsification MOSS runs on.
+    *
+    * Output: (d1, d2, shared_prints) for pairs sharing >=
+    * `minShared` distinct selected fingerprints, df-capped by the d6
+    * machinery (posting lists bounded INSIDE the aggregation by the
+    * top-k heap, pairs bucket-local — a boilerplate fingerprint at
+    * corpus scale ships dfCap+1 ids, not its posting list, and is
+    * dropped).
+    *
+    * 100 TB shape: gram hashing, the window-min selection, and the
+    * distinct are all IN-ROW (one scan, no explode before the
+    * fingerprint explode, which is already ~2/(window+1) sparse);
+    * everything after is the measured d6/d54 bounded-candidate path.
+    */
+  def winnowPairs(docs: DataFrame, id: String, text: String,
+      gramK: Int = 4, window: Int = 4, dfCap: Int = 20,
+      minShared: Int = 2): DataFrame = {
+    val g = TextHash.word_gram_hashes(col(text), gramK, distinct = false)
+    val prints = docs
+      .select(col(id).as("__id"), g.as("__g"))
+      .filter(size(col("__g")) >= 1)
+      .select(col("__id"), array_distinct(transform(
+        sequence(lit(1), greatest(size(col("__g")) - (window - 1), lit(1))),
+        i => array_min(slice(col("__g"), i, lit(window))))).as("__ps"))
+    val ep = prints.select(col("__id"), explode(col("__ps")).as("__p"))
+    ep.groupBy("__p")
+      .agg(graft.functions.TopKAgg.top_k(
+        col("__id").cast("double"), col("__id"), dfCap + 1).as("top"))
+      .filter(size(col("top")).between(2, dfCap))
+      .select(transform(col("top"), t => t("id")).as("ds"))
+      .select(explode(bucketPairs(col("ds"))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("shared_prints"))
+      .filter(col("shared_prints") >= minShared)
+  }
+
   def containmentPairs(docs: DataFrame, id: String, text: String,
       gramN: Int = 3, dfCap: Int = 20, minSharedRare: Int = 2,
       minContPm: Long = 800L): DataFrame = {

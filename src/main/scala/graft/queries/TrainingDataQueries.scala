@@ -1464,6 +1464,42 @@ object TrainingDataQueries {
        |       THEN (dw.w_ilog * 1000 // dw.n_grams) >= 0 END AS selected
        |FROM documents d LEFT JOIN dw USING (doc_id)""".stripMargin
 
+  /** D60 — winnowing fingerprint near-dup pairs
+    * ([[graft.dedup.Dedup.winnowPairs]] — Schleimer et al., SIGMOD
+    * 2003, the MOSS algorithm): per doc, 4-token gram hashes →
+    * min-of-each-sliding-window-of-4 selected fingerprints; pairs
+    * sharing >= 2 selected prints. The winnowing guarantee: any
+    * shared run of >= 7 tokens surfaces at least one shared print,
+    * at ~2/(w+1) fingerprint density — guaranteed-detection
+    * sparsification, vs d7's probabilistic MinHash recall and d55's
+    * exhaustive every-gram count. Selection is fully in-row (one
+    * scan); candidates ride the d6 df-capped posting-list machinery.
+    */
+  def d60(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.winnowPairs(docs(s, dir), "doc_id", "text",
+      gramK = 4, window = 4, dfCap = 20, minShared = 2)
+
+  val d60Sql: String =
+    s"""WITH th AS (SELECT doc_id, $duckTokenHashes AS h FROM documents),
+       |g4 AS (
+       |  SELECT doc_id, list_transform(range(1, len(h)-2),
+       |    wg_i -> list_reduce(list_prepend(CAST(0 AS BIGINT), h[wg_i:wg_i+3]),
+       |      (wa, wx) -> (wa*31 + wx) % 1000000007)) AS g
+       |  FROM th),
+       |pr AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(g)-2, 2)),
+       |    wn_i -> list_min(g[wn_i:wn_i+3]))) AS ps
+       |  FROM g4 WHERE len(g) >= 1),
+       |ep AS (SELECT doc_id, unnest(ps) AS p FROM pr),
+       |okp AS (SELECT p FROM ep GROUP BY p HAVING count(*) <= 20)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(count(*) AS BIGINT) AS shared_prints
+       |FROM (SELECT doc_id, p FROM ep JOIN okp USING (p)) a
+       |JOIN (SELECT doc_id, p FROM ep JOIN okp USING (p)) b
+       |  ON a.p = b.p AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   /** D59 — CCNet perplexity tiers ([[graft.sampling.Perplexity]] —
     * Wenzek et al. 2020 §4.3): every document scored by the
     * smoothed NLL of a hashed-bigram LM trained on the trusted
@@ -3354,6 +3390,7 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d60_winnow_pairs" -> (d60 _),
     "d59_ppl_tiers" -> (d59 _),
     "d58_spann_ann" -> (d58 _),
     "d57_adc_rerank" -> (d57 _),
@@ -3415,6 +3452,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d60_winnow_pairs" -> d60Sql,
     "d59_ppl_tiers" -> d59Sql,
     "d58_spann_ann" -> d58Sql,
     "d57_adc_rerank" -> d57Sql,

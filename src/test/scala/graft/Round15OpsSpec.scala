@@ -331,6 +331,38 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(enc.count() == 200)
   }
 
+  // ---- d60_winnow_pairs ---------------------------------------------------
+
+  test("d60: a shared run of >= window+gramK-1 tokens is GUARANTEED a shared fingerprint, unaligned") {
+    val run = (0 until 12).map(i => s"shared$i").mkString(" ")
+    val a = s"aonly1 aonly2 aonly3 $run atail1 atail2"
+    val b = s"bx1 $run btail9 btail8 btail7" // different offset: grams shift, winnowing still fires
+    val c = "cw1 cw2 cw3 cw4 cw5 cw6 cw7 cw8 cw9 cw10"
+    val out = Dedup.winnowPairs(streamDocsDf(Seq(1L -> a, 2L -> b, 3L -> c)),
+        "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L),
+      "the winnowing theorem guarantees >= 1 shared print for a 12-token shared run")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L),
+      "the unrelated doc shares nothing")
+  }
+
+  test("d60: identical docs pair with multiple shared prints; the df cap silences boilerplate") {
+    val text = (0 until 40).map(i => s"tok${i * 13 % 29}w$i").mkString(" ")
+    val dup = Dedup.winnowPairs(
+        streamDocsDf(Seq(1L -> text, 2L -> text)), "doc_id", "text")
+      .collect()
+    assert(dup.length == 1 && dup(0).getLong(2) >= 2,
+      "two identical docs must pair on >= 2 shared fingerprints")
+    // 25 copies: every fingerprint has df=25 > dfCap=20 -> the whole
+    // clique is silenced (boilerplate must not explode into pairs)
+    val boiler = Dedup.winnowPairs(
+        streamDocsDf((0L until 25L).map(i => i -> text)), "doc_id", "text")
+      .collect()
+    assert(boiler.isEmpty,
+      s"df-capped fingerprints must emit no pairs, got ${boiler.length}")
+  }
+
   // ---- d58_spann_ann ----------------------------------------------------
 
   private def unitVec(hot: Seq[(Int, Double)]): Seq[Double] = {
