@@ -416,22 +416,6 @@ object Dedup {
       .filter(col("chunk_len") > 0)
   }
 
-  /** Asymmetric CONTAINMENT pairs (Broder 1997's containment
-    * coefficient — the quote/snippet duplicate class): C(A,B) =
-    * |A∩B| / |A| over distinct word-`gramN`-gram sets; emits pairs
-    * where the SMALLER document is >= `minContPm`‰ contained in the
-    * larger. Symmetric Jaccard structurally misses this class (a
-    * 30-gram snippet in a 500-gram article has J ≈ 0.06 but C = 1.0).
-    *
-    * Candidates use the d6 machinery: rare-gram posting lists
-    * (df <= `dfCap`, the cap enforced INSIDE the aggregation by the
-    * bounded top-k heap so no posting list ships more than dfCap+1
-    * ids), pairs generated bucket-locally, evidence floor
-    * `minSharedRare` (low — a snippet has few grams total).
-    * Verification is one native merge-walk intersect per candidate
-    * over the pre-sorted distinct sets; orientation is
-    * small-side-first with the doc id as the deterministic tie-break.
-    */
   /** MOSS winnowing fingerprint pairs (Schleimer, Wilkerson, Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003): per document, hash every `gramK`-token gram
@@ -478,6 +462,22 @@ object Dedup {
       .filter(col("shared_prints") >= minShared)
   }
 
+  /** Asymmetric CONTAINMENT pairs (Broder 1997's containment
+    * coefficient — the quote/snippet duplicate class): C(A,B) =
+    * |A∩B| / |A| over distinct word-`gramN`-gram sets; emits pairs
+    * where the SMALLER document is >= `minContPm`‰ contained in the
+    * larger. Symmetric Jaccard structurally misses this class (a
+    * 30-gram snippet in a 500-gram article has J ≈ 0.06 but C = 1.0).
+    *
+    * Candidates use the d6 machinery: rare-gram posting lists
+    * (df <= `dfCap`, the cap enforced INSIDE the aggregation by the
+    * bounded top-k heap so no posting list ships more than dfCap+1
+    * ids), pairs generated bucket-locally, evidence floor
+    * `minSharedRare` (low — a snippet has few grams total).
+    * Verification is one native merge-walk intersect per candidate
+    * over the pre-sorted distinct sets; orientation is
+    * small-side-first with the doc id as the deterministic tie-break.
+    */
   def containmentPairs(docs: DataFrame, id: String, text: String,
       gramN: Int = 3, dfCap: Int = 20, minSharedRare: Int = 2,
       minContPm: Long = 800L): DataFrame = {
