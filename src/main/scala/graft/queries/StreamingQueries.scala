@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.streaming.{Sessionizer, StatefulEwma, StreamingOps}
@@ -501,7 +501,113 @@ object StreamingQueries {
     } finally testG.unpersist()
   }
 
+  /** C30 — streaming CDC-CHUNK novelty gate: c27's admission
+    * semantics at content-defined granularity
+    * ([[graft.dedup.Dedup.cdcChunks]] — the d53 boundary family).
+    * The shift-robustness this buys at ingest: a re-crawl of an
+    * ingested page with one token edited near the head re-chunks
+    * ONLY the touched window — every later chunk re-aligns and
+    * matches the corpus, so the arrival reads as the near-total
+    * duplicate it is; c27's fixed-stride spans all shift and the
+    * same arrival masquerades as novel (the d53-vs-d39 contrast,
+    * now at the gate — spec'd literally in Round15OpsSpec).
+    *
+    * Scale shape: chunking is per-arrival in-row arithmetic inside
+    * the micro-batch scan; the INGESTED corpus's distinct chunk keys
+    * fold to a driver-held Bloom filter (~1.2 bytes/chunk at 1% fpp)
+    * riding the streaming plan as a codegen'd map-side predicate —
+    * the arrival chunk stream splits in-scan into a cleared branch
+    * (bloom miss = PROVABLY novel, no false negatives) that touches
+    * no join, and a candidate sliver that pays the stream⋈static
+    * exact-confirm join; ONE stateful op (the per-doc fate agg)
+    * counts both branches. The corpus chunk-key side is in-query
+    * here (the c26/c27 convention); production persists it bucketed
+    * — the d46 span-index layout applies verbatim to chunk keys.
+    */
+  def c30(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.functions.{Bloom, TextHash}
+    val corpusChunks = Dedup.cdcChunks(
+        spread(t(s, dir, "documents")).filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", divisor = 16)
+      .select("h1", "h2", "chunk_len").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def bk(h1: Column, h2: Column, len: Column): Column =
+        (h1 * 31 + h2 + len) % lit(TextHash.P)
+      val bloom = Bloom.buildLong(
+        corpusChunks.select(
+          bk(col("h1"), col("h2"), col("chunk_len")).as("bk")).distinct(),
+        "bk")
+      val arrivals = Dedup.cdcChunks(
+          StreamingOps.readDocumentsStream(s, dir)
+            .filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", divisor = 16)
+        .withColumn("bloomed", Bloom.might_contain(bloom,
+          bk(col("h1"), col("h2"), col("chunk_len"))))
+      val confirmed = arrivals.filter(col("bloomed"))
+        .join(corpusChunks.withColumn("__hit", lit(1L)),
+          Seq("h1", "h2", "chunk_len"), "left")
+        .select(col("doc_id"), col("__hit"))
+      val cleared = arrivals.filter(!col("bloomed"))
+        .select(col("doc_id"), lit(null).cast("long").as("__hit"))
+      val gated = confirmed.unionByName(cleared)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+            .as("dup_chunks"))
+        .withColumn("novel_pm",
+          expr("(n_chunks - dup_chunks) * 1000 div n_chunks"))
+        .withColumn("admit", col("novel_pm") >= 500)
+      StreamingOps.runToTable(gated, s, "c30_stream_chunk_gate", "complete")
+    } finally corpusChunks.unpersist()
+  }
+
+  val c30Sql: String =
+    """WITH th AS (
+      |  SELECT doc_id, list_transform(
+      |    string_split_regex(trim(lower(text)), '\s+'),
+      |    tk -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(tk)+1),
+      |        ch_i -> CAST(unicode(tk[ch_i]) AS BIGINT))),
+      |      (ch_a, ch_x) -> (ch_a*31 + ch_x) % 1000000007)) AS h
+      |  FROM documents),
+      |bs AS (
+      |  SELECT doc_id, h, list_concat(list_concat(
+      |    [CAST(0 AS BIGINT)],
+      |    CASE WHEN len(h) >= 2 THEN
+      |      list_filter(range(1, len(h)), cb_i -> h[cb_i] % 16 = 0)
+      |    ELSE [] END),
+      |    [CAST(len(h) AS BIGINT)]) AS b
+      |  FROM th),
+      |ch AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(b)), cc_i -> {
+      |    'len': b[cc_i+1] - b[cc_i],
+      |    'h1': list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT), h[b[cc_i]+1 : b[cc_i+1]]),
+      |      (cd_a, cd_x) -> (cd_a*31 + cd_x) % 1000000007),
+      |    'h2': list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT), h[b[cc_i]+1 : b[cc_i+1]]),
+      |      (cd_a, cd_x) -> (cd_a*37 + cd_x) % 1000000007)
+      |  })) AS c FROM bs),
+      |f AS (
+      |  SELECT doc_id, (c).len AS len, (c).h1 AS h1, (c).h2 AS h2
+      |  FROM ch WHERE (c).len > 0),
+      |cidx AS (SELECT DISTINCT h1, h2, len FROM f WHERE doc_id % 10 <> 0),
+      |g AS (
+      |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(sum(CASE WHEN c.h1 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS dup_chunks
+      |  FROM f LEFT JOIN cidx c
+      |    ON f.h1 = c.h1 AND f.h2 = c.h2 AND f.len = c.len
+      |  WHERE f.doc_id % 10 = 0 GROUP BY 1)
+      |SELECT doc_id, n_chunks, dup_chunks,
+      |  CAST((n_chunks - dup_chunks) * 1000 // n_chunks AS BIGINT) AS novel_pm,
+      |  (n_chunks - dup_chunks) * 1000 // n_chunks >= 500 AS admit
+      |FROM g""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "c30_stream_chunk_gate" -> (c30 _),
     "c29_stream_decontam" -> (c29 _),
     "c28_ingest_gate" -> (c28 _),
     "c27_stream_span_admission" -> (c27 _),
@@ -515,6 +621,7 @@ object StreamingQueries {
     "c12_stream_enrich" -> (c12 _))
 
   val oracles: Map[String, String] = Map(
+    "c30_stream_chunk_gate" -> c30Sql,
     "c29_stream_decontam" -> TrainingDataQueries.c29StreamDecontamSql,
     "c28_ingest_gate" -> TrainingDataQueries.c28IngestGateSql,
     "c27_stream_span_admission" -> c27Sql,

@@ -331,6 +331,67 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(enc.count() == 200)
   }
 
+  // ---- c30_stream_chunk_gate ----------------------------------------------
+
+  test("c30: a head-edited re-crawl is near-total duplicate under CDC chunks, 'novel' under fixed spans") {
+    import graft.functions.TextHash
+    val toks = (0 until 400).map(i => s"ck${i}x$i")
+    val nBounds = toks.count(t => TextHash.polyHashStr(t) % 16 == 0)
+    assert(nBounds >= 5, s"test corpus needs boundaries, got $nBounds")
+    val base = toks.mkString(" ")
+    val corpus = streamDocsDf(Seq(1L -> base))
+    val arrival = streamDocsDf(Seq(10L -> s"freshhead $base"))
+    val cidx = Dedup.cdcChunks(corpus, "doc_id", "text", 16)
+      .select("h1", "h2", "chunk_len").distinct()
+    val aChunks = Dedup.cdcChunks(arrival, "doc_id", "text", 16)
+    val n = aChunks.count()
+    val dup = aChunks.join(cidx, Seq("h1", "h2", "chunk_len")).count()
+    assert(n >= 5)
+    assert(dup >= n - 1,
+      s"a head edit may disturb ONE chunk; $dup of $n matched (re-alignment failed)")
+    // the same arrival against the same corpus at fixed-stride spans:
+    // every 8-token window shifts by one -> nothing re-aligns
+    val idx = scratch()
+    try {
+      Dedup.buildSpanIndex(corpus, "doc_id", "text", idx, width = 8)
+      val sp = Dedup.spanNovelty(arrival, "doc_id", "text", idx)
+        .collect().head
+      val spanNovelPm = sp.getAs[Long]("novel_pm")
+      val chunkNovelPm = (n - dup) * 1000 / n
+      assert(spanNovelPm >= 900,
+        s"fixed spans must read the shifted re-crawl as novel, got $spanNovelPm")
+      assert(chunkNovelPm <= 200,
+        s"CDC chunks must read it as duplicate, got $chunkNovelPm")
+    } finally Dedup.deleteSpanIndex(spark, idx)
+  }
+
+  test("c30: the streaming gate equals its batch bloom-free replay") {
+    val dir = SparkTestBase.sf
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    val cidx = Dedup.cdcChunks(base.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", 16)
+      .select("h1", "h2", "chunk_len").distinct()
+    val expected = Dedup.cdcChunks(base.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 16)
+      .join(cidx.withColumn("__hit", lit(1L)),
+        Seq("h1", "h2", "chunk_len"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("dup"))
+      .collect().map { r =>
+        val (n, dup) = (r.getLong(1), r.getLong(2))
+        val pm = (n - dup) * 1000 / n
+        r.getLong(0) -> ((n, dup, pm, pm >= 500))
+      }.toMap
+    val got = SparkEntry.queries("c30_stream_chunk_gate")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == expected, "stream + bloom must change nothing vs the batch replay")
+    assert(got.nonEmpty && got.exists(_._2._4) ,
+      "sf0.001 must exercise at least one admitted arrival")
+  }
+
   // ---- d60_winnow_pairs ---------------------------------------------------
 
   test("d60: a shared run of >= window+gramK-1 tokens is GUARANTEED a shared fingerprint, unaligned") {
