@@ -1464,6 +1464,74 @@ object TrainingDataQueries {
        |       THEN (dw.w_ilog * 1000 // dw.n_grams) >= 0 END AS selected
        |FROM documents d LEFT JOIN dw USING (doc_id)""".stripMargin
 
+  /** D61 — KMV (bottom-k) distinct-count sketch per source
+    * (Bar-Yossef et al., "Counting distinct elements in a data
+    * stream", RANDOM 2002; the unbiased (k−1)/h_k estimator of
+    * Beyer et al., SIGMOD 2007; bottom-k sketches: Cohen & Kaplan,
+    * PODC 2007): per source, the k=256 smallest distinct
+    * normalized-content hashes estimate the source's distinct
+    * document count as (k−1)·P div h_k — the ~1/√k-accurate
+    * cardinality a 100 TB corpus audit reads instead of an exact
+    * count(distinct) over every shard. The sketch state is BOUNDED
+    * (k values per source, merged associatively by the same
+    * [[graft.functions.TopKAgg]] heap as d6's df cap), so partial
+    * aggregation ships ≤ k·partitions rows per source; the exact
+    * n_distinct column here is the in-row audit (est vs exact →
+    * err_pm) that a production run at scale would drop. Sources
+    * with < k distinct docs return the exact count (the KMV
+    * convention) with a NULL kth_hash. Integer-exact → full SQL
+    * oracle.
+    */
+  def d61(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val kP = 255L * TextHash.P // (k-1)·P, precomputed to stay in BIGINT
+    val h = docs(s, dir).select(col("source"),
+      TextHash.poly_hash(lower(trim(col("text")))).as("h"))
+    h.groupBy("source", "h").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(
+        sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        graft.functions.TopKAgg.top_k(
+          -col("h").cast("double"), col("h"), k).as("bk"))
+      .withColumn("kth_hash",
+        when(size(col("bk")) === k, element_at(col("bk"), k)("id")))
+      .withColumn("est_distinct",
+        expr(s"CASE WHEN kth_hash IS NOT NULL AND kth_hash > 0 " +
+          s"THEN ${kP}L div kth_hash ELSE n_distinct END"))
+      .withColumn("err_pm",
+        expr("abs(est_distinct - n_distinct) * 1000 div n_distinct"))
+      .select("source", "n_docs", "n_distinct", "kth_hash",
+        "est_distinct", "err_pm")
+  }
+
+  val d61Sql: String = {
+    val kP = 255L * TextHash.P
+    s"""WITH h AS (
+       |  SELECT source, ${duckHash("lower(trim(text))")} AS h FROM documents),
+       |d AS (SELECT DISTINCT source, h FROM h),
+       |r AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |  FROM d),
+       |st AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_distinct
+       |  FROM d GROUP BY 1),
+       |nd AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM h GROUP BY 1),
+       |kth AS (SELECT source, h AS kth_hash FROM r WHERE rk = 256),
+       |j AS (
+       |  SELECT nd.source, nd.n_docs, st.n_distinct, kth.kth_hash,
+       |    CASE WHEN kth.kth_hash IS NOT NULL AND kth.kth_hash > 0
+       |         THEN $kP // kth.kth_hash
+       |         ELSE st.n_distinct END AS est_distinct
+       |  FROM nd JOIN st USING (source) LEFT JOIN kth USING (source))
+       |SELECT source, n_docs, n_distinct, kth_hash, est_distinct,
+       |  abs(est_distinct - n_distinct) * 1000 // n_distinct AS err_pm
+       |FROM j""".stripMargin
+  }
+
   /** D60 — winnowing fingerprint near-dup pairs
     * ([[graft.dedup.Dedup.winnowPairs]] — Schleimer et al., SIGMOD
     * 2003, the MOSS algorithm): per doc, 4-token gram hashes →
@@ -3390,6 +3458,7 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d61_kmv_sketch" -> (d61 _),
     "d60_winnow_pairs" -> (d60 _),
     "d59_ppl_tiers" -> (d59 _),
     "d58_spann_ann" -> (d58 _),
@@ -3452,6 +3521,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d61_kmv_sketch" -> d61Sql,
     "d60_winnow_pairs" -> d60Sql,
     "d59_ppl_tiers" -> d59Sql,
     "d58_spann_ann" -> d58Sql,

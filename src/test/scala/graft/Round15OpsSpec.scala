@@ -331,6 +331,58 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(enc.count() == 200)
   }
 
+  // ---- d61_kmv_sketch -------------------------------------------------------
+
+  private def kmvDocs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, text, src) =>
+      (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def runKmv(df: org.apache.spark.sql.DataFrame) = {
+    val dir = scratch()
+    df.coalesce(1).write.parquet(s"$dir/__kmv")
+    val f = new java.io.File(s"$dir/__kmv").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(f.toPath,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    graft.queries.TrainingDataQueries.queries("d61_kmv_sketch")(spark, dir)
+  }
+
+  test("d61: the KMV estimate lands within the ~1/sqrt(k) band of the exact count") {
+    val docs = (0L until 5000L).map(i => (i, s"kmv doc $i payload${i * 7}", "web"))
+    val row = runKmv(kmvDocs(docs)).collect().head
+    val (nDistinct, est, errPm) =
+      (row.getLong(2), row.getLong(4), row.getLong(5))
+    assert(nDistinct == 5000L)
+    assert(!row.isNullAt(3), "5000 distinct docs must fill the k=256 sketch")
+    assert(errPm <= 200L,
+      s"KMV at k=256 is ~6%-accurate; err $errPm permille (est $est vs 5000) " +
+        "is far outside the band")
+  }
+
+  test("d61: a source below k distinct docs reports the exact count, NULL kth_hash") {
+    val docs = (0L until 40L).map(i => (i, s"small source doc $i", "tiny")) ++
+      Seq((100L, "small source doc 5", "tiny")) // duplicate content
+    val row = runKmv(kmvDocs(docs)).collect().head
+    assert(row.getLong(1) == 41L, "n_docs counts rows")
+    assert(row.getLong(2) == 40L, "n_distinct collapses the duplicate")
+    assert(row.isNullAt(3), "below-k sketch has no kth hash")
+    assert(row.getLong(4) == 40L && row.getLong(5) == 0L,
+      "below k the estimate IS the exact count")
+  }
+
+  test("d61: the sketch is partitioning-invariant (associative heap merge)") {
+    val docs = (0L until 3000L).map(i =>
+      (i, s"part inv ${i} x${i % 17}", if (i % 2 == 0) "a" else "b"))
+    def rows(parts: Int) = runKmv(kmvDocs(docs).repartition(parts))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toSet
+    assert(rows(1) == rows(13),
+      "bottom-k merge must be exact under any partitioning")
+  }
+
   // ---- c30_stream_chunk_gate ----------------------------------------------
 
   test("c30: a head-edited re-crawl is near-total duplicate under CDC chunks, 'novel' under fixed spans") {
