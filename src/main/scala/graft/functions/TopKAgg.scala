@@ -50,7 +50,8 @@ case class TopKAgg(
     idExpr: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    distinctIds: Boolean = false)
   extends TypedImperativeAggregate[TopKBuffer] {
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
@@ -63,16 +64,26 @@ case class TopKAgg(
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
+  // distinct-id mode (the KMV sketch contract): a value already IN
+  // the sketch is skipped — the heap then holds the k best DISTINCT
+  // ids. A re-arrival of an evicted id is rejected by the score test
+  // alone (eviction implies k better ids are present), so the O(k)
+  // membership scan is the complete dedup. Merge stays associative
+  // and commutative: both sides hold distinct ids and put() dedups
+  // across them.
+  private def put(buf: TopKBuffer, s: Double, i: Long): Unit =
+    if (!distinctIds || !buf.heap.exists(_._2 == i)) buf.insert(s, i)
+
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
     if (s != null && i != null)
-      buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+      put(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
     buf
   }
 
   override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
-    other.heap.foreach { case (s, i) => buf.insert(s, i) }
+    other.heap.foreach { case (s, i) => put(buf, s, i) }
     buf
   }
 
@@ -114,5 +125,15 @@ object TopKAgg {
   def top_k(score: Column, id: Column, k: Int): Column =
     SparkShims.column(
       TopKAgg(SparkShims.expression(score), SparkShims.expression(id), k)
+        .toAggregateExpression())
+
+  /** `top_k` over DISTINCT ids in bounded state — the KMV-sketch
+    * primitive: duplicates of an id count once, state never exceeds
+    * k entries (no exact-distinct pre-shuffle, no unbounded set).
+    */
+  def top_k_distinct(score: Column, id: Column, k: Int): Column =
+    SparkShims.column(
+      TopKAgg(SparkShims.expression(score), SparkShims.expression(id), k,
+        distinctIds = true)
         .toAggregateExpression())
 }

@@ -606,7 +606,74 @@ object StreamingQueries {
       |  (n_chunks - dup_chunks) * 1000 // n_chunks >= 500 AS admit
       |FROM g""".stripMargin
 
+  /** C31 — streaming per-source cardinality monitor: d61's KMV
+    * (bottom-k) distinct-count sketch as a STREAMING stateful
+    * aggregation — live "distinct documents ingested per source" in
+    * BOUNDED state. Where the d61 batch audit can afford an exact
+    * distinct pre-aggregation (and carries the exact count as its
+    * audit column), a stream cannot hold corpus-sized dedup state,
+    * and Structured Streaming would reject the chained
+    * aggregation anyway — so the dedup moves INSIDE the sketch:
+    * [[graft.functions.TopKAgg.top_k_distinct]] keeps the k=256
+    * smallest DISTINCT hashes per source in one associative
+    * TypedImperativeAggregate whose state never exceeds k entries
+    * per source regardless of stream length (a re-arrived duplicate
+    * is skipped by the in-heap membership check; a re-arrival of an
+    * evicted hash loses the score test). ONE stateful operator;
+    * micro-batch partial merges are exactly the batch merges, so
+    * the stream converges bit-for-bit to the batch answer and the
+    * oracle replays it with no stream and no sketch at all (the
+    * below-k branch returns the exact count — the KMV convention).
+    */
+  def c31(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextHash, TopKAgg}
+    val k = 256
+    val kP = 255L * TextHash.P
+    val agg = StreamingOps.readDocumentsStream(s, dir)
+      .select(col("source"),
+        TextHash.poly_hash(lower(trim(col("text")))).as("h"))
+      .groupBy("source")
+      .agg(TopKAgg.top_k_distinct(
+        -col("h").cast("double"), col("h"), k).as("bk"))
+      .withColumn("sketch_n", size(col("bk")).cast("long"))
+      .withColumn("kth_hash",
+        when(col("sketch_n") === k, element_at(col("bk"), k)("id")))
+      // kth_hash = 0 is impossible at k >= 2: the sketch holds
+      // DISTINCT non-negative hashes, so the k-th smallest is > 0
+      .withColumn("est_distinct",
+        expr(s"CASE WHEN kth_hash IS NOT NULL " +
+          s"THEN ${kP}L div kth_hash ELSE sketch_n END"))
+      .select("source", "sketch_n", "kth_hash", "est_distinct")
+    StreamingOps.runToTable(agg, s, "c31_stream_cardinality", "complete")
+  }
+
+  val c31Sql: String = {
+    val kP = 255L * graft.functions.TextHash.P
+    val duckHashTk =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(range(1, length(lower(trim(text)))+1),
+        |    ch_i -> CAST(unicode(lower(trim(text))[ch_i]) AS BIGINT))),
+        |  (ch_a, ch_x) -> (ch_a*31 + ch_x) % 1000000007)""".stripMargin
+    s"""WITH h AS (SELECT source, $duckHashTk AS h FROM documents),
+       |d AS (SELECT DISTINCT source, h FROM h),
+       |r AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |  FROM d),
+       |st AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_distinct
+       |  FROM d GROUP BY 1),
+       |kth AS (SELECT source, h AS kth_hash FROM r WHERE rk = 256)
+       |SELECT st.source,
+       |  CAST(least(st.n_distinct, 256) AS BIGINT) AS sketch_n,
+       |  kth.kth_hash,
+       |  CASE WHEN kth.kth_hash IS NOT NULL THEN $kP // kth.kth_hash
+       |       ELSE st.n_distinct END AS est_distinct
+       |FROM st LEFT JOIN kth USING (source)""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "c31_stream_cardinality" -> (c31 _),
     "c30_stream_chunk_gate" -> (c30 _),
     "c29_stream_decontam" -> (c29 _),
     "c28_ingest_gate" -> (c28 _),
@@ -621,6 +688,7 @@ object StreamingQueries {
     "c12_stream_enrich" -> (c12 _))
 
   val oracles: Map[String, String] = Map(
+    "c31_stream_cardinality" -> c31Sql,
     "c30_stream_chunk_gate" -> c30Sql,
     "c29_stream_decontam" -> TrainingDataQueries.c29StreamDecontamSql,
     "c28_ingest_gate" -> TrainingDataQueries.c28IngestGateSql,

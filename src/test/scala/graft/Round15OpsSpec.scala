@@ -373,6 +373,29 @@ class Round15OpsSpec extends AnyFunSuite {
       "below k the estimate IS the exact count")
   }
 
+  test("c31: the streaming sketch equals the batch KMV on the same corpus") {
+    val dir = SparkTestBase.sf
+    val got = SparkEntry.queries("c31_stream_cardinality")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSet
+    // batch replay: exact distinct + the same estimator arithmetic
+    import graft.functions.TextHash
+    val kP = 255L * TextHash.P
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        TextHash.poly_hash(lower(trim(col("text")))).as("h"))
+      .distinct()
+    val want = d.groupBy("source").agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col("h"))).as("hs"))
+      .collect().map { r =>
+        val hs = r.getSeq[Long](2)
+        val kth = if (hs.length >= 256) hs(255) else -1L
+        val est = if (kth >= 0) kP / kth else hs.length.toLong
+        (r.getString(0), math.min(hs.length, 256).toLong, kth, est)
+      }.toSet
+    assert(got == want, "stream sketch must equal the batch KMV bit-for-bit")
+  }
+
   test("d61: the sketch is partitioning-invariant (associative heap merge)") {
     val docs = (0L until 3000L).map(i =>
       (i, s"part inv ${i} x${i % 17}", if (i % 2 == 0) "a" else "b"))

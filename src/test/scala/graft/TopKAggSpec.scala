@@ -25,6 +25,22 @@ class TopKAggSpec extends AnyFunSuite {
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("top_k_distinct: duplicates count once, state stays bounded, merge is partition-invariant") {
+    import spark.implicits._
+    // 500 distinct ids, each arriving 1..4 times, shuffled across rows
+    val rows = (0L until 500L).flatMap(i =>
+      Seq.fill(1 + (i % 4).toInt)((1, -i.toDouble, i)))
+    def run(parts: Int) = rows.toDF("g", "score", "id").repartition(parts)
+      .groupBy("g")
+      .agg(TopKAgg.top_k_distinct(col("score"), col("id"), 16).as("top"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    val a = run(1)
+    assert(a == (0L until 16L).map(i => (-i.toDouble, i)),
+      "the 16 best DISTINCT ids exactly once each, best-first")
+    assert(run(11) == a, "associative merge: any partitioning, same sketch")
+  }
+
   test("top_k keeps at most k and orders score desc, id asc") {
     import spark.implicits._
     val df = Seq((1, 5.0, 10L), (1, 5.0, 9L), (1, 7.0, 1L), (1, 3.0, 2L),
