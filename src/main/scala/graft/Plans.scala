@@ -46,7 +46,12 @@ object Plans {
     "d48_index_loop" -> "dedup-index ingest loop: the returned report is a union of the staged batch-1 fates and the batch-2 probe (equi-joins against the post-append index tables; nothing corpus-sized collected)",
     "d49_bloom_decontam" -> "bloom-prefiltered decontamination: the codegen'd might_contain literal filters the train gram stream INSIDE the scan's codegen span, before the first exchange; only the surviving sliver shuffles, and the df-cap + pair joins run on that sliver",
     "d50_pq_ann" -> "product quantization: codebooks ride as m·kc broadcast rows (train is an eager dim-collect); encode is one corpus pass with a single partial-agg argmax; ADC probe joins codes to broadcast codebooks + broadcast queries — the corpus's raw embedding column feeds only the (priced-in) in-query encode, never the probe",
-    "d51_ivfadc" -> "IVFADC: coarse centroids + codebooks broadcast; probe set = per-query rank over the broadcast coarse table; candidates = equi-join on cid (~nprobe/kc of the corpus), scored via code reconstruction — no corpus self-join, no corpus-sized window")
+    "d51_ivfadc" -> "IVFADC: coarse centroids + codebooks broadcast; probe set = per-query rank over the broadcast coarse table; candidates = equi-join on cid (~nprobe/kc of the corpus), scored via code reconstruction — no corpus self-join, no corpus-sized window",
+    "d57_adc_rerank" -> "IVFADC+R: the d51 shortlist chain, then ONE refinement join — shortlist+queries broadcast onto the corpus vector table (vid+vec columns only), exact-cosine re-rank of kShort rows per query, never a corpus scan",
+    "d58_spann_ann" -> "SPANN closure lists: assignment is scan + in-row sort over an array-literal centroid table (no crossJoin, no window, NO exchange — plan-pinned); probe reads ONE list via the broadcast probe equi-join; candidate distinct is a partial-agg over the probe sliver",
+    "d59_ppl_tiers" -> "CCNet perplexity tiers: LM costs ride as one array literal over a fully map-side scoring pass; tercile cutoffs from a bounded (<=63k-row) histogram — the only window runs over that dim frame, the corpus is never sorted or re-shuffled",
+    "d60_winnow_pairs" -> "winnowing: gram hashing + window-min selection + per-doc distinct ALL in-row (one scan); only the ~2/(w+1)-sparse fingerprint stream explodes into the df-capped bounded-heap posting-list agg",
+    "d61_kmv_sketch" -> "KMV sketch: distinct-hash partial agg then a bounded top-k heap per source — <= k·partitions sketch rows shuffle; estimator arithmetic is plan-literal integer div, no window, no sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

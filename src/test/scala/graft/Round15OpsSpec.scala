@@ -554,6 +554,24 @@ class Round15OpsSpec extends AnyFunSuite {
       "closure at delta=0/maxAssign=1 must degenerate to the argmax rule")
   }
 
+  test("d58: closure assignment is map-side — no exchange in its physical plan") {
+    import spark.implicits._
+    val v = clusteredVecs
+      .select(col("vec_id").as("vid"), Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm2(col("v")))
+    val cents = Seq(
+      (10L, (0 until 64).map(i => if (i < 8) 1.0 else 0.05), 0.0),
+      (20L, (0 until 64).map(i => if (i >= 8 && i < 16) 1.0 else 0.05), 0.0)
+    ).toDF("cid", "cv", "cnrm")
+      .withColumn("cnrm", Similarity.norm2(col("cv")))
+    val p = Similarity.closureAssign(v, cents, deltaMilli = 50, maxAssign = 2)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"),
+      "closure assignment must be scan -> project/sort-in-row -> explode " +
+        "with NO exchange: the centroid table is an array literal, not a join side")
+    assert(!p.contains("Window"), "and no window either")
+  }
+
   test("d58: spannTopK candidates at nprobe=1 are a superset of single-assignment IVF's") {
     val v = clusteredVecs
     val queries = v.filter(col("vec_id") % 50 === 0)
