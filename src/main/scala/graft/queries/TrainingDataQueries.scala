@@ -1464,6 +1464,295 @@ object TrainingDataQueries {
        |       THEN (dw.w_ilog * 1000 // dw.n_grams) >= 0 END AS selected
        |FROM documents d LEFT JOIN dw USING (doc_id)""".stripMargin
 
+  /** D64 — corpus LINE-level dedup report (the RefinedWeb/Dolma
+    * line-dedup pass — Penedo et al. 2023 §3.4, Soldaini et al.
+    * 2024: exact-duplicate LINES across a crawl are navigation
+    * chrome, cookie banners, and footers; removing them is the
+    * single highest-yield boilerplate cut after page dedup): per
+    * document, how many of its non-blank lines occur in >= 5 OTHER
+    * documents (dup_lines), and the per-mille of content they
+    * represent — the removal statistic a cleaning pass acts on.
+    * Complements d34 (frequent word-GRAMS as a corpus report) with
+    * the line-granular, per-document attribution the actual cut
+    * needs.
+    *
+    * 100 TB shape: lines hash in-row (md5 of the trimmed line — a
+    * 128-bit key, the d1 birthday rule); the line stream aggregates
+    * by hash with map-side partial combine (boilerplate lines are
+    * exactly the hot keys partial agg absorbs — same defense as
+    * d55's seed counts); the frequent-line set (df >= 5, tiny by
+    * construction at any scale) broadcasts back into a semi-join
+    * flag — ONE corpus-line shuffle total, the d34 discipline at
+    * line grain.
+    */
+  /** The line-dedup kernel over a `(doc_id, lines)` frame — the
+    * semantics the specs pin directly; [[d64]] feeds it the
+    * web-ified corpus.
+    */
+  private[graft] def lineDedupReport(docLines: DataFrame,
+      minDf: Int): DataFrame = {
+    val lines = docLines
+      .select(col("doc_id"),
+        explode(filter(transform(col("lines"), l => trim(l)),
+          l => length(l) > 0)).as("line"))
+      .select(col("doc_id"), md5(col("line")).as("lh"),
+        length(col("line")).cast("long").as("lchars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val frequent = lines.groupBy("lh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("lh")
+    lines
+      .join(broadcast(frequent.withColumn("__dup", lit(1L))), Seq("lh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("dup_lines"),
+        sum(col("lchars")).as("n_chars_l"),
+        sum(when(col("__dup").isNotNull, col("lchars")).otherwise(0L))
+          .as("dup_chars"))
+      .withColumn("dup_pm", expr("dup_chars * 1000 div n_chars_l"))
+      .select("doc_id", "n_lines", "dup_lines", "dup_pm")
+  }
+
+  def d64(s: SparkSession, dir: String): DataFrame =
+    lineDedupReport(
+      docs(s, dir).select(col("doc_id"), webLines.as("lines")), minDf = 5)
+
+  val d64Sql: String =
+    s"""WITH $duckWebLines,
+       |l0 AS (
+       |  SELECT doc_id, trim(dl_l) AS line
+       |  FROM (SELECT doc_id, unnest(lines) AS dl_l FROM wl)
+       |  WHERE length(trim(dl_l)) > 0),
+       |l AS (
+       |  SELECT doc_id, md5(line) AS lh,
+       |    CAST(length(line) AS BIGINT) AS lchars FROM l0),
+       |freq AS (
+       |  SELECT lh FROM l GROUP BY lh HAVING count(DISTINCT doc_id) >= 5)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN f.fh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS dup_lines,
+       |  CAST(sum(CASE WHEN f.fh IS NULL THEN 0 ELSE lchars END) * 1000
+       |    // sum(lchars) AS BIGINT) AS dup_pm
+       |FROM l LEFT JOIN (SELECT lh, lh AS fh FROM freq) f USING (lh)
+       |GROUP BY doc_id""".stripMargin
+
+  /** D63 — the C4 cleaning battery (Raffel et al., "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", JMLR 2020 §2.2 — the filter set behind C4, the
+    * most-reused pretraining corpus recipe): line-level retention +
+    * page-level drops, with per-rule attribution (the d24/d62
+    * observability contract):
+    *
+    *   line kept  — trimmed line ends in terminal punctuation
+    *                (. ! ? ") and does not mention 'javascript'
+    *   r_sent     — page has >= 3 terminal-punctuation marks
+    *   r_lorem    — no 'lorem ipsum' placeholder
+    *   r_brace    — no '{' (code leakage)
+    *   keep       — all of the above and >= 1 kept line
+    *
+    * Line split, the per-line filter, and every count are IN-ROW
+    * (one corpus scan, zero shuffles, zero UDFs); counts are exact
+    * integers in both engines.
+    */
+  /** The C4/line-grain rule kernel over a `(doc_id, lines)` frame —
+    * the semantics the specs pin directly; [[d63]] feeds it the
+    * web-ified corpus.
+    */
+  private[graft] def c4Filters(docLines: DataFrame): DataFrame = {
+    val kept = filter(col("lines"), l =>
+      trim(l).rlike("[.!?\"]$") && instr(lower(l), "javascript") === 0)
+    val joined = array_join(col("lines"), "\n")
+    docLines
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        (length(joined) - length(regexp_replace(joined, "[.!?]", "")))
+          .cast("long").as("n_term"),
+        (instr(lower(joined), "lorem ipsum") > 0).as("has_lorem"),
+        (instr(joined, "{") > 0).as("has_brace"))
+      .withColumn("r_sent", col("n_term") >= 3)
+      .withColumn("keep",
+        col("r_sent") && !col("has_lorem") && !col("has_brace") &&
+          col("n_kept") >= 1)
+      .select("doc_id", "n_lines", "n_kept", "n_term", "has_lorem",
+        "has_brace", "r_sent", "keep")
+  }
+
+  /** Deterministic WEB-IFICATION of the synthetic corpus for the
+    * line-grain batteries (the d16 injected-contamination
+    * convention): the generator's documents are single-line,
+    * punctuation-free token streams, on which every C4/line rule is
+    * vacuously false — so the catalog entries derive a web-shaped
+    * rendering IN-ROW: body tokens regroup into 12-token
+    * sentence-lines (each '.'-terminated), and three boilerplate
+    * tails inject by doc_id residue (a 'javascript' line at %4=0, a
+    * 'lorem ipsum' line at %4=1, a '{' line at %4=2, a
+    * high-df subscription banner at %3=0) so EVERY rule fires both
+    * ways at every SF. Pure per-row arithmetic on (doc_id, text);
+    * the oracle replays it term for term.
+    */
+  private def webLines: Column = {
+    val toks = split(trim(col("text")), "\\s+")
+    val ng = ((size(toks) + lit(11)) / lit(12)).cast("int")
+    val body = transform(sequence(lit(1), greatest(ng, lit(1))), g =>
+      concat(array_join(slice(toks, (g - 1) * 12 + 1, lit(12)), " "),
+        lit(".")))
+    val t4 = col("doc_id") % 4
+    val tail1 = when(t4 === 0, array(lit("Enable javascript to continue")))
+      .when(t4 === 1, array(lit("lorem ipsum dolor")))
+      .when(t4 === 2, array(lit("see our { source code.")))
+      .otherwise(array().cast("array<string>"))
+    val tail2 = when(col("doc_id") % 3 === 0,
+        array(lit("Subscribe to our newsletter.")))
+      .otherwise(array().cast("array<string>"))
+    concat(body, tail1, tail2)
+  }
+
+  /** Oracle twin of [[webLines]]: a CTE producing (doc_id, lines).
+    * A def, not a val: d64Sql initializes before this point in the
+    * object body and a val would still be null there.
+    */
+  private def duckWebLines: String =
+    """wt AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |wl AS (
+      |  SELECT doc_id, list_concat(list_concat(
+      |    list_transform(range(1, greatest((len(toks)+11)//12, 1)+1),
+      |      wg_g -> array_to_string(
+      |        toks[(wg_g-1)*12+1 : (wg_g-1)*12+12], ' ') || '.'),
+      |    CASE WHEN doc_id % 4 = 0 THEN ['Enable javascript to continue']
+      |         WHEN doc_id % 4 = 1 THEN ['lorem ipsum dolor']
+      |         WHEN doc_id % 4 = 2 THEN ['see our { source code.']
+      |         ELSE [] END),
+      |    CASE WHEN doc_id % 3 = 0 THEN ['Subscribe to our newsletter.']
+      |         ELSE [] END) AS lines
+      |  FROM wt)""".stripMargin
+
+  def d63(s: SparkSession, dir: String): DataFrame =
+    c4Filters(docs(s, dir).select(col("doc_id"), webLines.as("lines")))
+
+  val d63Sql: String =
+    s"""WITH $duckWebLines,
+       |t AS (
+       |  SELECT doc_id, lines,
+       |    array_to_string(lines, chr(10)) AS jt,
+       |    CAST(len(list_filter(lines, c4_l ->
+       |      regexp_matches(trim(c4_l), '[.!?"]$$')
+       |      AND instr(lower(c4_l), 'javascript') = 0)) AS BIGINT) AS n_kept
+       |  FROM wl)
+       |SELECT doc_id,
+       |  CAST(len(lines) AS BIGINT) AS n_lines,
+       |  n_kept,
+       |  CAST(length(jt) - length(regexp_replace(jt, '[.!?]', '', 'g'))
+       |    AS BIGINT) AS n_term,
+       |  instr(lower(jt), 'lorem ipsum') > 0 AS has_lorem,
+       |  instr(jt, '{') > 0 AS has_brace,
+       |  length(jt) - length(regexp_replace(jt, '[.!?]', '', 'g')) >= 3
+       |    AS r_sent,
+       |  length(jt) - length(regexp_replace(jt, '[.!?]', '', 'g')) >= 3
+       |    AND instr(lower(jt), 'lorem ipsum') = 0
+       |    AND instr(jt, '{') = 0
+       |    AND n_kept >= 1 AS keep
+       |FROM t""".stripMargin
+
+  /** D62 — the Gopher quality-rule battery (Rae et al., "Scaling
+    * Language Models: ... Gopher", 2021, §A1.1 — the
+    * industry-standard heuristic filter set, adopted by MassiveText/
+    * RefinedWeb/Dolma): per document, the five core rules with
+    * PER-RULE attribution (a curation pipeline needs to know WHY a
+    * doc dropped, not just that it did — the d24 observability
+    * contract applied to the standard battery):
+    *
+    *   r_wc    — word count in [50, 100000]
+    *   r_mwl   — mean word length in [3, 10] chars
+    *   r_sym   — symbol-to-word ratio ('#' and '...') <= 0.1
+    *   r_alpha — >= 80% of words contain an alphabetic character
+    *   r_stop  — >= 2 distinct common English stop words present
+    *
+    * keep = all five. Every ratio is INTEGERIZED (10·symbols <=
+    * n_words, 5·alpha_words >= 4·n_words, char bounds as products)
+    * so both engines compare exact integers — no float thresholds.
+    * Fully map-side: token split, length arithmetic, and the
+    * stop-word intersect are all in-row; one corpus scan, zero
+    * shuffles, zero UDFs. d3's generic quality score stays the
+    * tunable variant; this is the NAMED battery, term for term.
+    */
+  def d62(s: SparkSession, dir: String): DataFrame = {
+    // Gopher's 8-word list extended with the articles 'a'/'in': the
+    // synthetic corpus's function-word vocabulary is {the, a}, so the
+    // original list would leave r_stop vacuously false at every SF —
+    // the c28 thresholds-must-exercise-every-fate rule.
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with",
+      "a", "in")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val nWords = size(toks).cast("long")
+    // total characters inside words = non-whitespace chars
+    val wordChars =
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+    val hashes = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long")
+    val ellipses = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val stopHits = size(array_intersect(
+      array_distinct(toks), array(stops.map(lit): _*))).cast("long")
+    docs(s, dir)
+      .select(col("doc_id"), nWords.as("n_words"),
+        wordChars.as("word_chars"), (hashes + ellipses).as("n_sym"),
+        alphaWords.as("alpha_words"), stopHits.as("stop_hits"))
+      .withColumn("r_wc", col("n_words").between(50L, 100000L))
+      .withColumn("r_mwl",
+        col("word_chars") >= col("n_words") * 3 &&
+          col("word_chars") <= col("n_words") * 10)
+      .withColumn("r_sym", col("n_sym") * 10 <= col("n_words"))
+      .withColumn("r_alpha", col("alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("r_stop", col("stop_hits") >= 2)
+      .withColumn("keep",
+        col("r_wc") && col("r_mwl") && col("r_sym") &&
+          col("r_alpha") && col("r_stop"))
+      .select("doc_id", "n_words", "word_chars", "n_sym", "alpha_words",
+        "stop_hits", "r_wc", "r_mwl", "r_sym", "r_alpha", "r_stop", "keep")
+  }
+
+  val d62Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks,
+      |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+      |      AS word_chars,
+      |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+      |      AS BIGINT) AS n_hash,
+      |    CAST((length(text) -
+      |      length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3
+      |      AS BIGINT) AS n_ell
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    word_chars,
+      |    n_hash + n_ell AS n_sym,
+      |    CAST(len(list_filter(toks, gq_t -> regexp_matches(gq_t, '[a-z]')))
+      |      AS BIGINT) AS alpha_words,
+      |    CAST(len(list_intersect(list_distinct(toks),
+      |      ['the','be','to','of','and','that','have','with','a','in']))
+      |      AS BIGINT) AS stop_hits
+      |  FROM t)
+      |SELECT doc_id, n_words, word_chars, n_sym, alpha_words, stop_hits,
+      |  n_words BETWEEN 50 AND 100000 AS r_wc,
+      |  word_chars >= n_words * 3 AND word_chars <= n_words * 10 AS r_mwl,
+      |  n_sym * 10 <= n_words AS r_sym,
+      |  alpha_words * 5 >= n_words * 4 AS r_alpha,
+      |  stop_hits >= 2 AS r_stop,
+      |  (n_words BETWEEN 50 AND 100000)
+      |    AND (word_chars >= n_words * 3 AND word_chars <= n_words * 10)
+      |    AND (n_sym * 10 <= n_words)
+      |    AND (alpha_words * 5 >= n_words * 4)
+      |    AND (stop_hits >= 2) AS keep
+      |FROM m""".stripMargin
+
   /** D61 — KMV (bottom-k) distinct-count sketch per source
     * (Bar-Yossef et al., "Counting distinct elements in a data
     * stream", RANDOM 2002; the unbiased (k−1)/h_k estimator of
@@ -3458,6 +3747,9 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d64_line_dedup" -> (d64 _),
+    "d63_c4_filters" -> (d63 _),
+    "d62_gopher_rules" -> (d62 _),
     "d61_kmv_sketch" -> (d61 _),
     "d60_winnow_pairs" -> (d60 _),
     "d59_ppl_tiers" -> (d59 _),
@@ -3521,6 +3813,9 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d64_line_dedup" -> d64Sql,
+    "d63_c4_filters" -> d63Sql,
+    "d62_gopher_rules" -> d62Sql,
     "d61_kmv_sketch" -> d61Sql,
     "d60_winnow_pairs" -> d60Sql,
     "d59_ppl_tiers" -> d59Sql,

@@ -90,6 +90,112 @@ class DataSelectionSpec extends AnyFunSuite {
 
   // ---- d53_cdc_chunks ----------------------------------------------
 
+  // ---- d62_gopher_rules / d63_c4_filters ---------------------------
+
+  private def gopherRows(rows: Seq[(Long, String)]) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gq_").toString
+    docsDf(rows.map { case (id, t) => (id, t, "en") })
+      .write.parquet(s"$dir/documents.parquet")
+    graft.queries.TrainingDataQueries.queries("d62_gopher_rules")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("d62: each Gopher rule fires alone and is attributed to its own flag") {
+    def words(n: Int, w: Int => String) = (0 until n).map(w).mkString(" ")
+    val clean = "the and " + words(58, i => s"word$i")
+    val tooShort = "the and " + words(8, i => s"word$i")
+    val thinWords = "the and " + words(58, _ => "ab")
+    val symbolic = "the and " + words(48, i => s"word$i") + " " +
+      words(10, i => s"tag#$i")
+    val numeric = "the and " + words(38, i => s"word$i") + " " +
+      words(20, i => s"${i}00")
+    val noStops = words(60, i => s"zq${i}word")
+    val out = gopherRows(Seq(1L -> clean, 2L -> tooShort, 3L -> thinWords,
+      4L -> symbolic, 5L -> numeric, 6L -> noStops))
+    def flags(id: Long) = (6 to 11).map(out(id).getBoolean) // r_wc..keep
+    assert(flags(1L) == Seq(true, true, true, true, true, true), s"clean: ${flags(1L)}")
+    assert(flags(2L) == Seq(false, true, true, true, true, false))
+    assert(flags(3L) == Seq(true, false, true, true, true, false))
+    assert(flags(4L) == Seq(true, true, false, true, true, false))
+    assert(flags(5L) == Seq(true, true, true, false, true, false))
+    assert(flags(6L) == Seq(true, true, true, true, false, false))
+  }
+
+  test("d62: the word-count bound is exact at 50") {
+    def doc(n: Int) = "the and " + (0 until n - 2).map(i => s"word$i").mkString(" ")
+    val out = gopherRows(Seq(1L -> doc(50), 2L -> doc(49)))
+    assert(out(1L).getBoolean(6), "50 words is in range")
+    assert(!out(2L).getBoolean(6), "49 words is not")
+  }
+
+  test("d63: C4 line retention, sentence floor, and page-level drops") {
+    val multi = Seq(
+      "A good first sentence.",       // kept
+      "no terminal punctuation here", // dropped
+      "Enable javascript to view.",   // dropped: javascript
+      "Another fine one!",            // kept
+      "And a third?"                  // kept
+    ).mkString("\n")
+    val docLines = docsDf(Seq(
+      (1L, multi, "en"),
+      (2L, "Lorem ipsum dolor sit. Second one. Third here.", "en"),
+      (3L, "Code page { body }. Second one. Third here.", "en"),
+      (4L, "One sentence only.", "en")
+    )).select(col("doc_id"), split(col("text"), "\n").as("lines"))
+    val out = graft.queries.TrainingDataQueries.c4Filters(docLines)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 5L && out(1L).getLong(2) == 3L,
+      s"3 of 5 lines retained, got ${out(1L)}")
+    assert(out(1L).getBoolean(7), "the multi-line page keeps")
+    assert(out(2L).getBoolean(4) && !out(2L).getBoolean(7),
+      "lorem ipsum drops the page")
+    assert(out(3L).getBoolean(5) && !out(3L).getBoolean(7),
+      "a curly brace drops the page")
+    assert(!out(4L).getBoolean(6) && !out(4L).getBoolean(7),
+      "fewer than 3 sentences drops the page")
+  }
+
+  test("d64: a banner line shared by >= 5 docs flags; rarer lines and blanks don't") {
+    val banner = "Subscribe to our newsletter today."
+    val rows = (0L until 6L).map(i =>
+        (i, s"Unique body $i text.\n\n  $banner  ", "en")) ++
+      Seq((10L, "Entirely alone here.", "en")) ++
+      (20L until 24L).map(i => (i, s"Body $i.\nRare shared line", "en"))
+    val docLines = docsDf(rows)
+      .select(col("doc_id"), split(col("text"), "\n").as("lines"))
+    val out = graft.queries.TrainingDataQueries
+      .lineDedupReport(docLines, minDf = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (0L until 6L).foreach { i =>
+      val (n, dup, pm) = out(i)
+      assert(n == 2L, s"blank line must not count: doc $i has $n lines")
+      assert(dup == 1L, s"the banner (df=6, trimmed) must flag in doc $i")
+      val expectPm = banner.length * 1000L /
+        (banner.length + s"Unique body $i text.".length)
+      assert(pm == expectPm, s"doc $i dup_pm $pm != $expectPm")
+    }
+    assert(out(10L) == ((1L, 0L, 0L)), "a singleton doc has no dup lines")
+    (20L until 24L).foreach { i =>
+      assert(out(i)._2 == 0L, s"df=4 line must NOT flag (doc $i)")
+    }
+  }
+
+  test("d62/d63/d64: every keep/flag branch fires on the driver corpus (the c28 rule)") {
+    import graft.queries.TrainingDataQueries
+    val dir = SparkTestBase.sf
+    def keeps(key: String) = TrainingDataQueries.queries(key)(spark, dir)
+      .select("keep").collect().map(_.getBoolean(0)).toSet
+    assert(keeps("d62_gopher_rules") == Set(true, false),
+      "Gopher battery must keep some docs and drop some at every SF")
+    assert(keeps("d63_c4_filters") == Set(true, false),
+      "C4 battery must keep some docs and drop some at every SF")
+    val dup = TrainingDataQueries.queries("d64_line_dedup")(spark, dir)
+      .select("dup_lines").collect().map(_.getLong(0))
+    assert(dup.exists(_ > 0) && dup.contains(0L),
+      "line dedup must flag the injected banner and leave unique docs clean")
+  }
+
   // ---- d59_ppl_tiers -----------------------------------------------
 
   test("d59: reference-like docs tier head, mixed docs middle, alien docs tail") {
