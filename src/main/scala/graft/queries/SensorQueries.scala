@@ -401,7 +401,56 @@ object SensorQueries {
 
   val a16Sql: String = a14Sql
 
+  /** A17 — JDBC SINK round-trip, the write-back half of the
+    * reference's DatabaseManager
+    * (/root/reference/main_pipeline.py:137-169 reads Postgres; a
+    * lakehouse engine also PUBLISHES serving/dimension tables back
+    * over JDBC): the events projection is written to an embedded
+    * Derby database through Spark's batched JDBC writer
+    * (batchsize-bounded inserts, one connection per partition —
+    * the shape that scales to a partitioned warehouse load), read
+    * back through the JDBC source, and aggregated — proving the
+    * write→read loop lossless for longs, doubles and strings. Same
+    * oracle as A14. The PARTITIONED read path (range predicates,
+    * fetchsize) is exercised separately in SourcesSpec; this entry
+    * pins the sink. The Derby database is shut down and deleted
+    * after the result materializes (the A14/A15 collectAndClean
+    * discipline).
+    */
+  def a17(s: SparkSession, dir: String): DataFrame = {
+    val dbDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_a17_${java.lang.ProcessHandle.current().pid()}")
+    val url = s"jdbc:derby:$dbDir/a17db;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+        epochMs(col("ts")).as("t_ms"), col("value"))
+      .write.mode("overwrite")
+      .format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", "events_rt")
+      .option("batchsize", "1000")
+      .save()
+    val back = s.read.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", "events_rt")
+      .load()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"),
+        min(col("t_ms")).as("min_ms"), max(col("t_ms")).as("max_ms"))
+    val rows = back.collect()
+    val schema = back.schema
+    try { // embedded Derby: a successful shutdown THROWS 08006
+      java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/a17db;shutdown=true")
+      ()
+    } catch { case _: java.sql.SQLException => () }
+    collectAndClean(s,
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema), dbDir)
+  }
+
+  val a17Sql: String = a14Sql
+
   val queries: Map[String, QFn] = Map(
+    "a17_jdbc_roundtrip" -> (a17 _),
     "a16_orc_roundtrip" -> (a16 _),
     "a15_json_roundtrip" -> (a15 _),
     "a14_csv_roundtrip" -> (a14 _),
@@ -420,6 +469,7 @@ object SensorQueries {
     "a12_output_validate" -> (a12 _))
 
   val oracles: Map[String, String] = Map(
+    "a17_jdbc_roundtrip" -> a17Sql,
     "a16_orc_roundtrip" -> a16Sql,
     "a15_json_roundtrip" -> a15Sql,
     "a14_csv_roundtrip" -> a14Sql,
