@@ -1753,6 +1753,83 @@ object TrainingDataQueries {
       |    AND (stop_hits >= 2) AS keep
       |FROM m""".stripMargin
 
+  /** D65 — the ANN recall/nprobe TUNING CURVE as an operator: for
+    * nprobe ∈ {1, 2, 4} against the same d19/d37 IVF quantizer,
+    * recall@4 vs the exact d9 brute force — (nprobe, hits, denom,
+    * recall_pm). This is the table a production similarity service
+    * actually tunes with: probe cost grows ~linearly in nprobe
+    * while recall saturates, and the knee is DATA-DEPENDENT, so the
+    * audit must run on the corpus itself (the d11 recall-audit
+    * discipline, widened to the whole curve). Deterministic end to
+    * end (shared quantizer + tie rules), so the full curve carries
+    * a SQL oracle: one kmeans chain + one probe-rank CTE reused by
+    * all three nprobe values + the d9 exact chain.
+    *
+    * Scale shape: everything is the measured d19 probe machinery ×3
+    * plus one exact pass over the FIXED query set (nq·corpus scored
+    * once, the d9 broadcast shape — the audit's priced-in
+    * reference, run on a sampled query set in production).
+    */
+  def d65(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") % 40 === 0)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 4)
+      .select("q_id", "n_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val denom = exact.agg(count(lit(1)).as("denom"))
+    Seq(1, 2, 4).map { np =>
+      Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 4,
+          kCentroids = 16, nprobe = np)
+        .select(col("q_id"), col("n_id"))
+        .join(exact, Seq("q_id", "n_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np.toLong).as("nprobe"), col("hits"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(denom))
+      .withColumn("recall_pm", expr("hits * 1000 div denom"))
+  }
+
+  val d65Sql: String = {
+    val qd = duckDot("q.e", "n.e")
+    s"""WITH $duckKmeansAssign,
+       |ex AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $qd / (q.nrm * n.nrm) DESC, n.vec_id) AS rk
+       |    FROM (SELECT * FROM v WHERE vec_id % 40 = 0) q
+       |    CROSS JOIN v n WHERE n.vec_id <> q.vec_id) WHERE rk <= 4),
+       |exn AS (SELECT CAST(count(*) AS BIGINT) AS denom FROM ex),
+       |pr AS (
+       |  SELECT q_id, cid, crk FROM (
+       |    SELECT q.vec_id AS q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckDot("q.e", "c.ce")} / (q.nrm * c.cnrm) DESC,
+       |                 c.cid) AS crk
+       |    FROM (SELECT * FROM v WHERE vec_id % 40 = 0) q
+       |    CROSS JOIN cents c)),
+       |cand AS (
+       |  SELECT np, q_id, n_id FROM (
+       |    SELECT g.np, p.q_id, a.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY g.np, p.q_id
+       |        ORDER BY $qd / (q.nrm * n.nrm) DESC, a.vec_id) AS rk
+       |    FROM (VALUES (1), (2), (4)) g(np)
+       |    JOIN pr p ON p.crk <= g.np
+       |    JOIN assign a ON a.cid = p.cid
+       |    JOIN v q ON q.vec_id = p.q_id
+       |    JOIN v n ON n.vec_id = a.vec_id
+       |    WHERE a.vec_id <> p.q_id) WHERE rk <= 4),
+       |hits AS (
+       |  SELECT np, CAST(count(*) AS BIGINT) AS hits
+       |  FROM cand JOIN ex USING (q_id, n_id) GROUP BY np)
+       |SELECT CAST(g.np AS BIGINT) AS nprobe,
+       |  coalesce(h.hits, 0) AS hits, exn.denom,
+       |  coalesce(h.hits, 0) * 1000 // exn.denom AS recall_pm
+       |FROM (VALUES (1), (2), (4)) g(np)
+       |LEFT JOIN hits h ON h.np = g.np CROSS JOIN exn""".stripMargin
+  }
+
   /** D61 — KMV (bottom-k) distinct-count sketch per source
     * (Bar-Yossef et al., "Counting distinct elements in a data
     * stream", RANDOM 2002; the unbiased (k−1)/h_k estimator of
@@ -3747,6 +3824,7 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d65_recall_curve" -> (d65 _),
     "d64_line_dedup" -> (d64 _),
     "d63_c4_filters" -> (d63 _),
     "d62_gopher_rules" -> (d62 _),
@@ -3813,6 +3891,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d65_recall_curve" -> d65Sql,
     "d64_line_dedup" -> d64Sql,
     "d63_c4_filters" -> d63Sql,
     "d62_gopher_rules" -> d62Sql,
