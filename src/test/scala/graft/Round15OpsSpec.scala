@@ -331,6 +331,30 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(enc.count() == 200)
   }
 
+  // ---- d65_recall_curve -----------------------------------------------------
+
+  test("d65: recall is monotone in nprobe, and probing every list IS exact (1000 permille)") {
+    val dir = SparkTestBase.sf
+    val curve = SparkEntry.queries("d65_recall_curve")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(curve.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      s"recall must not decrease with nprobe: $curve")
+    // nprobe = kCentroids probes every inverted list: the probe IS
+    // the exact search, bit for bit
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 40 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rk", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = pairs(Similarity.ivfTopK(q, e, "vec_id", "embedding",
+      k = 4, kCentroids = 16, nprobe = 16)
+      .withColumn("rk", col("rk").cast("long")))
+    val exact = pairs(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 4)
+      .withColumn("rk", col("rk").cast("long")))
+    assert(full == exact, "nprobe=kc must reproduce brute force exactly")
+  }
+
   // ---- d61_kmv_sketch -------------------------------------------------------
 
   private def kmvDocs(rows: Seq[(Long, String, String)]) = {
