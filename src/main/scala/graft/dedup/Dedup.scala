@@ -388,33 +388,21 @@ object Dedup {
     * four integers) leave the map side.
     */
   def cdcChunks(docs: DataFrame, id: String, text: String,
-      divisor: Int = 16): DataFrame = {
-    val P = lit(TextHash.P)
-    def fold(base: Int): Column =
-      aggregate(
-        slice(col("__h"), element_at(col("__b"), col("__ci")) + 1,
-          element_at(col("__b"), col("__ci") + 1) -
-            element_at(col("__b"), col("__ci"))),
-        lit(0L), (a, x) => (a * base + x) % P)
+      divisor: Int = 16): DataFrame =
+    // One compiled pass ([[graft.functions.CdcChunkRows]]): the
+    // original composed form (boundary filter + two interpreted
+    // aggregate folds re-sliced per exploded chunk row) carried the
+    // identical arithmetic but ran the folds as Catalyst lambda
+    // interpretation per chunk — 24.3 s isolated at sf1.0, kernel
+    // measured in GATE_SF1.md r15 part 3. Output is bit-identical
+    // (same tokenization, boundary rule, fold bases, idx numbering,
+    // and the len > 0 totality filter — enforced inside the kernel).
     docs
-      .select(col(id), TextHash.word_gram_hashes(col(text), 1,
-        distinct = false).as("__h"))
-      .withColumn("__b", concat(
-        array(lit(0)),
-        when(size(col("__h")) >= 2,
-          filter(sequence(lit(1), size(col("__h")) - 1),
-            i => element_at(col("__h"), i) % divisor === 0))
-          .otherwise(array().cast("array<int>")),
-        array(size(col("__h")))))
-      .select(col(id), col("__h"), col("__b"),
-        explode(sequence(lit(1), size(col("__b")) - 1)).as("__ci"))
       .select(col(id),
-        col("__ci").cast("long").as("idx"),
-        (element_at(col("__b"), col("__ci") + 1) -
-          element_at(col("__b"), col("__ci"))).cast("long").as("chunk_len"),
-        fold(31).as("h1"), fold(37).as("h2"))
-      .filter(col("chunk_len") > 0)
-  }
+        explode(TextHash.cdc_chunk_rows(col(text), divisor)).as("__c"))
+      .select(col(id), col("__c.idx").as("idx"),
+        col("__c.chunk_len").as("chunk_len"),
+        col("__c.h1").as("h1"), col("__c.h2").as("h2"))
 
   /** MOSS winnowing fingerprint pairs (Schleimer, Wilkerson, Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
@@ -444,12 +432,15 @@ object Dedup {
       gramK: Int = 4, window: Int = 4, dfCap: Int = 20,
       minShared: Int = 2): DataFrame = {
     val g = TextHash.word_gram_hashes(col(text), gramK, distinct = false)
+    // window-min selection + distinct in one compiled pass
+    // ([[graft.functions.WinnowPrints]] — the interpreted
+    // transform/slice/array_min chain it replaces cost 27.6 s
+    // isolated at sf1.0, GATE_SF1.md r15 part 3)
     val prints = docs
       .select(col(id).as("__id"), g.as("__g"))
       .filter(size(col("__g")) >= 1)
-      .select(col("__id"), array_distinct(transform(
-        sequence(lit(1), greatest(size(col("__g")) - (window - 1), lit(1))),
-        i => array_min(slice(col("__g"), i, lit(window))))).as("__ps"))
+      .select(col("__id"),
+        TextHash.winnow_prints(col("__g"), window).as("__ps"))
     val ep = prints.select(col("__id"), explode(col("__ps")).as("__p"))
     ep.groupBy("__p")
       .agg(graft.functions.TopKAgg.top_k(

@@ -90,6 +90,14 @@ object TextHash {
   def sorted_intersect_count(a: Column, b: Column): Column =
     SparkShims.column(SortedIntersectCount(expr(a), expr(b)))
 
+  /** CDC chunk summaries from text — see [[CdcChunkRows]]. */
+  def cdc_chunk_rows(text: Column, divisor: Int): Column =
+    SparkShims.column(CdcChunkRows(expr(text), divisor))
+
+  /** Winnowing window-min fingerprints — see [[WinnowPrints]]. */
+  def winnow_prints(grams: Column, window: Int): Column =
+    SparkShims.column(WinnowPrints(expr(grams), window))
+
   /** Word-token poly hashes of lower(trim(text)) split on \s+ —
     * the single-pass twin of
     * transform(split(trim(lower(text)), "\\s+"), poly_hash).
@@ -404,5 +412,124 @@ case class SimHash(child: Expression, bits: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash =
+    copy(child = c)
+}
+
+/** CDC chunk summaries straight from text, one compiled pass —
+  * array<struct<idx, chunk_len, h1, h2>> with EXACTLY the arithmetic
+  * of the composed column form it replaces (tokenize → per-token
+  * PolyHash → boundary after token i when hash % divisor == 0 →
+  * per-chunk base-31/37 folds). The composed form ran the two fold
+  * aggregates as interpreted Catalyst lambdas per chunk row, which
+  * dominated d53/c30 at sf1.0 (24.3 s isolated — GATE_SF1.md r15
+  * part 3); this kernel is the same O(n_tokens) work as straight
+  * JVM loops, with the surrounding stage kept in whole-stage
+  * codegen via the referenced-object call (the WordGramHashes
+  * pattern).
+  */
+case class CdcChunkRows(child: Expression, divisor: Int)
+    extends UnaryExpression {
+  require(divisor >= 1)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("idx", LongType, nullable = false),
+      StructField("chunk_len", LongType, nullable = false),
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))),
+    containsNull = false)
+
+  def compute(v: UTF8String): GenericArrayData = {
+    val toks = v.toString.trim.toLowerCase.split("\\s+")
+    val n = toks.length
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = TextHash.polyHashStr(toks(i)); i += 1 }
+    // boundaries: 0, every i in [1, n-1] with th(i-1) % divisor == 0, n
+    val bs = new scala.collection.mutable.ArrayBuffer[Int](n / divisor + 2)
+    bs += 0
+    i = 1
+    while (i <= n - 1) { if (th(i - 1) % divisor == 0) bs += i; i += 1 }
+    bs += n
+    val out = new scala.collection.mutable.ArrayBuffer[Any](bs.length - 1)
+    var ci = 1
+    while (ci < bs.length) {
+      val lo = bs(ci - 1); val hi = bs(ci)
+      if (hi - lo > 0) {
+        var h1 = 0L; var h2 = 0L
+        var j = lo
+        while (j < hi) {
+          h1 = (h1 * 31 + th(j)) % TextHash.P
+          h2 = (h2 * 37 + th(j)) % TextHash.P
+          j += 1
+        }
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          ci.toLong, (hi - lo).toLong, h1, h2)
+      }
+      ci += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cdcChunkRows", this, classOf[CdcChunkRows].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcChunkRows =
+    copy(child = c)
+}
+
+/** Winnowing fingerprint selection over a gram-hash array: the
+  * distinct min of every sliding `window` of consecutive hashes
+  * (Schleimer et al. 2003), one compiled pass replacing the
+  * interpreted transform(sequence)/slice/array_min/array_distinct
+  * chain (27.6 s isolated at sf1.0 — GATE_SF1.md r15 part 3). Fewer
+  * grams than a window → the min of what is there (one window),
+  * matching the composed form and the d60 oracle. Output order is
+  * first-selection order; every consumer treats the result as a
+  * set.
+  */
+case class WinnowPrints(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val windows = math.max(n - window + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < windows) {
+      var m = Long.MaxValue
+      var j = i
+      val hi = math.min(i + window, n)
+      while (j < hi) {
+        val x = arr.getLong(j)
+        if (x < m) m = x
+        j += 1
+      }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnowPrints", this, classOf[WinnowPrints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowPrints =
     copy(child = c)
 }
