@@ -1753,6 +1753,70 @@ object TrainingDataQueries {
       |    AND (stop_hits >= 2) AS keep
       |FROM m""".stripMargin
 
+  /** D66 — hard-negative mining for embedding-model training
+    * (the in-batch/mined-negatives recipe of dense retrieval —
+    * Karpukhin et al., EMNLP 2020 §3.2; Xiong et al., ICLR 2021
+    * ANCE): for each query vector, its top same-label neighbor is
+    * the POSITIVE and its top-3 highest-cosine DIFFERENT-label
+    * neighbors are the HARD negatives — similar enough to be
+    * informative, wrong by label. Output one row per (q_id, kind,
+    * rk): kind 'pos' rk 1 + kind 'neg' rk 1..3, with the cosine.
+    * Contrastive batches are assembled directly from this frame.
+    *
+    * Scale shape: the d9 broadcast-query exact pass over a FIXED
+    * query set (production swaps in the d19/d37 routed probe — the
+    * candidate generator is pluggable, the labeling rule is the
+    * operator); ranking is one bounded per-query window over the
+    * scored sliver. Deterministic (cosine folds + label equality +
+    * id tie-break) → full SQL oracle.
+    */
+  def d66(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity.{dot, norm2, toDouble}
+    val e = emb(s, dir).select(col("vec_id"),
+      toDouble(col("embedding")).as("e"), col("label").cast("long").as("lbl"))
+      .withColumn("nrm", norm2(col("e"))).filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("lbl").as("q_lbl"), col("nrm").as("qnrm"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_lbl"), col("vec_id").as("n_id"),
+        col("lbl").as("n_lbl"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy(col("q_id"), col("q_lbl") === col("n_lbl"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("kind",
+        when(col("q_lbl") === col("n_lbl"), lit("pos")).otherwise(lit("neg")))
+      .filter((col("kind") === "pos" && col("rk") === 1) ||
+        (col("kind") === "neg" && col("rk") <= 3))
+      .select("q_id", "kind", "rk", "n_id", "cos")
+  }
+
+  val d66Sql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, hn_x -> CAST(hn_x AS DOUBLE)) AS e,
+       |    CAST(label AS BIGINT) AS lbl
+       |  FROM embeddings),
+       |vn AS (
+       |  SELECT vec_id, e, lbl, sqrt(${duckDot("e", "e")}) AS nrm FROM v
+       |  WHERE sqrt(${duckDot("e", "e")}) > 0),
+       |sc AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |    q.lbl = n.lbl AS same,
+       |    ${duckDot("q.e", "n.e")} / (q.nrm * n.nrm) AS cos
+       |  FROM (SELECT * FROM vn WHERE vec_id % 40 = 0) q
+       |  CROSS JOIN vn n WHERE n.vec_id <> q.vec_id),
+       |rk AS (
+       |  SELECT q_id, same, n_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id, same
+       |      ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+       |  FROM sc)
+       |SELECT q_id, CASE WHEN same THEN 'pos' ELSE 'neg' END AS kind,
+       |       rk, n_id, cos
+       |FROM rk
+       |WHERE (same AND rk = 1) OR (NOT same AND rk <= 3)""".stripMargin
+
   /** D65 — the ANN recall/nprobe TUNING CURVE as an operator: for
     * nprobe ∈ {1, 2, 4} against the same d19/d37 IVF quantizer,
     * recall@4 vs the exact d9 brute force — (nprobe, hits, denom,
@@ -3824,6 +3888,7 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d66_hard_negatives" -> (d66 _),
     "d65_recall_curve" -> (d65 _),
     "d64_line_dedup" -> (d64 _),
     "d63_c4_filters" -> (d63 _),
@@ -3891,6 +3956,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d66_hard_negatives" -> d66Sql,
     "d65_recall_curve" -> d65Sql,
     "d64_line_dedup" -> d64Sql,
     "d63_c4_filters" -> d63Sql,

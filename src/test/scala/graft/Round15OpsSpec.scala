@@ -355,6 +355,37 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(full == exact, "nprobe=kc must reproduce brute force exactly")
   }
 
+  // ---- d66_hard_negatives ---------------------------------------------------
+
+  test("d66: positives share the query's label, hard negatives never do, ranks are dense") {
+    val dir = SparkTestBase.sf
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("d66_hard_negatives")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, kind, rk, n, _) =>
+      if (kind == "pos") {
+        assert(rk == 1L)
+        assert(labels(q) == labels(n), s"positive $n must share $q's label")
+      } else {
+        assert(rk >= 1L && rk <= 3L)
+        assert(labels(q) != labels(n), s"negative $n must differ from $q's label")
+      }
+    }
+    val byQ = rows.groupBy(_._1)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.count(_._2 == "pos") <= 1)
+      val negs = rs.filter(_._2 == "neg").sortBy(_._3)
+      assert(negs.map(_._3).toSeq == (1L to negs.length.toLong).toSeq,
+        s"dense neg ranks for $q")
+      assert(negs.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"neg cosines must be non-increasing in rank for $q")
+    }
+  }
+
   // ---- d61_kmv_sketch -------------------------------------------------------
 
   private def kmvDocs(rows: Seq[(Long, String, String)]) = {
