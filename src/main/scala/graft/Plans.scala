@@ -51,7 +51,9 @@ object Plans {
     "d58_spann_ann" -> "SPANN closure lists: assignment is scan + in-row sort over an array-literal centroid table (no crossJoin, no window, NO exchange — plan-pinned); probe reads ONE list via the broadcast probe equi-join; candidate distinct is a partial-agg over the probe sliver",
     "d59_ppl_tiers" -> "CCNet perplexity tiers: LM costs ride as one array literal over a fully map-side scoring pass; tercile cutoffs from a bounded (<=63k-row) histogram — the only window runs over that dim frame, the corpus is never sorted or re-shuffled",
     "d60_winnow_pairs" -> "winnowing: gram hashing + window-min selection + per-doc distinct ALL in-row (one scan); only the ~2/(w+1)-sparse fingerprint stream explodes into the df-capped bounded-heap posting-list agg",
-    "d61_kmv_sketch" -> "KMV sketch: distinct-hash partial agg then a bounded top-k heap per source — <= k·partitions sketch rows shuffle; estimator arithmetic is plan-literal integer div, no window, no sort")
+    "d61_kmv_sketch" -> "KMV sketch: distinct-hash partial agg then a bounded top-k heap per source — <= k·partitions sketch rows shuffle; estimator arithmetic is plan-literal integer div, no window, no sort",
+    "d53_cdc_chunks" -> "CDC chunking: ONE compiled kernel (CdcChunkRows) inside the scan's project — tokenize/boundaries/dual folds in a single pass, no interpreted HOF lambdas (r15 part-3 kernel, 16.9x) — then a partial-combine chunk-key agg",
+    "d66_hard_negatives" -> "hard negatives: broadcast query set over one corpus scan; ONE bounded window partitioned by (q_id, same-label) ranks positives and negatives independently")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -7,11 +7,14 @@ import graft.dedup.Dedup
 import graft.similarity.Similarity
 import graft.streaming.StreamingOps
 
-/** Round-15 contracts: the c28 single-epoch oracle invariant under a
-  * multi-file arrival corpus, and kill-restart convergence of the
-  * composed gate across the half-appended window (crash BETWEEN
-  * appendSpanIndex and appendIvfIndex: fates committed, span index
-  * mutated, IVF not).
+/** Round-15 contracts. Early r15: the c28 single-epoch oracle
+  * invariant under a multi-file arrival corpus, kill-restart
+  * convergence of the composed gate across the half-appended window
+  * (crash BETWEEN appendSpanIndex and appendIvfIndex), the d49
+  * bloom gate, and the d50/d51 PQ family. Late r15: d55 islands,
+  * d57 ADC re-rank, d58 SPANN closure lists, d60 winnowing, d61/c31
+  * KMV sketches, c30 CDC-chunk gate shift-robustness, d65 recall
+  * curve, d66 hard negatives.
   */
 class Round15OpsSpec extends AnyFunSuite {
   import SparkTestBase._
