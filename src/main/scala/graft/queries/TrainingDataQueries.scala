@@ -1753,6 +1753,77 @@ object TrainingDataQueries {
       |    AND (stop_hits >= 2) AS keep
       |FROM m""".stripMargin
 
+  /** D67 — the composed WEB-CLEANING RECIPE with fate attribution
+    * (the RefinedWeb/FineWeb stage order — Penedo et al. 2023 §3,
+    * Penedo et al. 2024: structural filters → heuristic quality →
+    * LM quality → dedup): every document runs the full battery and
+    * gets ONE fate, first-failing-stage-wins (the d24/c28
+    * attribution convention):
+    *
+    *   c4        — d63's line-structure battery rejected it
+    *   gopher    — d62's heuristic battery rejected it
+    *   ppl_tail  — d59's CCNet tier is tail (or unscorable)
+    *   exact_dup — d1's normalized-content group keeps another doc
+    *   kept      — survived everything
+    *
+    * All four stage verdicts are emitted alongside the fate (a
+    * curation pipeline tunes stages from the attribution table, and
+    * unlike c28's streaming short-circuit, the batch recipe prices
+    * every stage for every doc — the report d24 standardized).
+    *
+    * Scale shape: each stage is its own measured operator's
+    * machinery (map-side batteries, the bounded-histogram tier cut,
+    * one hash-partitioned dedup agg); the composition is four
+    * equi-joins on doc_id — co-partitioned after the first
+    * exchange, nothing corpus-sized is re-derived. The oracle is
+    * the four stage oracles as nested-CTE subqueries joined on
+    * doc_id — stage semantics replayed bit-for-bit.
+    */
+  def d67(s: SparkSession, dir: String): DataFrame = {
+    val c4 = c4Filters(docs(s, dir)
+        .select(col("doc_id"), webLines.as("lines")))
+      .select(col("doc_id"), col("keep").as("c4_ok"))
+    val gop = d62(s, dir).select(col("doc_id"), col("keep").as("gopher_ok"))
+    val ppl = d59(s, dir).select(col("doc_id"),
+      (col("tier").isNotNull && col("tier") =!= 3).as("ppl_ok"))
+    val base = docs(s, dir).select(col("doc_id"),
+      graft.dedup.Dedup.contentHash(col("text")).as("__ch"))
+    val keepers = base.groupBy("__ch").agg(min(col("doc_id")).as("__keeper"))
+    val dup = base.join(keepers, "__ch")
+      .select(col("doc_id"), (col("doc_id") === col("__keeper")).as("dup_ok"))
+    c4.join(gop, "doc_id").join(ppl, "doc_id").join(dup, "doc_id")
+      .withColumn("fate",
+        when(!col("c4_ok"), lit("c4"))
+          .when(!col("gopher_ok"), lit("gopher"))
+          .when(!col("ppl_ok"), lit("ppl_tail"))
+          .when(!col("dup_ok"), lit("exact_dup"))
+          .otherwise(lit("kept")))
+      .select("doc_id", "c4_ok", "gopher_ok", "ppl_ok", "dup_ok", "fate")
+  }
+
+  // lazy: interpolates d59Sql, which initializes later in the object
+  lazy val d67Sql: String =
+    s"""WITH c4s AS (SELECT doc_id, keep AS c4_ok FROM ($d63Sql)),
+       |gops AS (SELECT doc_id, keep AS gopher_ok FROM ($d62Sql)),
+       |ppls AS (
+       |  SELECT doc_id,
+       |    tier IS NOT NULL AND tier <> 3 AS ppl_ok FROM ($d59Sql)),
+       |ch AS (SELECT doc_id, md5(lower(trim(text))) AS chash FROM documents),
+       |kp AS (SELECT chash, min(doc_id) AS keeper FROM ch GROUP BY 1),
+       |dups AS (
+       |  SELECT ch.doc_id, ch.doc_id = kp.keeper AS dup_ok
+       |  FROM ch JOIN kp USING (chash))
+       |SELECT c4s.doc_id, c4_ok, gopher_ok, ppl_ok, dup_ok,
+       |  CASE WHEN NOT c4_ok THEN 'c4'
+       |       WHEN NOT gopher_ok THEN 'gopher'
+       |       WHEN NOT ppl_ok THEN 'ppl_tail'
+       |       WHEN NOT dup_ok THEN 'exact_dup'
+       |       ELSE 'kept' END AS fate
+       |FROM c4s
+       |JOIN gops USING (doc_id)
+       |JOIN ppls USING (doc_id)
+       |JOIN dups USING (doc_id)""".stripMargin
+
   /** D66 — hard-negative mining for embedding-model training
     * (the in-batch/mined-negatives recipe of dense retrieval —
     * Karpukhin et al., EMNLP 2020 §3.2; Xiong et al., ICLR 2021
@@ -3888,6 +3959,7 @@ object TrainingDataQueries {
        |FROM sc, b""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "d67_web_recipe" -> (d67 _),
     "d66_hard_negatives" -> (d66 _),
     "d65_recall_curve" -> (d65 _),
     "d64_line_dedup" -> (d64 _),
@@ -3956,6 +4028,7 @@ object TrainingDataQueries {
     "d13_minhash_jaccard_verify" -> (d13 _))
 
   val oracles: Map[String, String] = Map(
+    "d67_web_recipe" -> d67Sql,
     "d66_hard_negatives" -> d66Sql,
     "d65_recall_curve" -> d65Sql,
     "d64_line_dedup" -> d64Sql,

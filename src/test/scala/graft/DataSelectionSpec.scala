@@ -196,6 +196,44 @@ class DataSelectionSpec extends AnyFunSuite {
       "line dedup must flag the injected banner and leave unique docs clean")
   }
 
+  // ---- d67_web_recipe ----------------------------------------------
+
+  test("d67: fate equals first failing stage; multiple fates fire on the driver corpus") {
+    import graft.queries.TrainingDataQueries
+    val rows = TrainingDataQueries.queries("d67_web_recipe")(
+        spark, SparkTestBase.sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getString(5)))
+    rows.foreach { case (id, c4, gop, ppl, dup, fate) =>
+      val want = if (!c4) "c4" else if (!gop) "gopher"
+        else if (!ppl) "ppl_tail" else if (!dup) "exact_dup" else "kept"
+      assert(fate == want, s"doc $id: $fate != $want")
+    }
+    val fates = rows.map(_._6).toSet
+    assert(Set("kept").subsetOf(fates) && fates.size >= 3,
+      s"the driver corpus must exercise several fates, got $fates")
+  }
+
+  test("d67: an exact duplicate that survives every filter gets fate exact_dup, keeper kept") {
+    import graft.queries.TrainingDataQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft_wr_").toString
+    // reference-vocabulary 60-word text (passes gopher; webify gives
+    // it 5 sentence-lines -> passes c4; lowest LM cost -> head tier)
+    val good = "the a " + (0 until 58).map(i => s"wr${i % 9}tok").mkString(" ")
+    val alien = (0 until 58).map(i => s"zz${i}q$i").mkString(" ") + " the a"
+    // ids ≡ 3 (mod 4): no page-drop tail from the webify injection
+    val rows = Seq(3L -> good, 103L -> good, 7L -> alien, 11L -> alien,
+      15L -> alien, 19L -> alien)
+    docsDf(rows.map { case (id, t) =>
+      (id, t, if (id == 3L || id == 103L) "en" else "de") })
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TrainingDataQueries.queries("d67_web_recipe")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out(3L) == "kept", s"keeper must survive, got ${out(3L)}")
+    assert(out(103L) == "exact_dup",
+      s"the copy must attribute to dedup, got ${out(103L)}")
+  }
+
   // ---- d59_ppl_tiers -----------------------------------------------
 
   test("d59: reference-like docs tier head, mixed docs middle, alien docs tail") {
