@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.sampling.Dsir
 
-/** Round-15 part 3 contracts: DSIR importance weighting (d52), CDC
-  * chunk dedup (d53), and the streaming decontamination gate (c29).
+/** Data-selection and quality-filter contracts: DSIR importance
+  * weighting (d52), CDC chunk dedup (d53), containment (d54), the
+  * streaming decontamination gate (c29), CCNet perplexity tiers
+  * (d59), the Gopher/C4 batteries (d62/d63), line dedup (d64), and
+  * the composed web-cleaning recipe (d67).
   */
 class DataSelectionSpec extends AnyFunSuite {
   import SparkTestBase._
