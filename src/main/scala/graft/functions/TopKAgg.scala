@@ -11,21 +11,33 @@ import org.apache.spark.sql.graftshims.SparkShims
 import org.apache.spark.sql.types._
 
 /** Bounded top-k aggregation state: at most k (score, id) pairs,
-  * ordered worst-first so eviction is O(log k).
+  * ordered worst-first so eviction is O(log k). In `distinct` mode a
+  * companion hash set mirrors the heap's ids (maintained on
+  * insert/evict) so membership is O(1) instead of an O(k) heap scan
+  * per arriving row — at k=256 over a streaming corpus that scan was
+  * ~256 comparisons per document.
   */
-final class TopKBuffer(val k: Int) {
+final class TopKBuffer(val k: Int, val distinct: Boolean = false) {
   // min-heap on (score, then id desc so the *larger* id is evicted
   // first — final order prefers smaller ids on ties)
   private val ord: Ordering[(Double, Long)] =
     Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (s, -i) }.reverse
   val heap = collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+  private val ids: java.util.HashSet[Long] =
+    if (distinct) new java.util.HashSet[Long]() else null
+
+  /** O(1); only meaningful (and only maintained) in distinct mode. */
+  def containsId(id: Long): Boolean = distinct && ids.contains(id)
 
   def insert(score: Double, id: Long): Unit = {
-    if (heap.size < k) heap.enqueue((score, id))
-    else {
+    if (heap.size < k) {
+      heap.enqueue((score, id))
+      if (distinct) ids.add(id)
+    } else {
       val (ws, wi) = heap.head
       if (score > ws || (score == ws && id < wi)) {
         heap.dequeue(); heap.enqueue((score, id))
+        if (distinct) { ids.remove(wi); ids.add(id) }
       }
     }
   }
@@ -62,17 +74,18 @@ case class TopKAgg(
       StructField("id", LongType, nullable = false))),
     containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(k, distinctIds)
 
   // distinct-id mode (the KMV sketch contract): a value already IN
   // the sketch is skipped — the heap then holds the k best DISTINCT
   // ids. A re-arrival of an evicted id is rejected by the score test
-  // alone (eviction implies k better ids are present), so the O(k)
-  // membership scan is the complete dedup. Merge stays associative
-  // and commutative: both sides hold distinct ids and put() dedups
-  // across them.
+  // alone (eviction implies k better ids are present), so the O(1)
+  // hash-set membership check is the complete dedup. Merge stays
+  // associative and commutative: both sides hold distinct ids and
+  // put() dedups across them.
   private def put(buf: TopKBuffer, s: Double, i: Long): Unit =
-    if (!distinctIds || !buf.heap.exists(_._2 == i)) buf.insert(s, i)
+    if (!distinctIds || !buf.containsId(i)) buf.insert(s, i)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = scoreExpr.eval(input)
@@ -105,7 +118,7 @@ case class TopKAgg(
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new TopKBuffer(k)
+    val buf = new TopKBuffer(k, distinctIds)
     var i = 0
     while (i < n) { buf.insert(bb.getDouble, bb.getLong); i += 1 }
     buf

@@ -442,7 +442,14 @@ object SensorQueries {
     try { // embedded Derby: a successful shutdown THROWS 08006
       java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/a17db;shutdown=true")
       ()
-    } catch { case _: java.sql.SQLException => () }
+    } catch {
+      // 08006 = database shut down; XJ004 = database not found (a
+      // retry after a prior shutdown). Anything else is a REAL
+      // failure — rethrow rather than deleting dbDir under live
+      // Derby file handles.
+      case e: java.sql.SQLException
+          if e.getSQLState == "08006" || e.getSQLState == "XJ004" => ()
+    }
     collectAndClean(s,
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema), dbDir)
   }

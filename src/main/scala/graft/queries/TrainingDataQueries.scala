@@ -1491,13 +1491,18 @@ object TrainingDataQueries {
     */
   private[graft] def lineDedupReport(docLines: DataFrame,
       minDf: Int): DataFrame = {
+    // Deliberately NOT persisted: the line stream appears twice in
+    // the plan (df-count build side + probe side), but caching it
+    // means materializing a super-corpus-sized explode to disk for
+    // the lifetime of a lazy-return frame — at scale two streaming
+    // scans with in-row trim/md5 are cheaper than the cache write +
+    // read, and nothing leaks in the session cache.
     val lines = docLines
       .select(col("doc_id"),
         explode(filter(transform(col("lines"), l => trim(l)),
           l => length(l) > 0)).as("line"))
       .select(col("doc_id"), md5(col("line")).as("lh"),
         length(col("line")).cast("long").as("lchars"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val frequent = lines.groupBy("lh")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
@@ -1764,6 +1769,10 @@ object TrainingDataQueries {
     *   gopher    — d62's heuristic battery rejected it
     *   ppl_tail  — d59's CCNet tier is tail (or unscorable)
     *   exact_dup — d1's normalized-content group keeps another doc
+    *               (keeper = min-id FILTER SURVIVOR of the group,
+    *               matching the cited stage order where dedup runs
+    *               on filter output; min-id fallback when the whole
+    *               group failed upstream)
     *   kept      — survived everything
     *
     * All four stage verdicts are emitted alongside the fate (a
@@ -1788,10 +1797,19 @@ object TrainingDataQueries {
       (col("tier").isNotNull && col("tier") =!= 3).as("ppl_ok"))
     val base = docs(s, dir).select(col("doc_id"),
       graft.dedup.Dedup.contentHash(col("text")).as("__ch"))
-    val keepers = base.groupBy("__ch").agg(min(col("doc_id")).as("__keeper"))
-    val dup = base.join(keepers, "__ch")
-      .select(col("doc_id"), (col("doc_id") === col("__keeper")).as("dup_ok"))
-    c4.join(gop, "doc_id").join(ppl, "doc_id").join(dup, "doc_id")
+    // RefinedWeb order: dedup runs on FILTER SURVIVORS. The keeper
+    // for each content group is the min-id doc that passed the
+    // earlier stages (falling back to min-id overall so all-failed
+    // groups still emit a deterministic dup_ok) — a group whose
+    // min-id copy fails c4/gopher/ppl must not drop every copy.
+    val staged = c4.join(gop, "doc_id").join(ppl, "doc_id").join(base, "doc_id")
+      .withColumn("__surv",
+        col("c4_ok") && col("gopher_ok") && col("ppl_ok"))
+    val keepers = staged.groupBy("__ch").agg(
+      coalesce(min(when(col("__surv"), col("doc_id"))),
+        min(col("doc_id"))).as("__keeper"))
+    staged.join(keepers, "__ch")
+      .withColumn("dup_ok", col("doc_id") === col("__keeper"))
       .withColumn("fate",
         when(!col("c4_ok"), lit("c4"))
           .when(!col("gopher_ok"), lit("gopher"))
@@ -1809,10 +1827,19 @@ object TrainingDataQueries {
        |  SELECT doc_id,
        |    tier IS NOT NULL AND tier <> 3 AS ppl_ok FROM ($d59Sql)),
        |ch AS (SELECT doc_id, md5(lower(trim(text))) AS chash FROM documents),
-       |kp AS (SELECT chash, min(doc_id) AS keeper FROM ch GROUP BY 1),
+       |staged AS (
+       |  SELECT ch.doc_id, chash,
+       |    c4_ok AND gopher_ok AND ppl_ok AS surv
+       |  FROM ch JOIN c4s USING (doc_id) JOIN gops USING (doc_id)
+       |  JOIN ppls USING (doc_id)),
+       |kp AS (
+       |  SELECT chash,
+       |    coalesce(min(CASE WHEN surv THEN doc_id END), min(doc_id))
+       |      AS keeper
+       |  FROM staged GROUP BY 1),
        |dups AS (
-       |  SELECT ch.doc_id, ch.doc_id = kp.keeper AS dup_ok
-       |  FROM ch JOIN kp USING (chash))
+       |  SELECT staged.doc_id, staged.doc_id = kp.keeper AS dup_ok
+       |  FROM staged JOIN kp USING (chash))
        |SELECT c4s.doc_id, c4_ok, gopher_ok, ppl_ok, dup_ok,
        |  CASE WHEN NOT c4_ok THEN 'c4'
        |       WHEN NOT gopher_ok THEN 'gopher'
@@ -1912,17 +1939,23 @@ object TrainingDataQueries {
     val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 4)
       .select("q_id", "n_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val denom = exact.agg(count(lit(1)).as("denom"))
-    Seq(1, 2, 4).map { np =>
-      Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 4,
-          kCentroids = 16, nprobe = np)
-        .select(col("q_id"), col("n_id"))
-        .join(exact, Seq("q_id", "n_id"))
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(np.toLong).as("nprobe"), col("hits"))
-    }.reduce(_ unionAll _)
-      .crossJoin(broadcast(denom))
-      .withColumn("recall_pm", expr("hits * 1000 div denom"))
+    try { // the curve is 3 rows: materialize eagerly so the exact
+      // frame (read by denom + all three nprobe joins) unpersists
+      // before this returns — no session-lifetime cache leak.
+      val denom = exact.agg(count(lit(1)).as("denom"))
+      val curve = Seq(1, 2, 4).map { np =>
+        Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 4,
+            kCentroids = 16, nprobe = np)
+          .select(col("q_id"), col("n_id"))
+          .join(exact, Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(np.toLong).as("nprobe"), col("hits"))
+      }.reduce(_ unionAll _)
+        .crossJoin(broadcast(denom))
+        .withColumn("recall_pm", expr("hits * 1000 div denom"))
+      val rows = curve.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), curve.schema)
+    } finally { exact.unpersist(); () }
   }
 
   val d65Sql: String = {

@@ -237,6 +237,29 @@ class DataSelectionSpec extends AnyFunSuite {
       s"the copy must attribute to dedup, got ${out(103L)}")
   }
 
+  test("d67: keeper is chosen among filter SURVIVORS — a dup group whose " +
+      "min-id copy fails a filter still keeps one copy") {
+    import graft.queries.TrainingDataQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft_wr2_").toString
+    val good = "the a " + (0 until 58).map(i => s"wr${i % 9}tok").mkString(" ")
+    val alien = (0 until 58).map(i => s"zz${i}q$i").mkString(" ") + " the a"
+    // doc 2 (%4=2) gets the '{' boilerplate tail injected -> fails c4;
+    // doc 103 (%4=3, %3=1) gets no injection -> survives every stage.
+    // RefinedWeb order (dedup on filter output) demands 103 is KEPT;
+    // a whole-corpus min-id keeper would mislabel it exact_dup and
+    // the group would lose every copy.
+    val rows = Seq(2L -> good, 103L -> good, 7L -> alien, 11L -> alien,
+      15L -> alien, 19L -> alien)
+    docsDf(rows.map { case (id, t) =>
+      (id, t, if (id == 2L || id == 103L) "en" else "de") })
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TrainingDataQueries.queries("d67_web_recipe")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out(2L) == "c4", s"injected-brace copy must fail c4, got ${out(2L)}")
+    assert(out(103L) == "kept",
+      s"surviving copy must be the keeper, got ${out(103L)}")
+  }
+
   // ---- d59_ppl_tiers -----------------------------------------------
 
   test("d59: reference-like docs tier head, mixed docs middle, alien docs tail") {
