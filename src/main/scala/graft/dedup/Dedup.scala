@@ -1048,6 +1048,28 @@ object Dedup {
           "legacy indexes cannot be appended to; rebuild with buildIndex"))
     val stage = graft.engine.Scratch.dir("graft_dedup_append_")
     try {
+      // Re-using a tombstoned id is refused loudly: the id-keyed
+      // sidecar would kill the NEW rows too, so the append would
+      // appear ingested while staying dead. compactIndex re-arms the
+      // id. (Same content under a FRESH id is the supported re-ingest
+      // path — the live-view anti-joins below let it land.)
+      val tomb = indexTombstones(s, indexDir, id)
+      tomb.foreach { t =>
+        val clash = admitted.select(col(id))
+          .join(t, Seq(id), "left_semi").limit(1).count()
+        if (clash > 0) throw new IllegalStateException(
+          s"appendIndex: batch re-uses ids tombstoned at $indexDir — " +
+            "run compactIndex first (folds removals out), then append")
+      }
+      // LIVE content view: a content_hash whose keeper was removed no
+      // longer blocks re-ingesting that content under its new keeper
+      // (the dead row stays physical until compaction; probes filter
+      // it, so the hash resolving to two physical rows is benign).
+      val liveContent = tomb match {
+        case Some(t) => s.read.parquet(s"$indexDir/content")
+          .join(t.toDF("keeper_id"), Seq("keeper_id"), "left_anti")
+        case None => s.read.parquet(s"$indexDir/content")
+      }
       // Defensive: drop representatives whose CONTENT is already
       // indexed before deriving the sig/band deltas. Callers normally
       // pass only kept rows, but an exact_index row slipping in would
@@ -1056,14 +1078,14 @@ object Dedup {
       // representing that content in the LSH tables forever.
       val reps = contentReps(admitted.select(col(id), col(text)), id, text)
         .withColumn("__ch", contentHash(col(text)))
-        .join(s.read.parquet(s"$indexDir/content")
+        .join(liveContent
           .select(col("content_hash").as("__ch")), Seq("__ch"), "left_anti")
         .drop("__ch")
       reps.write.mode("overwrite").parquet(s"$stage/reps")
       val repsP = s.read.parquet(s"$stage/reps")
 
       exact(admitted, id, text).select("content_hash", "keeper_id")
-        .join(s.read.parquet(s"$indexDir/content").select("content_hash"),
+        .join(liveContent.select("content_hash"),
           Seq("content_hash"), "left_anti")
         .write.mode("overwrite").parquet(s"$stage/content")
 
@@ -1073,12 +1095,20 @@ object Dedup {
           Seq(id), "left_anti")
         .write.mode("overwrite").parquet(s"$stage/sigs")
 
-      // band delta: drop rows already present (retry convergence),
-      // then fill each bucket's remaining capacity smallest-id-first
+      // band delta: drop rows already present (retry convergence —
+      // full-key anti-join against the RAW table so a retry can never
+      // duplicate a physical row), then fill each bucket's remaining
+      // capacity smallest-id-first. Capacity counts LIVE rows only:
+      // tombstoned rows are invisible to probes, so they must not
+      // hold bucket slots against new arrivals.
       val existing = s.read.parquet(s"$indexDir/bands")
+      val liveExisting = tomb match {
+        case Some(t) => existing.join(t, Seq(id), "left_anti")
+        case None => existing
+      }
       val fresh = lshBandsResolved(repsP, id, text, shK, np, nb)
         .join(existing, Seq("band", "band_hash", id), "left_anti")
-      val room = existing
+      val room = liveExisting
         .join(fresh.select("band", "band_hash").distinct(),
           Seq("band", "band_hash"), "left_semi")
         .groupBy("band", "band_hash").agg(count(lit(1)).as("__n"))
@@ -1097,6 +1127,108 @@ object Dedup {
         .write.mode("append").parquet(s"$indexDir/sigs")
       s.read.parquet(s"$stage/bands")
         .write.mode("append").parquet(s"$indexDir/bands")
+    } finally graft.engine.Scratch.delete(stage)
+  }
+
+  /** The MinHash index's tombstone sidecar `(<id>)` if any removal
+    * has landed since the last [[compactIndex]] — column named like
+    * the index's id column so joins read naturally.
+    */
+  private def indexTombstones(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, id: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val hasData = fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    if (hasData)
+      Some(s.read.parquet(s"$indexDir/tombstones").toDF(id))
+    else None
+  }
+
+  /** DELETE documents from a persisted MinHash dedup index
+    * ([[buildIndex]]) by id — the takedown/opt-out action: a removed
+    * document must stop matching future batches (its content is no
+    * longer "already ingested", so a re-crawl of the same text gets
+    * fate `kept` and is admitted fresh). Logical removal is
+    * immediate — the ids land in a `tombstones/` sidecar that
+    * [[incremental]] anti-joins out of all three probe tables
+    * (content by keeper_id, bands and sigs by id) — and physical
+    * removal is deferred to [[compactIndex]], the MinHash family's
+    * analogue of the IVF drift rebuild.
+    *
+    * Idempotent: already-tombstoned ids are anti-joined out of the
+    * delta (retry converges, no duplicate sidecar rows); removing an
+    * id the index never held is a no-op. Staged to scratch before
+    * anything writes under the index (the [[appendIndex]] contract).
+    *
+    * Re-USING a removed id in a later append is refused loudly by
+    * [[appendIndex]] until a compaction folds the tombstone out
+    * (the id-keyed tombstone would kill the new rows too);
+    * re-ingesting the same CONTENT under a fresh id is the supported
+    * path and needs no compaction — [[appendIndex]]'s anti-joins run
+    * against the tombstone-filtered live view, so the content lands
+    * under its new keeper while the dead row stays filtered.
+    */
+  def removeFromIndex(ids: DataFrame, id: String, indexDir: String): Unit = {
+    val s = ids.sparkSession
+    val dead = ids.select(col(id)).distinct()
+    val delta = indexTombstones(s, indexDir, id) match {
+      case Some(t) => dead.join(t, Seq(id), "left_anti")
+      case None => dead
+    }
+    val stage = graft.engine.Scratch.dir("graft_dedup_remove_")
+    try {
+      delta.write.mode("overwrite").parquet(s"$stage/delta")
+      s.read.parquet(s"$stage/delta").coalesce(1)
+        .write.mode("append").parquet(s"$indexDir/tombstones")
+    } finally graft.engine.Scratch.delete(stage)
+  }
+
+  /** Fold tombstoned removals ([[removeFromIndex]]) OUT of the index
+    * tables physically and clear the sidecar — run once removals
+    * accumulate (the compaction half of the delete contract; probes
+    * are already correct before it runs, this reclaims the bytes and
+    * re-arms the removed ids for reuse).
+    *
+    * Staged and crash-safe in the [[buildSpanIndex]] swap style:
+    * every table's compacted copy lands in scratch first, then swaps
+    * into place by delete+rename, and the sidecar is deleted LAST —
+    * a crash mid-swap leaves a mix of compacted and uncompacted
+    * tables WITH the sidecar still present, so probes stay correct
+    * (the anti-join filters whatever physical rows remain) and
+    * re-running converges.
+    */
+  def compactIndex(s: org.apache.spark.sql.SparkSession, id: String,
+      indexDir: String): Unit =
+    indexTombstones(s, indexDir, id).foreach { tomb =>
+      compactIndexResolved(s, id, indexDir, tomb)
+    }
+
+  private def compactIndexResolved(s: org.apache.spark.sql.SparkSession,
+      id: String, indexDir: String, tomb: DataFrame): Unit = {
+    val stage = graft.engine.Scratch.dir("graft_dedup_compact_")
+    val conf = s.sessionState.newHadoopConf()
+    try {
+      s.read.parquet(s"$indexDir/content")
+        .join(tomb.toDF("keeper_id"), Seq("keeper_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$stage/content")
+      s.read.parquet(s"$indexDir/sigs")
+        .join(tomb, Seq(id), "left_anti")
+        .write.mode("overwrite").parquet(s"$stage/sigs")
+      s.read.parquet(s"$indexDir/bands")
+        .join(tomb, Seq(id), "left_anti")
+        .write.mode("overwrite").parquet(s"$stage/bands")
+      Seq("content", "sigs", "bands").foreach { t =>
+        val live = new org.apache.hadoop.fs.Path(s"$indexDir/$t")
+        val staged = new org.apache.hadoop.fs.Path(s"$stage/$t")
+        val fs = live.getFileSystem(conf)
+        fs.delete(live, true)
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(
+            s"compactIndex: rename $staged -> $live failed")
+      }
+      val tp = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+      tp.getFileSystem(conf).delete(tp, true)
     } finally graft.engine.Scratch.delete(stage)
   }
 
@@ -1184,10 +1316,20 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val s = newDocs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val idxContent = s.read.parquet(s"$indexDir/content")
-    val idxBands = s.read.parquet(s"$indexDir/bands")
+    // Tombstoned removals ([[removeFromIndex]]) are dead to the
+    // probe from the moment the sidecar lands: content by keeper,
+    // bands and sigs by id. No-sidecar fast path keeps the
+    // pre-tombstone plan bit-identical.
+    val tomb = indexTombstones(s, indexDir, id)
+    def liveById(df: DataFrame, idCol: String): DataFrame = tomb match {
+      case Some(t) => df.join(t.toDF(idCol), Seq(idCol), "left_anti")
+      case None => df
+    }
+    val idxContent = liveById(
+      s.read.parquet(s"$indexDir/content"), "keeper_id")
+    val idxBands = liveById(s.read.parquet(s"$indexDir/bands"), id)
       .withColumnRenamed(id, "__old")
-    val idxSigs = s.read.parquet(s"$indexDir/sigs")
+    val idxSigs = liveById(s.read.parquet(s"$indexDir/sigs"), id)
       .withColumnRenamed(id, "__old").withColumnRenamed("sig", "__osig")
     val withCh = newDocs.select(col(id), col(text))
       .withColumn("__ch", contentHash(col(text)))
@@ -1486,6 +1628,14 @@ object Dedup {
     //    are fully in place.
     Seq((width, buckets)).toDF("width", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    // 3b. A from-scratch rebuild derives from the LIVE corpus, so any
+    //     tombstoned removals are already folded out of the new key
+    //     set — clear the sidecar (after the meta commit: a crash
+    //     earlier leaves the old index + sidecar intact and correct).
+    Seq(s"$indexDir/tombstones", s"$indexDir/tombstones.next").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    }
     // 4. Re-declare the catalog table over the swapped files (same
     //    DDL path probes use to re-attach in a fresh session).
     //    Declare WITHOUT resolving: resolving here would cache this
@@ -1520,10 +1670,36 @@ object Dedup {
     val width = readSpanIndexWidth(s, indexDir)
     val stage = graft.engine.Scratch.dir("graft_span_append_")
     try {
-      spanSegments(newDocs, id, text, width)
+      val batchKeys = spanSegments(newDocs, id, text, width)
         .select("span_key").distinct()
-        .join(spanIndexKeys(s, indexDir), Seq("span_key"), "left_anti")
+      batchKeys.write.mode("overwrite").parquet(s"$stage/keys")
+      val batchKeysP = s.read.parquet(s"$stage/keys")
+      // Delta against the RAW key set (not the tombstone-filtered
+      // view): the table is a set, and a tombstoned key is still
+      // physically present — re-appending it would duplicate the row.
+      batchKeysP
+        .join(spanIndexKeysRaw(s, indexDir), Seq("span_key"), "left_anti")
         .write.mode("overwrite").parquet(s"$stage/delta")
+      // REVIVE tombstoned keys this batch re-ingests: span keys are
+      // content-addressed, so a new arrival carrying a removed span
+      // means that content is ingested AGAIN and must suppress future
+      // occurrences — the sidecar is rewritten minus the batch's keys
+      // via the tombstones.next swap ([[spanIndexTombstones]] heals
+      // the one residual rename window). Runs BEFORE the table
+      // append: a crash between the two leaves the revived keys
+      // already-physical and live (correct), and the staged delta's
+      // missing keys re-stage on retry.
+      spanIndexTombstones(s, indexDir).foreach { t =>
+        val live = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+        val next = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones.next")
+        val fs = live.getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(next, true)
+        t.join(batchKeysP, Seq("span_key"), "left_anti")
+          .coalesce(1).write.parquet(s"$indexDir/tombstones.next")
+        fs.delete(live, true)
+        if (!fs.rename(next, live)) throw new java.io.IOException(
+          s"appendSpanIndex: rename $next -> $live failed")
+      }
       val buckets = readSpanIndexBuckets(s, indexDir)
       s.read.parquet(s"$stage/delta")
         .write.mode("append").format("parquet")
@@ -1542,6 +1718,21 @@ object Dedup {
     */
   def spanIndexKeys(s: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
+    val raw = spanIndexKeysRaw(s, indexDir)
+    // Tombstoned keys ([[removeFromSpanIndex]]) are dead to every
+    // probe until a rebuild (or a re-ingesting append) revives or
+    // folds them. No-sidecar fast path: the bucketed scan is the
+    // whole plan, bit-identical to pre-tombstone — the anti-join
+    // only appears while a sidecar exists, and the sidecar is
+    // removal-sized, so it broadcasts.
+    spanIndexTombstones(s, indexDir) match {
+      case Some(t) => raw.join(broadcast(t), Seq("span_key"), "left_anti")
+      case None => raw
+    }
+  }
+
+  private def spanIndexKeysRaw(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
     val tbl = spanTableName(indexDir)
     if (!s.catalog.tableExists(tbl)) declareSpanTable(s, indexDir, tbl)
     else
@@ -1553,6 +1744,66 @@ object Dedup {
       // by the bucket file count, not the corpus.
       s.catalog.refreshTable(tbl)
     s.table(tbl).select("span_key")
+  }
+
+  /** The span index's tombstone sidecar `(span_key)`, completing a
+    * crashed [[appendSpanIndex]] revive swap first (`tombstones`
+    * absent, `tombstones.next` present → finish the rename — the
+    * commitIvfMeta self-heal applied here, so the one residual
+    * window of the rewrite cannot silently resurrect removals).
+    */
+  private def spanIndexTombstones(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val next = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones.next")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p) && fs.exists(next)) fs.rename(next, p)
+    val hasData = fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    if (hasData)
+      Some(s.read.parquet(s"$indexDir/tombstones").select("span_key"))
+    else None
+  }
+
+  /** DELETE documents' spans from a persisted span index — the
+    * takedown action at span grain. The index is CONTENT-addressed
+    * (distinct span keys, no doc attribution), so removal takes the
+    * removed documents' TEXT, derives their span keys under the
+    * index's own width, and tombstones those keys: probes score them
+    * novel again from the moment the sidecar lands, and the next
+    * [[buildSpanIndex]] (a from-scratch rebuild over the live corpus)
+    * folds them out physically and clears the sidecar.
+    *
+    * Shared-span caveat (documented semantics, not a defect): a key
+    * the removed doc shares with a still-live doc is tombstoned too —
+    * between removal and the next rebuild that span reads as novel,
+    * which errs toward ADMITTING content, the right direction for a
+    * takedown (the alternative — keep suppressing on the removed
+    * doc's authority — is the behavior removals exist to end). The
+    * rebuild, derived from live text, restores exact membership. A
+    * later append that re-ingests the span also revives it exactly
+    * ([[appendSpanIndex]] clears matching tombstones).
+    *
+    * Idempotent: the delta is anti-joined against the sidecar
+    * (retries converge, no duplicate rows) and staged to scratch
+    * before anything writes under the index.
+    */
+  def removeFromSpanIndex(docs: DataFrame, id: String, text: String,
+      indexDir: String): Unit = {
+    val s = docs.sparkSession
+    val width = readSpanIndexWidth(s, indexDir)
+    val dead = spanSegments(docs, id, text, width)
+      .select("span_key").distinct()
+    val delta = spanIndexTombstones(s, indexDir) match {
+      case Some(t) => dead.join(t, Seq("span_key"), "left_anti")
+      case None => dead
+    }
+    val stage = graft.engine.Scratch.dir("graft_span_remove_")
+    try {
+      delta.write.mode("overwrite").parquet(s"$stage/delta")
+      s.read.parquet(s"$stage/delta").coalesce(1)
+        .write.mode("append").parquet(s"$indexDir/tombstones")
+    } finally graft.engine.Scratch.delete(stage)
   }
 
   /** Declare the catalog table over an existing span index's bucketed

@@ -140,23 +140,27 @@ object Pq {
     * window over anything corpus-sized until the per-query top-k.
     */
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, id: String,
-      vec: String, m: Int, subDim: Int, kc: Int, kcCoarse: Int,
-      nprobe: Int, k: Int): DataFrame = {
+      vec: String, m: Int, subDim: Int, kc: Int, kcCoarse: Int = 0,
+      nprobe: Int = 0, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = pqFrame(corpus, id, vec, m, subDim)
     val vv = v.select(col("vid"), col("e").as("v"))
       .withColumn("nrm", norm2(col("v")))
     // coarse quantizer over the same slice-total vector set (bounded
-    // collect, the collectedCentroids contract)
-    val coarseRows = {
+    // collect, the collectedCentroids contract). kcCoarse = 0 → the
+    // deployed sqrtKc policy over the PQ-valid corpus (the frame the
+    // quantizer actually trains on); the count job reuses the persist.
+    val (coarseRows, kcC) = {
       val c = vv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val built = Similarity.kmeansCentroids(c, kcCoarse)
+        val kcC = if (kcCoarse > 0) kcCoarse else Similarity.sqrtKc(c.count())
+        val built = Similarity.kmeansCentroids(c, kcC)
         val rows = built.collect()
-        vv.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), built.schema)
+        (vv.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), built.schema), kcC)
       } finally c.unpersist()
     }
+    val np = if (nprobe > 0) nprobe else Similarity.adaptiveNprobe(kcC)
     val assign = Similarity.argmaxAssign(vv, coarseRows)
     val cbs = trainCodebooks(corpus, id, vec, m, subDim, kc)
     val enc = encode(corpus, id, vec, cbs, m, subDim)
@@ -170,7 +174,7 @@ object Pq {
         Window.partitionBy("q_id").orderBy(
           (dot(col("qe"), col("cv")) / (col("qnrm") * col("cnrm"))).desc,
           col("cid"))))
-      .filter(col("crk") <= nprobe)
+      .filter(col("crk") <= np)
       .select("q_id", "qe", "qnrm", "cid")
     probes.join(assign, "cid")
       .join(recon, "vid")
@@ -206,8 +210,8 @@ object Pq {
     * refinement join.
     */
   def ivfAdcRerank(queries: DataFrame, corpus: DataFrame, id: String,
-      vec: String, m: Int, subDim: Int, kc: Int, kcCoarse: Int,
-      nprobe: Int, kShort: Int, k: Int): DataFrame = {
+      vec: String, m: Int, subDim: Int, kc: Int, kcCoarse: Int = 0,
+      nprobe: Int = 0, kShort: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shortlist = ivfAdcTopK(queries, corpus, id, vec, m, subDim,
         kc, kcCoarse, nprobe, kShort)

@@ -615,9 +615,14 @@ object Similarity {
     * the router's √N clamp) — at boundary scale each list holds
     * ≥ √N ≈ 2900 vectors, well above small-file territory. Zero-norm
     * vectors are excluded at build (the [[ivfTopK]] NaN guard).
+    * `kCentroids = 0` (the default) sizes by the deployed policy
+    * `clamp(⌈√N⌉, 16, KCentroidsMax)` ([[sqrtKc]]) over the valid
+    * corpus — the same rule [[rebuildIvfIndex]] applies, so a
+    * fresh build and a drift rebuild of the same corpus produce the
+    * same quantizer size; pass an explicit count to pin it.
     */
   def buildIvfIndex(corpus: DataFrame, id: String, vec: String,
-      indexDir: String, kCentroids: Int = 16, quantizer: String = "kmeans",
+      indexDir: String, kCentroids: Int = 0, quantizer: String = "kmeans",
       lloydIters: Int = 1): Unit = {
     val s = corpus.sparkSession
     // Next generation: one past the live index's (a legacy flat index
@@ -651,9 +656,13 @@ object Similarity {
       .filter(col("nrm") > 0)
       .persist(lvl)
     try {
+      // kCentroids = 0 → the deployed [[sqrtKc]] policy over the
+      // VALID (norm-filtered) corpus — the same count the rebuild
+      // path sizes from, so build and drift-rebuild agree on the rule
+      val kc = if (kCentroids > 0) kCentroids else sqrtKc(v.count())
       val cents = (quantizer match {
-        case "kmeans" => kmeansCentroids(v, kCentroids, lloydIters)
-        case "lowid" => v.orderBy("vid").limit(kCentroids)
+        case "kmeans" => kmeansCentroids(v, kc, lloydIters)
+        case "lowid" => v.orderBy("vid").limit(kc)
           .select(col("vid").as("cid"), col("v").as("cv"),
             col("nrm").as("cnrm"))
         case other => throw new IllegalArgumentException(
@@ -671,7 +680,7 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$dataDir/lists")
       cents.unpersist()
-      commitIvfMeta(s, indexDir, quantizer, lloydIters, kCentroids,
+      commitIvfMeta(s, indexDir, quantizer, lloydIters, kc,
         nBuild = v.count(), gen = gen)
     } finally v.unpersist()
   }
@@ -697,10 +706,21 @@ object Similarity {
   def rebuildIvfIndex(s: org.apache.spark.sql.SparkSession,
       indexDir: String, kCentroids: Int = 0): Unit = {
     val (quant, iters, _, _, gen) = ivfMetaFull(s, indexDir)
+    // ivfLists is tombstone-filtered, so the new generation simply
+    // never contains removed vids — the rebuild IS the physical half
+    // of [[removeFromIvfIndex]]'s contract.
     val vidV = ivfLists(s, indexDir).select(col("vid"), col("v"))
     val kc = if (kCentroids > 0) kCentroids else sqrtKc(vidV.count())
     val newGen = math.max(gen, -1) + 1
     buildIvfGeneration(vidV, indexDir, newGen, kc, quant, iters)
+    // Clear tombstones only AFTER the meta commit: a crash mid-build
+    // leaves the old generation live with its sidecar intact. A crash
+    // between the commit and this delete leaves stale tombstones for
+    // vids the new generation no longer holds — the anti-join then
+    // filters nothing (harmless) and the next rebuild clears them.
+    val tomb = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = tomb.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(tomb, true)
     sweepIvfGenerations(s, indexDir, keepGen = newGen,
       sweepLegacyFlat = true)
   }
@@ -815,8 +835,74 @@ object Similarity {
     * pre-r15, which is what the d19/d37 plan-pruning assertions pin.
     */
   def ivfLists(s: org.apache.spark.sql.SparkSession,
-      indexDir: String): DataFrame =
-    listsAndTail(s, ivfGenDir(indexDir, ivfMetaFull(s, indexDir)._5))
+      indexDir: String): DataFrame = {
+    val raw = listsAndTail(s, ivfGenDir(indexDir, ivfMetaFull(s, indexDir)._5))
+    // Tombstoned vids ([[removeFromIvfIndex]]) are dead to every
+    // reader — probes, drift rebuilds, ingest-loop stats — from the
+    // moment the sidecar lands; their rows stay physical until the
+    // next rebuild folds them out. No-sidecar fast path: the plan is
+    // bit-identical to pre-tombstone (what the d19/d37 pruning
+    // assertions pin).
+    ivfTombstones(s, indexDir) match {
+      case Some(t) => raw.join(t, Seq("vid"), "left_anti")
+      case None => raw
+    }
+  }
+
+  /** The tombstone sidecar `(vid)` if any removal has landed since
+    * the last rebuild. Lives at the index ROOT (not inside a
+    * generation): removal survives an append and applies to whatever
+    * generation is live; the rebuild that physically drops the rows
+    * clears it.
+    */
+  private def ivfTombstones(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val hasData = fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    if (hasData) Some(s.read.parquet(s"$indexDir/tombstones").select("vid"))
+    else None
+  }
+
+  /** DELETE vectors from a persisted IVF index — the takedown/opt-out
+    * action the ingest-loop family needs (corpora delete documents;
+    * an index that only grows serves removed content forever).
+    * Logical removal is immediate: the vids land in a `tombstones/`
+    * sidecar that [[ivfLists]] anti-joins out of every read, so
+    * probes stop returning them in the same call-ordering sense as
+    * an append becoming visible. Physical removal is deferred to the
+    * next [[rebuildIvfIndex]] (whose input is the tombstone-filtered
+    * [[ivfLists]], so the new generation simply never contains the
+    * rows — and the commit clears the sidecar), matching the
+    * generation-versioned machinery the drift contract already runs.
+    *
+    * Idempotent: already-tombstoned vids are anti-joined out of the
+    * delta before it lands (a retry after a partial write converges;
+    * the sidecar never gains duplicate vids), and removing a vid the
+    * index never held is a no-op. The delta is staged to scratch
+    * before anything writes to the index location (the
+    * [[appendIvfIndex]] crash contract).
+    *
+    * Re-adding a removed vid is refused by [[appendIvfIndex]] until
+    * a rebuild has folded the tombstone out: its dead rows are still
+    * physical, so a same-vid append would resurrect BOTH copies.
+    */
+  def removeFromIvfIndex(ids: DataFrame, id: String,
+      indexDir: String): Unit = {
+    val s = ids.sparkSession
+    val dead = ids.select(col(id).cast("long").as("vid")).distinct()
+    val delta = ivfTombstones(s, indexDir) match {
+      case Some(t) => dead.join(t, Seq("vid"), "left_anti")
+      case None => dead
+    }
+    val stage = graft.engine.Scratch.dir("graft_ivf_remove_")
+    try {
+      delta.write.mode("overwrite").parquet(s"$stage/delta")
+      s.read.parquet(s"$stage/delta").coalesce(1)
+        .write.mode("append").parquet(s"$indexDir/tombstones")
+    } finally graft.engine.Scratch.delete(stage)
+  }
 
   private[graft] def listsAndTail(s: org.apache.spark.sql.SparkSession,
       dataDir: String): DataFrame = {
@@ -878,6 +964,20 @@ object Similarity {
     // resolve the live generation ONCE; every read and the append
     // land in the same generation's dirs
     val dataDir = ivfGenDir(indexDir, ivfMetaFull(s, indexDir)._5)
+    // Refuse re-adding a tombstoned vid LOUDLY: its dead rows are
+    // still physical, so the duplicate-guard anti-join below would
+    // silently drop the new copy (appearing ingested while staying
+    // dead), and skipping the guard would resurrect both copies.
+    // Rebuild first (physical removal + sidecar clear), then append.
+    // Cost: one small-side semi-join count, only when a sidecar
+    // exists at all.
+    ivfTombstones(s, indexDir).foreach { t =>
+      val clash = newVecs.select(col(id).cast("long").as("vid"))
+        .join(t, Seq("vid"), "left_semi").limit(1).count()
+      if (clash > 0) throw new IllegalStateException(
+        s"appendIvfIndex: batch re-adds vids tombstoned at $indexDir — " +
+          "run rebuildIvfIndex first (folds removals out), then append")
+    }
     val cents = s.read.parquet(s"$dataDir/centroids")
     val fresh = newVecs.select(col(id).as("vid"), col(vec).as("v"))
       .withColumn("nrm", norm2(col("v")))
@@ -918,7 +1018,7 @@ object Similarity {
     * assert rather than assume.
     */
   def ivfProbe(queries: DataFrame, indexDir: String, id: String, vec: String,
-      k: Int, nprobe: Int = 4, expectQuantizer: String = "",
+      k: Int, nprobe: Int = 0, expectQuantizer: String = "",
       expectKCentroids: Int = 0, expectLloydIters: Int = 0): DataFrame = {
     val s = queries.sparkSession
     val (mq, mi, mkc) = ivfIndexMeta(s, indexDir)
@@ -932,8 +1032,12 @@ object Similarity {
       contradict("kCentroids", expectKCentroids, mkc)
     if (expectLloydIters > 0 && expectLloydIters != mi)
       contradict("lloydIters", expectLloydIters, mi)
+    // nprobe = 0 → the deployed [[adaptiveNprobe]] rule over the
+    // index's OWN kc (read from meta) — probes follow the quantizer
+    // they actually hit, not the one the caller remembers
+    val np = if (nprobe > 0) nprobe else adaptiveNprobe(mkc)
     probeTopK(queries, ivfCentroids(s, indexDir), ivfLists(s, indexDir),
-      id, vec, k, nprobe)
+      id, vec, k, np)
   }
 
   /** The zero-norm-guarded `(vid, v, nrm)` projection every
