@@ -226,7 +226,14 @@ object Bench {
           Seq(spanIdx, ivfIdx, out).foreach(graft.engine.Scratch.delete)
           val sorted = epochSecs.sorted
           val med = (sorted(1) + sorted(2)) / 2
-          s"""{"epoch_sec":[${epochSecs.mkString(",")}],"median":$med}"""
+          // First-touch attribution (r15 verdict #6): the first 1-2
+          // epochs pay the index's cold file/page-cache touch (sf10
+          // measured 57.9/40.3 vs 19.5/17.5 s) and the all-epoch
+          // median can mask a real trailing trend behind that spike —
+          // publish the steady-state epochs' (2..3) mean alongside,
+          // so scale reads compare trailing-vs-trailing.
+          val medTrail = (epochSecs(2) + epochSecs(3)) / 2
+          s"""{"epoch_sec":[${epochSecs.mkString(",")}],"median":$med,"median_trailing":$medTrail}"""
         } catch { case e: Throwable =>
           System.err.println(s"BENCH gate_soak failed: ${e.getMessage}")
           "null"

@@ -16,13 +16,33 @@ import graft.dedup.Dedup
   * Measurement tooling, not part of the query surface; the numbers
   * land in GATE_SF1.md's round-9 addendum.
   *
+  * r16 (`--perms`): the ladder is an argument, so the gate can
+  * answer the r15 verdict's escalation question — does extending
+  * past 24 (8 perms/band: 32, 10 perms/band: 40) pay for itself on
+  * the corpus where 24 missed the waste target (the sf10 500k-doc
+  * spot corpus), or is the 24 cap the measured optimum through the
+  * next octave? `--ladder-only` runs, per candidate width, the FULL
+  * verified-pairs leg (wall-clock + edge recall vs the first
+  * width's edge set) without the legacy/auto/d18 legs.
+  *
   * Usage: java -cp ... graft.tools.BandingGate [<docsDir>]
+  *          [--perms 16,20,24,32,40] [--tune-only | --ladder-only]
   */
 object BandingGate {
   def main(args: Array[String]): Unit = {
     val tuneOnly = args.contains("--tune-only")
-    val dir = args.filterNot(_ == "--tune-only")
-      .headOption.getOrElse("data/sf10_docs")
+    val ladderOnly = args.contains("--ladder-only")
+    var permArg: Seq[Int] = Seq(16, 20, 24)
+    var dir = "data/sf10_docs"
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--perms" =>
+          permArg = args(i + 1).split(",").map(_.trim.toInt).toSeq; i += 2
+        case "--tune-only" | "--ladder-only" => i += 1
+        case p => dir = p; i += 1
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.engine.Session
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt,
@@ -41,7 +61,7 @@ object BandingGate {
     }
 
     val (choice, tChoice) = timed("chooseBanding (tuner alone)") {
-      Dedup.chooseBanding(docs, "doc_id", "text")
+      Dedup.chooseBanding(docs, "doc_id", "text", permCandidates = permArg)
     }
     choice.stats.foreach(s => println(
       f"[banding-gate]   p=${s.numPerms}%2d waste=${s.sampleWasted}/${s.sampleCandidates} predictedRatio=${s.predictedWasteRatio}%.1f"))
@@ -53,6 +73,23 @@ object BandingGate {
       Dedup.minhashVerifiedPairs(docs, "doc_id", "text", numPerms = numPerms)
         .filter(col("jac_pm") >= 500).select("d1", "d2")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    if (ladderOnly) {
+      // Per-width verified-pairs leg: recall is measured against the
+      // NARROWEST width's edge set (recall-maximal — collision
+      // probability only falls as bands widen), cost is wall-clock.
+      var base: Set[(Long, Long)] = Set.empty
+      permArg.foreach { p =>
+        val (e, t) = timed(f"pairs @ numPerms=$p%2d") { edges(p) }
+        if (base.isEmpty) base = e
+        val recall =
+          if (base.isEmpty) 100.0 else 100.0 * (e & base).size / base.size
+        println(f"[banding-gate]   p=$p%2d edges=${e.size}%7d " +
+          f"recall-vs-p${permArg.head}=${recall}%.1f%% wall=${t}%.1f s")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
 
     // Ground truth: the recall-maximal 16-perm run (the cliff being
     // fixed — also the baseline wall-clock).

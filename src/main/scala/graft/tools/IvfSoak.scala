@@ -72,7 +72,25 @@ object IvfSoak {
       n
     }
 
-    println("IVFSOAK epoch probe_s append_s vidscan_s files")
+    // The tail segment's isolated read cost (r15 verdict #7: the one
+    // probe branch WITHOUT dynamic partition pruning — a plain filter
+    // over the one-file-per-epoch tail). Timed as the same kind of
+    // proxy as vidscan: a full (vid, cid) scan + filter of the tail
+    // alone, so a growing tail-filter cost cannot hide inside the
+    // combined probe number.
+    def tailSplit(): (Double, Long) = {
+      val gen = new java.io.File(idx).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+        .maxBy(_.getName.drop(4).toInt)
+      val tail = new java.io.File(gen, "tail")
+      if (!tail.isDirectory) return (0.0, 0L)
+      val t = System.nanoTime()
+      val rows = spark.read.parquet(tail.toString)
+        .filter(col("cid") >= 0).select("vid").count()
+      ((System.nanoTime() - t) / 1e9, rows)
+    }
+
+    println("IVFSOAK epoch probe_s append_s vidscan_s tailscan_s tailrows files")
     val arrivalBase = buildN
     var probeSum = 0.0; var appendSum = 0.0
     for (e <- 0 until epochs) {
@@ -102,8 +120,11 @@ object IvfSoak {
       val scanS = (System.nanoTime() - t0) / 1e9
       batch.unpersist()
       probeSum += probeS; appendSum += appendS
-      if (e < 3 || (e + 1) % 25 == 0)
-        println(f"IVFSOAK $e%5d $probeS%7.2f $appendS%8.2f $scanS%9.2f ${listFiles()}%6d")
+      if (e < 3 || (e + 1) % 25 == 0) {
+        val (tailS, tailRows) = tailSplit()
+        println(f"IVFSOAK $e%5d $probeS%7.2f $appendS%8.2f $scanS%9.2f " +
+          f"$tailS%10.2f $tailRows%8d ${listFiles()}%6d")
+      }
     }
     println(f"IVFSOAK totals probe=$probeSum%.1f append=$appendSum%.1f " +
       f"files=${listFiles()}")
