@@ -141,10 +141,14 @@ object Bench {
       (name, if (streamingKeys(name)) math.max(raw - streamStartup, 0.0)
         else raw)
     }.toMap
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // µs resolution (locale-independent): full double precision only
+    // padded the headline line the driver's tail capture kept
+    // truncating; nothing downstream reads past the microsecond.
+    def r6(v: Double): String = (math.round(v * 1e6) / 1e6).toString
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r6(v) }
       .mkString("{", ",", "}")
     val qsNet = results.map { case (k, _, _) =>
-      s"\"" + k + "\":" + netOfTuner(k) }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + r6(netOfTuner(k)) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -239,10 +243,23 @@ object Bench {
           "null"
         }
       } else "null"
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_net":$qsNet,"failed":$failed,"passes":$passes,"stream_startup":$streamStartup,"tuner":$tuner,"gate_soak":$gateSoak,"sf":"$sfDir","testdata_fp":"$fp"}"""
-    println(json)
-    // Persist the complete per-query map: stdout capture can truncate
-    // (round-3's file lost the tail of the 90-key line), a file can't.
+    // Two-line output (r17; r16 verdict #7): every BENCH_r01..r15.json
+    // the driver captured was truncated mid-line — the ~9 KB single
+    // JSON line lost its tail and the round-over-round comparison has
+    // been structurally empty for 15 rounds. Line 1 is the driver
+    // contract ({"metric",...,"queries",...,"sf"}) kept as short as
+    // possible (~5 KB at 141 keys); the diagnostic payloads that grew
+    // the line (tuner attribution, gate_soak epochs, tuner-net
+    // timings) move to line 2. `cpus` is new on line 1 (r16 ADVICE:
+    // the committed sf0.1 artifact silently switched core counts —
+    // the config must travel with the numbers).
+    val head = s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"cpus":$cpus,"sf":"$sfDir","testdata_fp":"$fp""""
+    val detail = s""""queries_net":$qsNet,"stream_startup":$streamStartup,"tuner":$tuner,"gate_soak":$gateSoak"""
+    println(s"{$head}")
+    println(s"{$detail}")
+    // Persist the complete output as ONE JSON object (repo tools
+    // json.load these files): stdout capture can truncate (round-3's
+    // file lost the tail of the 90-key line), a file can't.
     // The default filename carries the SF-dir basename (BENCH_sf0.1
     // .json, BENCH_sf1.0.json, ...) so a run at one SF can never
     // silently clobber the committed baseline of another — the exact
@@ -250,7 +267,8 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"BENCH_${new java.io.File(canon(sfDir)).getName}.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (s"{$head,$detail}" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

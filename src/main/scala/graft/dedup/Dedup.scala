@@ -986,21 +986,47 @@ object Dedup {
     val np = resolvePerms(docs, id, text, shingleK, numPerms, bands, maxBucket)
     val s = docs.sparkSession
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     Seq((shingleK, np, bands, maxBucket))
       .toDF("shingle_k", "num_perms", "bands", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
-    exact(docs, id, text).select("content_hash", "keeper_id")
-      .write.mode("overwrite").parquet(s"$indexDir/content")
-    val reps = contentReps(docs, id, text)
-    lshBandsResolved(reps, id, text, shingleK, np, bands)
-      .groupBy("band", "band_hash")
-      .agg(cappedBucket(col(id), maxBucket).as("ds"))
-      .select(col("band"), col("band_hash"), explode(col("ds")).as(id))
-      .write.mode("overwrite").parquet(s"$indexDir/bands")
-    reps.filter(length(lower(trim(col(text)))) >= shingleK)
-      .select(col(id),
-        minhashSignature(col(text), shingleK, np).as("sig"))
-      .write.mode("overwrite").parquet(s"$indexDir/sigs")
+    // ONE content-hash window pass stages everything the three index
+    // tables need — (content_hash, rep id, signature) per content
+    // representative, ~(16+np)·8 bytes/row, text NOT staged. The
+    // previous shape paid the corpus three times: exact()'s groupBy
+    // for content, plus TWO contentReps window shuffles of the full
+    // text column (bands and sigs each re-derived reps) with the
+    // O(perms·|text|) signature computed twice. Now: one window
+    // exchange, signatures once, and the derived tables read the
+    // narrow staged file (r17; guide §2.4 — shared exchange).
+    val stage = graft.engine.Scratch.dir("graft_dedup_build_")
+    try {
+      docs.select(col(id), col(text))
+        .withColumn("__ch", contentHash(col(text)))
+        .withColumn("__rep", min(col(id)).over(Window.partitionBy("__ch")))
+        .filter(col(id) === col("__rep"))
+        .select(col("__ch").as("content_hash"), col(id),
+          when(length(lower(trim(col(text)))) >= shingleK,
+            minhashSignature(col(text), shingleK, np)).as("sig"))
+        .write.mode("overwrite").parquet(s"$stage/reps")
+      val repsP = s.read.parquet(s"$stage/reps")
+      // three independent derived tables over the staged file —
+      // disjoint outputs, overlapped (guide §2.6)
+      graft.engine.Parallel.run(
+        () => repsP.select(col("content_hash"), col(id).as("keeper_id"))
+          .write.mode("overwrite").parquet(s"$indexDir/content"),
+        () => repsP.filter(col("sig").isNotNull)
+          .select(col(id), explode(array(
+            bandKeyCols(col("sig"), np, bands): _*)).as("bh"))
+          .select(col(id), col("bh.band").as("band"),
+            col("bh.band_hash").as("band_hash"))
+          .groupBy("band", "band_hash")
+          .agg(cappedBucket(col(id), maxBucket).as("ds"))
+          .select(col("band"), col("band_hash"), explode(col("ds")).as(id))
+          .write.mode("overwrite").parquet(s"$indexDir/bands"),
+        () => repsP.filter(col("sig").isNotNull).select(col(id), col("sig"))
+          .write.mode("overwrite").parquet(s"$indexDir/sigs"))
+    } finally graft.engine.Scratch.delete(stage)
   }
 
   /** Append an ADMITTED batch to a persisted dedup index
@@ -1234,16 +1260,31 @@ object Dedup {
 
   /** The banding parameters a persisted index was written with
     * ([[buildIndex]]'s meta table), or None for a pre-meta index.
+    * Memoized per (session, path, meta-file fingerprint) — the same
+    * metadata-caching contract as [[readSpanIndexMeta]]: buildIndex
+    * overwrites meta (fingerprint changes), append/remove never
+    * touch it.
     */
+  private val indexMetaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), (Int, Int, Int, Int)]
+
   private[graft] def readIndexMeta(s: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[(Int, Int, Int, Int)] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else {
+      val fp = fs.listStatus(p).sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .mkString("\n")
+      val key = (System.identityHashCode(s).toString, indexDir, fp)
+      val memoized = indexMetaMemo.get(key)
+      if (memoized != null) return Some(memoized)
       val r = s.read.parquet(s"$indexDir/meta")
         .select("shingle_k", "num_perms", "bands", "max_bucket").head()
-      Some((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      val row = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      indexMetaMemo.put(key, row)
+      Some(row)
     }
   }
 
@@ -1858,22 +1899,53 @@ object Dedup {
     s"graft_span_idx_$h"
   }
 
+  /** Span-index meta `(width, buckets?)`, memoized per (session,
+    * path, meta-file fingerprint) — r17: every probe/append resolved
+    * the one-row meta parquet as its own ~0.1 s Spark job, several
+    * times per ingest epoch. The fingerprint (name/length/mtime of
+    * the files under `meta/`) invalidates on rebuild (which
+    * overwrites meta) and is untouched by appends — metadata caching
+    * with file-level invalidation, same contract as the IVF meta
+    * memo ([[graft.similarity.Similarity]]).
+    */
+  private val spanMetaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), (Int, Option[Int])]
+
+  private def readSpanIndexMeta(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): (Int, Option[Int]) = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val fp =
+      if (!fs.exists(p)) ""
+      else fs.listStatus(p).sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .mkString("\n")
+    val key = (System.identityHashCode(s).toString, indexDir, fp)
+    val memoized = spanMetaMemo.get(key)
+    if (memoized != null) return memoized
+    val df = s.read.parquet(s"$indexDir/meta")
+    val row = (df.select("width").head().getInt(0),
+      if (df.columns.contains("buckets"))
+        Some(df.select("buckets").head().getInt(0))
+      else None)
+    spanMetaMemo.put(key, row)
+    row
+  }
+
   private def readSpanIndexWidth(s: org.apache.spark.sql.SparkSession,
-      indexDir: String): Int =
-    s.read.parquet(s"$indexDir/meta").select("width").head().getInt(0)
+      indexDir: String): Int = readSpanIndexMeta(s, indexDir)._1
 
   private def readSpanIndexBuckets(s: org.apache.spark.sql.SparkSession,
-      indexDir: String): Int = {
-    val df = s.read.parquet(s"$indexDir/meta")
-    // pre-r13 indexes carry no bucket meta — their spans/ files are
-    // unbucketed, which a bucket-spec'd table would silently misread
-    // (bucket pruning against wrong file naming), so refuse loudly
-    if (!df.columns.contains("buckets"))
+      indexDir: String): Int =
+    readSpanIndexMeta(s, indexDir)._2.getOrElse {
+      // pre-r13 indexes carry no bucket meta — their spans/ files are
+      // unbucketed, which a bucket-spec'd table would silently
+      // misread (bucket pruning against wrong file naming), so
+      // refuse loudly
       throw new IllegalStateException(
         s"span index at $indexDir predates the bucketed layout " +
           "(no bucket meta) — rebuild it with buildSpanIndex")
-    df.select("buckets").head().getInt(0)
-  }
+    }
 
   /** Dedup a NEW batch's spans against a persisted span index
     * ([[buildSpanIndex]]) — same output shape as [[spanDedup]]

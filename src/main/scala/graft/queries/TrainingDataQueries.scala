@@ -1224,21 +1224,11 @@ object TrainingDataQueries {
       f => filter(split(f, "\\|"), t => length(t) > 0)))
     val base = docs(s, dir).withColumn("bucket",
       pmod(TextHash.poly_hash(concat(col("text"), lit("|split"))), lit(1000)))
-    val g = base
-      .select(col("doc_id"), col("bucket"),
+    rareGramContamPairs(
+      base.select(col("doc_id"), col("bucket"),
         explode(TextHash.word_gram_hashes(
-          array_join(toks, " "), 16, distinct = true)).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = g.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 50).select("g")
-    val gr = g.join(rare, "g")
-    gr.filter(col("bucket") < 900)
-      .select(col("doc_id").as("train_id"), col("g"))
-      .join(gr.filter(col("bucket") >= 950)
-        .select(col("doc_id").as("test_id"), col("g")), "g")
-      .groupBy("train_id", "test_id")
-      .agg(count(lit(1)).as("shared_tok_grams"))
-      .filter(col("shared_tok_grams") >= 2)
+          array_join(toks, " "), 16, distinct = true)).as("g")),
+      dfCap = 50, outName = "shared_tok_grams")
   }
 
   val d69Sql: String = {
@@ -1408,24 +1398,69 @@ object TrainingDataQueries {
     * document, using the D15 content-hash split. The df cap drops
     * boilerplate grams that carry no contamination signal AND bounds
     * the join's per-key fanout — the same skew defense as d6.
+    * Single-pass shape: see [[rareGramContamPairs]].
     */
   def d21(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).withColumn("bucket",
       pmod(TextHash.poly_hash(concat(col("text"), lit("|split"))), lit(1000)))
-    val g = base
-      .select(col("doc_id"), col("bucket"),
-        explode(TextHash.word_gram_hashes(col("text"), 5, distinct = true)).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = g.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 50).select("g")
-    val gr = g.join(rare, "g")
-    gr.filter(col("bucket") < 900)
-      .select(col("doc_id").as("train_id"), col("g"))
-      .join(gr.filter(col("bucket") >= 950)
-        .select(col("doc_id").as("test_id"), col("g")), "g")
+    rareGramContamPairs(
+      base.select(col("doc_id"), col("bucket"),
+        explode(TextHash.word_gram_hashes(col("text"), 5, distinct = true))
+          .as("g")),
+      dfCap = 50, outName = "shared_grams")
+  }
+
+  /** Shared core of d21/d69 (r17 restructure, the d49 scale shape
+    * generalized): only grams that occur in the TEST split can ever
+    * contribute a (train, test) pair, so the corpus-wide gram stream
+    * is pruned MAP-SIDE — inside the scan's codegen span, before any
+    * exchange — by a driver-held Bloom filter over the distinct
+    * test-split grams ([[graft.functions.Bloom]], 1% fpp). Bloom
+    * passes are all-or-nothing per gram VALUE (no false negatives),
+    * so a surviving gram's df over the sliver equals its bloom-free
+    * corpus df, false-positive grams have no test occurrence and die
+    * at the size(te) >= 1 filter, and the result is bit-identical to
+    * the unfiltered plan — d49's exactness argument.
+    *
+    * On the surviving sliver (test-adjacent grams only — key
+    * cardinality bounded by the eval suite's gram count, a dim-class
+    * contract, NOT the corpus), ONE bounded aggregation computes the
+    * total df plus the complete train/test posting lists, capped
+    * INSIDE the aggregation at dfCap+1 ids by the d6 bounded-heap
+    * machinery: a kept gram's df <= dfCap guarantees both lists are
+    * complete, so the exploded train×test pairs are exactly the old
+    * three-join formulation's rows.
+    *
+    * Replaces the r16 shape — persist the corpus-wide exploded gram
+    * table MEMORY_AND_DISK (the verdict's leak class: a lazy-return
+    * operator can never unpersist it), groupBy the FULL stream for
+    * df, join the grams back, then train⋈test on gram — which paid
+    * four corpus-gram exchanges plus the session-lifetime cache.
+    * Now: one test-split gram pass (bloom build), one bloom-pruned
+    * corpus pass, one sliver exchange, one tiny pair exchange,
+    * no cache at all.
+    */
+  private[graft] def rareGramContamPairs(grams: DataFrame, dfCap: Int,
+      outName: String): DataFrame = {
+    val bloom = graft.functions.Bloom.buildLong(
+      grams.filter(col("bucket") >= 950).select("g").distinct(), "g")
+    grams.where(graft.functions.Bloom.might_contain(bloom, col("g")))
+      .groupBy("g")
+      .agg(count(lit(1)).as("df"),
+        graft.functions.TopKAgg.top_k(
+          when(col("bucket") < 900, -col("doc_id").cast("double")),
+          col("doc_id"), dfCap + 1).as("tr"),
+        graft.functions.TopKAgg.top_k(
+          when(col("bucket") >= 950, -col("doc_id").cast("double")),
+          col("doc_id"), dfCap + 1).as("te"))
+      .filter(col("df") <= dfCap &&
+        size(col("tr")) >= 1 && size(col("te")) >= 1)
+      .select(explode(transform(col("tr"), t => t("id"))).as("train_id"),
+        transform(col("te"), t => t("id")).as("__te"))
+      .select(col("train_id"), explode(col("__te")).as("test_id"))
       .groupBy("train_id", "test_id")
-      .agg(count(lit(1)).as("shared_grams"))
-      .filter(col("shared_grams") >= 2)
+      .agg(count(lit(1)).as(outName))
+      .filter(col(outName) >= 2)
   }
 
   val d21Sql: String =

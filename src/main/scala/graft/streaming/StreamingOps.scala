@@ -375,7 +375,9 @@ object StreamingOps {
       admittedN: Long): Unit = {
     import graft.similarity.Similarity
     if (ingested.get() < 0L)
-      ingested.set(Similarity.ivfLists(s, indexDir).count())
+      // exact live count via the meta/tail fast path (r17): no
+      // kCentroids-directory scan plan in the common no-sidecar case
+      ingested.set(Similarity.ivfLiveCount(s, indexDir))
     else ingested.addAndGet(admittedN)
     val nBuild = Similarity.ivfMetaFull(s, indexDir)._4
     if (nBuild < 0L)
@@ -512,12 +514,19 @@ object StreamingOps {
     try {
       val n = admitted.count()
       if (n > 0) {
-        graft.dedup.Dedup.appendSpanIndex(admitted, id, text, spanIndexDir)
-        Similarity.appendIvfIndex(
-          graft.functions.HashEmbed
-            .embed(admitted, id, text, cfg.embedDim)
-            .select(col(id), col("emb").as("__ev")),
-          id, "__ev", ivfIndexDir)
+        // The two appends touch DISJOINT indexes and both read the
+        // (persisted, just-materialized) admitted frame — overlap
+        // them so the epoch pays one append-latency, not two
+        // (guide §2.6; each append is a chain of small staged jobs
+        // whose cost is fixed overhead, not data).
+        graft.engine.Parallel.run(
+          () => graft.dedup.Dedup.appendSpanIndex(admitted, id, text,
+            spanIndexDir),
+          () => Similarity.appendIvfIndex(
+            graft.functions.HashEmbed
+              .embed(admitted, id, text, cfg.embedDim)
+              .select(col(id), col("emb").as("__ev")),
+            id, "__ev", ivfIndexDir))
         if (cfg.rebuildFactor > 0)
           maybeRebuildIvf(s, ivfIndexDir, cfg.rebuildFactor, ingested, n)
       }
