@@ -790,6 +790,8 @@ object Dedup {
 
   private[graft] def ccMinLabel(edges: DataFrame): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sess = edges.sparkSession
+    val spDefault = sess.conf.get("spark.sql.shuffle.partitions")
     val adj = edges
       .unionByName(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(lvl)
@@ -805,27 +807,35 @@ object Dedup {
           least(ls("lbl"), coalesce(col("nlbl"), ls("lbl"))).as("lbl"),
           (coalesce(col("nlbl"), ls("lbl")) < ls("lbl")).as("chg"))
     }
+    // Loop-scoped shuffle sizing from the measured adjacency count
+    // (cached — the count reads the persist), the ccSmallLargeStar
+    // rule: tiny iterative shuffles must not pay core-count tasks
+    // per round. Restored in the finally.
     var changed = 1L
     var actions = 0
-    while (changed > 0) {
-      // Two propagation rounds per scheduled action; a zero change
-      // count on the second round is a fixpoint proof (a round
-      // applied to already-converged labels changes nothing). Each
-      // step references `labels` twice, so lineage would grow
-      // geometrically over actions — the EAGER localCheckpoint
-      // truncates the plan per action (it is also the action that
-      // materializes both rounds; the change count then reads the
-      // checkpointed partitions).
-      val (next, nextIds) =
-        checkpointTracked(step(step(labels).select("n", "lbl")))
-      changed = next.filter(col("chg")).count()
-      actions += 1
-      // The superseded round's checkpoint is dead once `next` is
-      // materialized — free it now instead of leaving it to GC.
-      freeRdds(next, labelIds)
-      labels = next.select("n", "lbl")
-      labelIds = nextIds
-    }
+    try {
+      sess.conf.set("spark.sql.shuffle.partitions",
+        ccRoundPartitions(adj.count(), spDefault.toInt).toString)
+      while (changed > 0) {
+        // Two propagation rounds per scheduled action; a zero change
+        // count on the second round is a fixpoint proof (a round
+        // applied to already-converged labels changes nothing). Each
+        // step references `labels` twice, so lineage would grow
+        // geometrically over actions — the EAGER localCheckpoint
+        // truncates the plan per action (it is also the action that
+        // materializes both rounds; the change count then reads the
+        // checkpointed partitions).
+        val (next, nextIds) =
+          checkpointTracked(step(step(labels).select("n", "lbl")))
+        changed = next.filter(col("chg")).count()
+        actions += 1
+        // The superseded round's checkpoint is dead once `next` is
+        // materialized — free it now instead of leaving it to GC.
+        freeRdds(next, labelIds)
+        labels = next.select("n", "lbl")
+        labelIds = nextIds
+      }
+    } finally sess.conf.set("spark.sql.shuffle.partitions", spDefault)
     adj.unpersist()
     (labels, actions)
   }
@@ -888,8 +898,27 @@ object Dedup {
       .unionByName(mins.select(col("m").as("s"), col("g"))))
   }
 
+  /** Shuffle-partition count for one star-CC round, derived from the
+    * MEASURED edge count of the round's input (r17; the guide's
+    * "make partitioning scale-adaptive — derive from input size").
+    * The loop's per-round frames are usually tiny (near-dup edges
+    * over content reps: thousands of rows at the tested SFs), but
+    * every round runs ~4 hash exchanges whose task count follows
+    * spark.sql.shuffle.partitions — at the session default (= core
+    * count) the rounds pay pure scheduling overhead: d18 measured
+    * 5.0 s at 32 partitions vs 2.6 s at 8 on IDENTICAL data
+    * (the r16 verdict's "8-core bench beats 32-core" inversion).
+    * ~64k edges per task keeps a round's task under ~10 ms of real
+    * work; the session default stays the ceiling so a genuinely
+    * large edge set keeps its parallelism.
+    */
+  private def ccRoundPartitions(edgeCount: Long, ceiling: Int): Int =
+    math.max(1L, math.min(ceiling.toLong, edgeCount / 65536L + 1L)).toInt
+
   private[graft] def ccSmallLargeStar(edges0: DataFrame): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sess = edges0.sparkSession
+    val spDefault = sess.conf.get("spark.sql.shuffle.partitions")
     // (s, g) with s < g throughout; self-loops dropped. Each round
     // references the previous round's edge set several times (sym
     // doubles it, mins joins back onto it), so the logical plan would
@@ -909,7 +938,13 @@ object Dedup {
     var rounds = 0
     var sig = signature(edges)
     var converged = edges.isEmpty
-    while (!converged) {
+    // Loop-scoped shuffle-partition override, sized per round from
+    // the signature's edge count (already computed for convergence).
+    // Session-level conf is restored in the finally; the loop is
+    // driver-sequential, so nothing else plans under the override.
+    try while (!converged) {
+      sess.conf.set("spark.sql.shuffle.partitions",
+        ccRoundPartitions(sig._1, spDefault.toInt).toString)
       val (next, nextIds) = checkpointTracked(ccSmallStar(ccLargeStar(edges)))
       rounds += 1
       val nextSig = signature(next)
@@ -918,7 +953,7 @@ object Dedup {
       edgeIds = nextIds
       converged = nextSig == sig
       sig = nextSig
-    }
+    } finally sess.conf.set("spark.sql.shuffle.partitions", spDefault)
     // Star forest: every edge is (component min, member). Roots label
     // themselves.
     val labels = edges.select(col("g").as("n"), col("s").as("lbl"))
@@ -1194,6 +1229,15 @@ object Dedup {
     * path and needs no compaction — [[appendIndex]]'s anti-joins run
     * against the tombstone-filtered live view, so the content lands
     * under its new keeper while the dead row stays filtered.
+    *
+    * SIZE CONTRACT (r17): the sidecar is for TAKEDOWN-SIZED deltas —
+    * a set every probe can anti-join broadcast (the [[incremental]]
+    * reads hint it) and one task can write (`coalesce(1)`). Bulk
+    * removal of a large corpus fraction should instead filter the
+    * source and [[buildIndex]] fresh (the same full-rewrite cost a
+    * mass removal fundamentally is), leaving no sidecar behind —
+    * the IVF family's [[graft.similarity.Similarity.removeFromIvfIndex]]
+    * documents the identical rule.
     */
   def removeFromIndex(ids: DataFrame, id: String, indexDir: String): Unit = {
     val s = ids.sparkSession
@@ -1360,10 +1404,14 @@ object Dedup {
     // Tombstoned removals ([[removeFromIndex]]) are dead to the
     // probe from the moment the sidecar lands: content by keeper,
     // bands and sigs by id. No-sidecar fast path keeps the
-    // pre-tombstone plan bit-identical.
+    // pre-tombstone plan bit-identical. Sidecar side HINTED broadcast
+    // (r17): takedown-sized by the removeFromIndex contract, and an
+    // estimate miss would otherwise re-shuffle the corpus-scale index
+    // tables by id just to drop a handful of rows.
     val tomb = indexTombstones(s, indexDir, id)
     def liveById(df: DataFrame, idCol: String): DataFrame = tomb match {
-      case Some(t) => df.join(t.toDF(idCol), Seq(idCol), "left_anti")
+      case Some(t) =>
+        df.join(broadcast(t.toDF(idCol)), Seq(idCol), "left_anti")
       case None => df
     }
     val idxContent = liveById(

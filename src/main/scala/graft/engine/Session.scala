@@ -22,6 +22,17 @@ object Session {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's parallelismFirst default (split small shuffles to
+      // ~defaultParallelism rather than the advisory byte target) is
+      // deliberately KEPT (r17 measured both): honoring the byte
+      // advisory instead collapses the engine's CPU-heavy,
+      // small-BYTES stages (minhash signatures over text, pair
+      // verification) to one task — d18 went 5.0 → 6.5 s at 32 cores
+      // under parallelismFirst=false. The task-overhead problem on
+      // genuinely tiny ITERATIVE shuffles is solved where the data
+      // size is known instead: the star-CC loop derives its shuffle
+      // partition count from the measured per-round edge count
+      // ([[graft.dedup.Dedup]] — scale-adaptive, not a constant).
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       // The 64 MB threshold above deliberately broadcasts MEDIUM

@@ -146,25 +146,69 @@ object Pq {
     val v = pqFrame(corpus, id, vec, m, subDim)
     val vv = v.select(col("vid"), col("e").as("v"))
       .withColumn("nrm", norm2(col("v")))
-    // coarse quantizer over the same slice-total vector set (bounded
-    // collect, the collectedCentroids contract). kcCoarse = 0 → the
-    // deployed sqrtKc policy over the PQ-valid corpus (the frame the
-    // quantizer actually trains on); the count job reuses the persist.
-    val (coarseRows, kcC) = {
+    // ONE persisted corpus projection serves the sizing count AND all
+    // m+1 quantizer builds, collected in ONE job (r17; the previous
+    // shape persisted the corpus twice — once here for the coarse
+    // chain, once inside trainCodebooks for the sub-chains — and ran
+    // two collect jobs). kcCoarse = 0 → the deployed sqrtKc policy
+    // over the PQ-valid corpus (the frame the quantizer trains on).
+    val (coarseRows, cbs, kcC) = {
       val c = vv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val kcC = if (kcCoarse > 0) kcCoarse else Similarity.sqrtKc(c.count())
-        val built = Similarity.kmeansCentroids(c, kcC)
+        val coarse = Similarity.kmeansCentroids(c, kcC)
+          .select(lit(-1).as("mi"), col("cid"), col("cv"), col("cnrm"))
+        val subs = (0 until m).map { mi =>
+          val vmi = c.select(col("vid"),
+              slice(col("v"), mi * subDim + 1, subDim).as("v"))
+            .withColumn("nrm", norm2(col("v")))
+          Similarity.kmeansCentroids(vmi, kc)
+            .select(lit(mi).as("mi"), col("cid"), col("cv"), col("cnrm"))
+        }
+        val built = (coarse +: subs).reduce(_ unionAll _)
         val rows = built.collect()
-        (vv.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), built.schema), kcC)
+        val all = vv.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), built.schema)
+        (all.filter(col("mi") === -1).select("cid", "cv", "cnrm"),
+          all.filter(col("mi") >= 0), kcC)
       } finally c.unpersist()
     }
     val np = if (nprobe > 0) nprobe else Similarity.adaptiveNprobe(kcC)
-    val assign = Similarity.argmaxAssign(vv, coarseRows)
-    val cbs = trainCodebooks(corpus, id, vec, m, subDim, kc)
-    val enc = encode(corpus, id, vec, cbs, m, subDim)
-    val recon = reconstruct(enc, cbs, m)
+    // FUSED single-pass assignment (r17): coarse cid and the m PQ
+    // codes are all per-row argmaxes against broadcast dim tables —
+    // computed in ONE corpus pass with ONE partial-agg exchange
+    // (coarse rows tagged mi = -1 score the full vector, sub rows the
+    // slice; CaseWhen evaluates only the taken branch). The previous
+    // shape ran TWO corpus passes (argmaxAssign + encode, one
+    // exchange each) and then JOINED them vid-to-vid — a third and
+    // fourth corpus exchange at the probe. Expressions and tie rules
+    // are bit-identical to argmaxAssign/encode (same dot, same
+    // (csim, -cid) struct max), so results are unchanged.
+    val sub = slice(col("v"), col("mi") * subDim + 1, lit(subDim))
+    val score = when(col("mi") === -1,
+        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .otherwise(dot(sub, col("cv")) / (norm2(sub) * col("cnrm")))
+    val scored = vv.crossJoin(broadcast(coarseRows
+        .select(lit(-1).as("mi"), col("cid"), col("cv"), col("cnrm"))
+        .unionAll(cbs)))
+      .select(col("vid"), col("mi"),
+        struct(score.as("csim"), (-col("cid")).as("negc")).as("sc"))
+    val fused = scored.groupBy("vid")
+      .agg(max(when(col("mi") === -1, col("sc"))).as("bc"),
+        (0 until m).map(mi =>
+          max(when(col("mi") === mi, col("sc"))).as(s"b$mi")): _*)
+      .select(col("vid") +: (-col("bc.negc")).as("cid") +:
+        (0 until m).map(mi => (-col(s"b$mi.negc")).as(s"code$mi")): _*)
+    // reconstruction rides the fused frame (broadcast codebook joins,
+    // keeping the coarse cid column alongside re)
+    val withRe = (0 until m).foldLeft(fused) { (acc, mi) =>
+        acc.join(
+          broadcast(cbs.filter(col("mi") === mi)
+            .select(col("cid").as(s"code$mi"), col("cv").as(s"r$mi"))),
+          s"code$mi")
+      }
+      .select(col("vid"), col("cid"),
+        concat((0 until m).map(mi => col(s"r$mi")): _*).as("re"))
     val q = pqFrame(queries, id, vec, m, subDim)
       .select(col("vid").as("q_id"), col("e").as("qe"))
       .withColumn("qnrm", norm2(col("qe")))
@@ -176,8 +220,7 @@ object Pq {
           col("cid"))))
       .filter(col("crk") <= np)
       .select("q_id", "qe", "qnrm", "cid")
-    probes.join(assign, "cid")
-      .join(recon, "vid")
+    probes.join(withRe, "cid")
       .filter(col("vid") =!= col("q_id"))
       .select(col("q_id"), col("vid").as("n_id"),
         (dot(col("qe"), col("re")) / (col("qnrm") * norm2(col("re"))))

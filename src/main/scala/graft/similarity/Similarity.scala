@@ -878,9 +878,13 @@ object Similarity {
     // moment the sidecar lands; their rows stay physical until the
     // next rebuild folds them out. No-sidecar fast path: the plan is
     // bit-identical to pre-tombstone (what the d19/d37 pruning
-    // assertions pin).
+    // assertions pin). The sidecar anti-join side is HINTED broadcast
+    // (r17, the span family's posture adopted): the sidecar is
+    // takedown-sized by contract (see removeFromIvfIndex), and
+    // without the hint a size-estimate miss would re-shuffle the
+    // corpus-sized lists by vid just to drop a handful of rows.
     ivfTombstones(s, indexDir) match {
-      case Some(t) => raw.join(t, Seq("vid"), "left_anti")
+      case Some(t) => raw.join(broadcast(t), Seq("vid"), "left_anti")
       case None => raw
     }
   }
@@ -923,6 +927,18 @@ object Similarity {
     * Re-adding a removed vid is refused by [[appendIvfIndex]] until
     * a rebuild has folded the tombstone out: its dead rows are still
     * physical, so a same-vid append would resurrect BOTH copies.
+    *
+    * SIZE CONTRACT (r17, the r16 verdict's mass-removal note): the
+    * sidecar is for TAKEDOWN-SIZED deltas — opt-outs, DMCA lists,
+    * audit removals — a set that broadcasts (every [[ivfLists]] read
+    * anti-joins it with a broadcast hint) and that one task can
+    * write (`coalesce(1)` below keeps the sidecar one file per
+    * removal batch). Removing a large fraction of the corpus through
+    * this path would serialize the delta write and grow every
+    * probe's broadcast; the supported bulk-removal route is
+    * filter-and-[[rebuildIvfIndex]] (one generation build over the
+    * filtered lists — the same cost a mass removal fundamentally
+    * is), after which no sidecar exists at all.
     */
   def removeFromIvfIndex(ids: DataFrame, id: String,
       indexDir: String): Unit = {
